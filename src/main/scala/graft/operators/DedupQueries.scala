@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators over the `documents` table — the
+  * training-data-pipeline analogue of the reference's dedup-by-membership
+  * (`/root/reference/src/crawl_first/osm.py:639-655`) and content-addressed
+  * cache keys (`cache.py:27-29`).
+  *
+  * Scale notes (100 TB):
+  *   - exact dedup is a hash groupBy — one shuffle on the digest, map-side
+  *     partial aggregation, no skew beyond genuinely duplicated content;
+  *   - MinHash+LSH is the scale path for near-dup: cost is O(docs × bands)
+  *     rows through one shuffle on (band, bucket), never all-pairs;
+  *   - exact n-gram Jaccard is intentionally restricted to a bounded id
+  *     range — it is the small-scale oracle for the LSH path, not the
+  *     production path.
+  *
+  * All hashes are md5-based so the DuckDB oracle can reproduce them exactly.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Word tokens of `text`. */
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Distinct 3-token shingles per doc (doc_id, shingle). */
+  def shingles(d: DataFrame): DataFrame = {
+    val ts = tokens(col("text"))
+    d.filter(col("text").isNotNull && size(ts) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(ts) - 2),
+          i => concat_ws(" ",
+            element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2))))
+          .as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signatures: k md5-based hash functions, min per (doc, seed).
+    * Returns (doc_id, sigs: array[string] ordered by seed).
+    */
+  def minhashSignatures(d: DataFrame, k: Int): DataFrame = {
+    val sh = shingles(d)
+    val seeds = sh.sparkSession.range(k).select(col("id").cast("int").as("seed"))
+    sh.join(broadcast(seeds))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("mh"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("seed"), col("mh")))).as("sm"))
+      .select(col("doc_id"), transform(col("sm"), x => x.getField("mh")).as("sigs"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: content digest groupBy — `cache.py:27-29` MD5 keying.
+    // Emits one row per duplicated digest with the kept (min) id and the
+    // number of rows that would be dropped. One shuffle, combiner-friendly.
+    "q_dedup_exact" -> ((s, dir) => {
+      docs(s, dir)
+        .filter(col("text").isNotNull)
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+        .filter(col("n") > 1)
+        .orderBy("digest")
+    }),
+
+    // Exact 3-gram Jaccard near-dup on a bounded id range (oracle for LSH):
+    // explode distinct shingles, self-equi-join on shingle, |A∩B| via
+    // group-count, |A∪B| = |A|+|B|-|A∩B|. Integer ratios → exact doubles.
+    "q_dedup_jaccard" -> ((s, dir) => {
+      val sh = shingles(docs(s, dir).filter(col("doc_id") < 300))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
+      val b = sh.select(col("doc_id").as("b_id"), col("shingle"))
+      val common = a.join(b, Seq("shingle")).filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("sz", "a_sz"), Seq("a_id"))
+        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("sz", "b_sz"), Seq("b_id"))
+        .withColumn("jaccard", col("common").cast("double") /
+          (col("a_sz") + col("b_sz") - col("common")).cast("double"))
+        .filter(col("jaccard") >= 0.4)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // MinHash + LSH banding — the 100 TB near-dup path. 16 hashes, 4 bands
+    // of 4 rows: candidate pairs share ≥1 band bucket; estimated Jaccard =
+    // matching-signature fraction (exact multiples of 1/16).
+    "q_dedup_minhash_lsh" -> ((s, dir) => {
+      val k = 16; val bands = 4; val rowsPerBand = 4
+      val sigs = minhashSignatures(docs(s, dir), k)
+      val bandIdx = s.range(bands).select(col("id").cast("int").as("band"))
+      val buckets = sigs.join(broadcast(bandIdx))
+        .select(col("doc_id"), col("band"),
+          md5(concat_ws("|", slice(col("sigs"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))).as("bucket"))
+      val cand = buckets.as("x").join(buckets.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      cand.join(sigs.select(col("doc_id").as("a_id"), col("sigs").as("a_sigs")), Seq("a_id"))
+        .join(sigs.select(col("doc_id").as("b_id"), col("sigs").as("b_sigs")), Seq("b_id"))
+        .withColumn("est_jaccard",
+          size(filter(zip_with(col("a_sigs"), col("b_sigs"), (x, y) => x === y), b => b))
+            .cast("double") / k.toDouble)
+        .select("a_id", "b_id", "est_jaccard")
+        .orderBy("a_id", "b_id")
+    }),
+
+    // SimHash (32-bit, md5-derived bit weights, term-frequency weighted):
+    // fingerprint per doc; near-dup = small hamming distance. Signature
+    // computation is a single agg over exploded tokens — linear, shuffle
+    // on (doc_id, bit) then doc_id.
+    "q_dedup_simhash" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+      val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .withColumn("hx", md5(col("tok")))
+      val bits = s.range(32).select(col("id").cast("int").as("bit"))
+      toks.join(broadcast(bits))
+        .withColumn("nib",
+          expr("cast(conv(substring(hx, cast(bit/4 as int) + 1, 1), 16, 10) as int)"))
+        .withColumn("bitval", expr("shiftright(nib, bit % 4) & 1"))
+        .groupBy("doc_id", "bit")
+        .agg(sum(col("bitval") * 2 - 1).as("w"))
+        .withColumn("sbit", when(col("w") > 0, 1L).otherwise(0L))
+        .groupBy("doc_id")
+        .agg(sum(expr("sbit * shiftleft(cast(1 as bigint), bit)")).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // SimHash near-dup pairs on a bounded range: hamming via bit_count(xor).
+    "q_dedup_simhash_pairs" -> ((s, dir) => {
+      val sh = queries("q_dedup_simhash")(s, dir).filter(col("doc_id") < 150)
+      val a = sh.select(col("doc_id").as("a_id"), col("simhash").as("a_sh"))
+      val b = sh.select(col("doc_id").as("b_id"), col("simhash").as("b_sh"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
+        .filter(col("hamming") <= 8)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS digest, count(*) AS n, min(doc_id) AS keep_id
+         FROM documents WHERE text IS NOT NULL
+         GROUP BY 1 HAVING count(*) > 1""",
+    "q_dedup_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+           WHERE text IS NOT NULL AND doc_id < 300),
+         sh AS (
+           SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(range(1, len(ts)-1)) AS u(i)
+           WHERE len(ts) >= 3),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         common AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id,
+           round(CAST(common AS DOUBLE)/CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+         FROM common
+         JOIN sizes sa ON sa.doc_id = a_id
+         JOIN sizes sb ON sb.doc_id = b_id
+         WHERE CAST(common AS DOUBLE)/CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.4""",
+    "q_dedup_minhash_lsh" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+           WHERE text IS NOT NULL),
+         sh AS (
+           SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+           FROM toks, UNNEST(range(1, len(ts)-1)) AS u(i)
+           WHERE len(ts) >= 3),
+         seeds AS (SELECT unnest(range(0, 16)) AS seed),
+         mh AS (
+           SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
+           FROM sh, seeds GROUP BY 1, 2),
+         sigarr AS (
+           SELECT doc_id, list(mh ORDER BY seed) AS sigs FROM mh GROUP BY 1),
+         bands AS (
+           SELECT doc_id, b,
+             md5(sigs[b*4+1] || '|' || sigs[b*4+2] || '|' || sigs[b*4+3] || '|' || sigs[b*4+4]) AS bucket
+           FROM sigarr, (SELECT unnest(range(0, 4)) AS b)),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           FROM bands x JOIN bands y
+             ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+         SELECT a_id, b_id,
+           CAST((SELECT count(*) FROM mh ma JOIN mh mb
+                 ON ma.seed = mb.seed AND ma.doc_id = c.a_id AND mb.doc_id = c.b_id
+                    AND ma.mh = mb.mh) AS DOUBLE) / 16.0 AS est_jaccard
+         FROM cand c""",
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+           WHERE text IS NOT NULL),
+         hashed AS (
+           SELECT doc_id, md5(tok) AS hx FROM toks WHERE length(tok) > 0),
+         bits AS (SELECT CAST(unnest(range(0, 32)) AS INTEGER) AS bit),
+         bw AS (
+           SELECT doc_id, bit,
+             sum(((strpos('0123456789abcdef', substr(hx, bit//4 + 1, 1)) - 1)
+                  >> (bit % 4)) & 1) * 2 - sum(1) AS w
+           FROM hashed, bits GROUP BY 1, 2)
+         SELECT doc_id,
+           sum(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+         FROM bw GROUP BY 1""",
+    "q_dedup_simhash_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+           WHERE text IS NOT NULL AND doc_id < 150),
+         hashed AS (
+           SELECT doc_id, md5(tok) AS hx FROM toks WHERE length(tok) > 0),
+         bits AS (SELECT CAST(unnest(range(0, 32)) AS INTEGER) AS bit),
+         bw AS (
+           SELECT doc_id, bit,
+             sum(((strpos('0123456789abcdef', substr(hx, bit//4 + 1, 1)) - 1)
+                  >> (bit % 4)) & 1) * 2 - sum(1) AS w
+           FROM hashed, bits GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id,
+             sum(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+           FROM bw GROUP BY 1)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 8"""
+  )
+}

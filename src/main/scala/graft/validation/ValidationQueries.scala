@@ -1,0 +1,234 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The constraint-validation operator suite (north rule) exercised over the
+  * driver's testdata tables, so each check is DuckDB-oracle-verified. The
+  * same operators run over the image+caption table in `ImageSuite` (where
+  * correctness is ScalaTest-verified against plain-Scala recomputation).
+  *
+  * Reference semantics being re-expressed
+  * (file:line into /root/reference/src/crawl_first/):
+  *   - uniqueness → keep-first dedup + violation accounting `osm.py:639-655`
+  *   - referential → study-lookup failure path `analysis.py:1207-1210`
+  *   - column stats / coverage → `validation_agent.py:550-597, 753-763`
+  *   - bounds/sentinel row checks → `validation_agent.py:355-364`
+  *   - drift vs peers/priors → `validation_agent.py:85-109, 258-305`
+  *   - verdict always emitted, errors become rows → `validation_agent.py:600-650`
+  */
+object ValidationQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Uniqueness verdict for one key set: two-stage salted aggregate.
+    * Stage 1 pre-aggregates on (key, salt) so a pathologically hot key
+    * cannot overload one reducer; stage 2 merges per key. Semantically
+    * identical to a plain `groupBy(key).count()` — the salt only reshapes
+    * the shuffle (SURVEY.md §4 skew row).
+    */
+  def uniquenessVerdict(df: DataFrame, checkName: String, keys: Seq[String],
+                        saltBuckets: Int = 16): DataFrame = {
+    val keyCols = keys.map(col)
+    val salt = pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets)).as("salt")
+    val stage1 = df.groupBy(keyCols :+ salt: _*).agg(count(lit(1)).as("c1"))
+    val perKey = stage1.groupBy(keyCols: _*).agg(sum(col("c1")).as("n"))
+    perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("n")).as("n_rows"),
+      sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_keys"),
+      sum(when(col("n") > 1, col("n") - 1).otherwise(0)).as("n_extra_rows"))
+      .select(lit(checkName).as("check"), col("n_rows"), col("n_keys"),
+        col("n_dup_keys"), col("n_extra_rows"),
+        (col("n_dup_keys") === 0).as("pass"))
+  }
+
+  /** Referential verdict: count of child keys with no parent (left anti). */
+  def referentialVerdict(child: DataFrame, childKey: String,
+                         parent: DataFrame, parentKey: String,
+                         checkName: String): DataFrame = {
+    val orphans = child.join(parent,
+      child(childKey) === parent(parentKey), "left_anti")
+    child.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      .select(lit(checkName).as("check"), col("n_rows"), col("n_orphans"),
+        (col("n_orphans") === 0).as("pass"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Uniqueness checks (salted two-stage) over three candidate keys.
+    "q_v_uniqueness" -> ((s, dir) => {
+      uniquenessVerdict(t(s, dir, "orders"), "pk_orders", Seq("o_orderkey"))
+        .unionByName(uniquenessVerdict(t(s, dir, "lineitem"), "pk_lineitem",
+          Seq("l_orderkey", "l_linenumber")))
+        .unionByName(uniquenessVerdict(t(s, dir, "customer"), "pk_customer",
+          Seq("c_custkey")))
+        .orderBy("check")
+    }),
+
+    // Referential integrity: child→parent orphan counts.
+    "q_v_referential" -> ((s, dir) => {
+      referentialVerdict(t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey", "fk_lineitem_orders")
+        .unionByName(referentialVerdict(t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey", "fk_lineitem_part"))
+        .unionByName(referentialVerdict(t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey", "fk_orders_customer"))
+        .orderBy("check")
+    }),
+
+    // Column-stats verdict: single-pass multi-aggregate (null-rate, bounds,
+    // exact distinct, exact interpolated median) — the "compute all stats in
+    // ONE agg" batch-coalescing rewrite (SURVEY.md §4).
+    "q_v_colstats" -> ((s, dir) => {
+      t(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_totalprice").isNull, 1).otherwise(0)).as("null_totalprice"),
+        min(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("min_totalprice"),
+        max(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("max_totalprice"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_totalprice"),
+        countDistinct(col("o_custkey")).as("ndv_custkey"),
+        min(col("o_orderdate")).cast("date").cast("string").as("min_date"),
+        max(col("o_orderdate")).cast("date").cast("string").as("max_date"))
+    }),
+
+    // Row-invariant bounds + sentinel checks in one pass over lineitem —
+    // bounds predicate (P3) + sentinel predicate (P4) verdicts.
+    "q_v_row_invariants" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1).otherwise(0)).as("bad_quantity"),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1).otherwise(0)).as("bad_discount"),
+        sum(when(col("l_tax") < 0.0, 1).otherwise(0)).as("bad_tax"),
+        sum(when(col("l_extendedprice") <= 0.0, 1).otherwise(0)).as("bad_price"),
+        sum(when(col("l_quantity") === 0.0 && col("l_extendedprice") === 0.0, 1).otherwise(0)).as("sentinel_rows"))
+    }),
+
+    // Distribution drift, chi-square: purchase vs view value histograms.
+    // Integer bucket counts → exact doubles; identical formula order both
+    // engines. The graft twin of compatibility/prior checks (V10).
+    "q_v_drift_chisq" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy(floor(col("value") / 50.0).as("bucket")).agg(count(lit(1)).as("obs_p"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(floor(col("value") / 50.0).as("bucket")).agg(count(lit(1)).as("obs_v"))
+      val joined = p.join(v, Seq("bucket"), "inner")
+      val totals = joined.agg(sum("obs_p").as("tot_p"), sum("obs_v").as("tot_v"))
+      joined.crossJoin(totals)
+        .withColumn("e_p", col("tot_p").cast("double") * col("obs_v").cast("double") / col("tot_v").cast("double"))
+        .withColumn("term", (col("obs_p").cast("double") - col("e_p")) * (col("obs_p").cast("double") - col("e_p")) / col("e_p"))
+        .agg(count(lit(1)).as("n_buckets"), round(sum(col("term")), 6).as("chi2"))
+    }),
+
+    // Distribution drift, KS statistic: max |CDF_a − CDF_b| over the bucket
+    // grid; CDFs are exact integer ratios so the max is exact.
+    "q_v_drift_ks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+      val b = ev.filter(col("event_type").isin("purchase", "view"))
+        .groupBy(floor(col("value") / 10.0).as("bucket"))
+        .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("c_p"),
+             sum(when(col("event_type") === "view", 1).otherwise(0)).as("c_v"))
+      val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = b.agg(sum("c_p").as("tot_p"), sum("c_v").as("tot_v"))
+      b.withColumn("cum_p", sum("c_p").over(w))
+        .withColumn("cum_v", sum("c_v").over(w))
+        .crossJoin(tot)
+        .withColumn("diff", abs(col("cum_p").cast("double") / col("tot_p").cast("double") -
+          col("cum_v").cast("double") / col("tot_v").cast("double")))
+        .agg(round(max(col("diff")), 6).as("ks"), count(lit(1)).as("n_buckets"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_v_uniqueness" ->
+      """WITH g1 AS (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1),
+         g2 AS (SELECT l_orderkey, l_linenumber, count(*) AS n FROM lineitem GROUP BY 1, 2),
+         g3 AS (SELECT c_custkey, count(*) AS n FROM customer GROUP BY 1),
+         u AS (
+           SELECT 'pk_orders' AS check, sum(n) AS n_rows, count(*) AS n_keys,
+             sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_keys,
+             sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_extra_rows
+           FROM g1
+           UNION ALL
+           SELECT 'pk_lineitem', sum(n), count(*),
+             sum(CASE WHEN n > 1 THEN 1 ELSE 0 END),
+             sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)
+           FROM g2
+           UNION ALL
+           SELECT 'pk_customer', sum(n), count(*),
+             sum(CASE WHEN n > 1 THEN 1 ELSE 0 END),
+             sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)
+           FROM g3)
+         SELECT "check", n_rows, n_keys, n_dup_keys, n_extra_rows,
+           n_dup_keys = 0 AS pass
+         FROM u""",
+    "q_v_referential" ->
+      """SELECT 'fk_lineitem_orders' AS check,
+           (SELECT count(*) FROM lineitem) AS n_rows,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans,
+           (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0 AS pass
+         UNION ALL
+         SELECT 'fk_lineitem_part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)),
+           (SELECT count(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)) = 0
+         UNION ALL
+         SELECT 'fk_orders_customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+           (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0""",
+    "q_v_colstats" ->
+      """SELECT count(*) AS n_rows,
+         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_totalprice,
+         CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_totalprice,
+         CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_totalprice,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS median_totalprice,
+         count(DISTINCT o_custkey) AS ndv_custkey,
+         strftime(min(o_orderdate), '%Y-%m-%d') AS min_date,
+         strftime(max(o_orderdate), '%Y-%m-%d') AS max_date
+         FROM orders""",
+    "q_v_row_invariants" ->
+      """SELECT count(*) AS n_rows,
+         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS bad_quantity,
+         sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS bad_discount,
+         sum(CASE WHEN l_tax < 0.0 THEN 1 ELSE 0 END) AS bad_tax,
+         sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS bad_price,
+         sum(CASE WHEN l_quantity = 0.0 AND l_extendedprice = 0.0 THEN 1 ELSE 0 END) AS sentinel_rows
+         FROM lineitem""",
+    "q_v_drift_chisq" ->
+      """WITH p AS (
+           SELECT floor(value/50.0) AS bucket, count(*) AS obs_p
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         v AS (
+           SELECT floor(value/50.0) AS bucket, count(*) AS obs_v
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         j AS (SELECT p.bucket, obs_p, obs_v FROM p JOIN v ON p.bucket = v.bucket),
+         tot AS (SELECT sum(obs_p) AS tot_p, sum(obs_v) AS tot_v FROM j),
+         terms AS (
+           SELECT (CAST(obs_p AS DOUBLE) - CAST(tot_p AS DOUBLE)*CAST(obs_v AS DOUBLE)/CAST(tot_v AS DOUBLE))
+                * (CAST(obs_p AS DOUBLE) - CAST(tot_p AS DOUBLE)*CAST(obs_v AS DOUBLE)/CAST(tot_v AS DOUBLE))
+                / (CAST(tot_p AS DOUBLE)*CAST(obs_v AS DOUBLE)/CAST(tot_v AS DOUBLE)) AS term
+           FROM j, tot)
+         SELECT count(*) AS n_buckets, round(sum(term), 6) AS chi2 FROM terms""",
+    "q_v_drift_ks" ->
+      """WITH b AS (
+           SELECT floor(value/10.0) AS bucket,
+             sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS c_p,
+             sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS c_v
+           FROM events WHERE event_type IN ('purchase','view') GROUP BY 1),
+         c AS (
+           SELECT bucket,
+             sum(c_p) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_p,
+             sum(c_v) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_v
+           FROM b),
+         tot AS (SELECT sum(c_p) AS tot_p, sum(c_v) AS tot_v FROM b)
+         SELECT round(max(abs(CAST(cum_p AS DOUBLE)/CAST(tot_p AS DOUBLE)
+                    - CAST(cum_v AS DOUBLE)/CAST(tot_v AS DOUBLE))), 6) AS ks,
+           count(*) AS n_buckets
+         FROM c, tot"""
+  )
+}
