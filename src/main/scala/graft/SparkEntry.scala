@@ -1,5 +1,6 @@
 package graft
 
+import graft.validation.ImageSuiteQueries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,9 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full constraint-suite verdict table over the synthesized
+    * image+caption tier for sf0.001 (north rule); driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_j9_region_rollup")(spark, "/root/testdata/sf0.001")
+    queries("qi_verdicts")(spark, "/root/testdata/sf0.001")
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
@@ -31,7 +34,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational ++ DedupQueries.queries ++ TextQueries.queries ++
-      SimilarityQueries.queries ++ ValidationQueries.queries
+      SimilarityQueries.queries ++ ValidationQueries.queries ++
+      ImageSuiteQueries.queries
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1/A3: hash-aggregate group counts — reference `osm.py:577-585`

@@ -1,0 +1,150 @@
+package graft.images
+
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+
+/** Pure-JVM image encode/decode + the per-row pixel invariants
+  * (decoded-pixel allclose via PSNR, per BASELINE.json input_hint).
+  *
+  * Reference analogue: PDF magic-byte sniffing
+  * (/root/reference/src/crawl_first/direct_retrieval.py:563-567) and the
+  * deterministic pure-function kernels (geospatial.py:51-58) — decode and
+  * PSNR are deterministic pure functions of `bytes`, recomputed under
+  * Catalyst instead of cached (SURVEY.md §4 memoization row).
+  *
+  * All functions are total: failures return Option/None, never throw —
+  * bad rows become violation rows, tasks never fail (reference "robust
+  * sections" biosample.py:288-404).
+  */
+object ImageCodec {
+
+  /** Ground-truth pixels for an image id: a smooth, id-seeded pattern
+    * (low-frequency gradients so JPEG at q=0.9 stays above 40 dB PSNR).
+    * Returns row-major packed RGB ints.
+    */
+  def synthPixels(id: Long, w: Int, h: Int): Array[Int] = {
+    val px = new Array[Int](w * h)
+    // id-derived pattern parameters (deterministic, spread by a 64-bit mix)
+    val m = mix64(id)
+    val a = ((m & 0xff) / 255.0) * 2 * math.Pi
+    val b = (((m >>> 8) & 0xff) / 255.0) * 2 * math.Pi
+    val baseR = ((m >>> 16) & 0x7f) + 64
+    val baseG = ((m >>> 24) & 0x7f) + 64
+    val baseB = ((m >>> 32) & 0x7f) + 64
+    // Broadband diagonal plane waves with 1/f amplitudes: every
+    // low-frequency DCT bin gets real energy, so the 64 pHash sign bits
+    // are stable under JPEG re-encode (natural-image-like spectrum).
+    // Texture is identical across channels (pure luminance) so JPEG
+    // chroma subsampling doesn't eat it and q=0.95 stays above 40 dB.
+    val nWaves = 6
+    val freqX = Array(1, 2, 3, 4, 5, 6)
+    val freqY = Array(2, 1, 5, 3, 6, 4)
+    val amp = Array.tabulate(nWaves)(k => 26.0 / (k + 1))
+    val phase = Array.tabulate(nWaves)(k => (((m >>> (16 + 6 * k)) & 0x3f) / 63.0) * 2 * math.Pi)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val fx = x.toDouble / w
+        val fy = y.toDouble / h
+        val s = 40 * math.sin(2 * math.Pi * fx + a) + 40 * math.cos(2 * math.Pi * fy + b)
+        var t = 0.0
+        var k = 0
+        while (k < nWaves) {
+          t += amp(k) * math.sin(2 * math.Pi * (freqX(k) * fx + freqY(k) * fy) + phase(k))
+          k += 1
+        }
+        val r = clamp(baseR + s + t + 30 * fx)
+        val g = clamp(baseG + s + t + 30 * fy)
+        val bl = clamp(baseB + 0.5 * s + t + 15 * (fx + fy))
+        px(y * w + x) = (r << 16) | (g << 8) | bl
+        x += 1
+      }
+      y += 1
+    }
+    px
+  }
+
+  private def clamp(v: Double): Int = math.max(0, math.min(255, v.toInt))
+
+  /** splitmix64 finalizer — deterministic 64-bit mix. */
+  def mix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  def toImage(px: Array[Int], w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, w, h, px, 0, w)
+    img
+  }
+
+  def fromImage(img: BufferedImage): Array[Int] = {
+    val w = img.getWidth; val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var i = 0
+    while (i < px.length) { px(i) = px(i) & 0xffffff; i += 1 }
+    px
+  }
+
+  def encode(px: Array[Int], w: Int, h: Int, fmt: String, jpegQuality: Float = 0.97f): Array[Byte] = {
+    val img = toImage(px, w, h)
+    val bos = new ByteArrayOutputStream()
+    fmt match {
+      case "jpeg" =>
+        val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+        val p = writer.getDefaultWriteParam
+        p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionQuality(jpegQuality)
+        val ios = ImageIO.createImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.write(null, new IIOImage(img, null, null), p)
+        ios.close(); writer.dispose()
+      case f =>
+        ImageIO.write(img, f, bos)
+    }
+    bos.toByteArray
+  }
+
+  /** Decode to (pixels, width, height); None on undecodable bytes. */
+  def decode(bytes: Array[Byte]): Option[(Array[Int], Int, Int)] =
+    if (bytes == null || bytes.length == 0) None
+    else try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else Some((fromImage(img), img.getWidth, img.getHeight))
+    } catch { case _: Throwable => None }
+
+  /** Sniff format from magic bytes — the fmt↔content consistency input. */
+  def sniffFormat(bytes: Array[Byte]): Option[String] = {
+    if (bytes == null || bytes.length < 4) return None
+    val b = bytes
+    if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') Some("png")
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) Some("jpeg")
+    else if (b(0) == 'B' && b(1) == 'M') Some("bmp")
+    else None
+  }
+
+  /** PSNR in dB between two same-size packed-RGB images; +Inf if identical.
+    * None if sizes differ.
+    */
+  def psnr(a: Array[Int], b: Array[Int]): Option[Double] = {
+    if (a.length != b.length || a.length == 0) return None
+    var se = 0.0
+    var i = 0
+    while (i < a.length) {
+      val pa = a(i); val pb = b(i)
+      val dr = ((pa >> 16) & 0xff) - ((pb >> 16) & 0xff)
+      val dg = ((pa >> 8) & 0xff) - ((pb >> 8) & 0xff)
+      val db = (pa & 0xff) - (pb & 0xff)
+      se += dr * dr + dg * dg + db * db
+      i += 1
+    }
+    val mse = se / (3.0 * a.length)
+    if (mse == 0.0) Some(Double.PositiveInfinity)
+    else Some(10.0 * math.log10(255.0 * 255.0 / mse))
+  }
+}

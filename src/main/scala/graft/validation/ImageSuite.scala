@@ -1,0 +1,297 @@
+package graft.validation
+
+import graft.images.{ImageCodec, ImageGen, Phash}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+
+/** The north-rule constraint-validation engine over the image+caption table.
+  *
+  * Pipeline shape (designed for 10^12 rows / 1000 executors):
+  *
+  *   scan(images, pruned to pending partitions)           ── no shuffle
+  *     → decode stage (mapPartitions, bytes dropped)      ── narrow
+  *     → per-row violation array + explode                ── narrow
+  *     → per-partition verdict aggregation                ── 1 shuffle (part)
+  *   uniqueness: salted two-stage agg on image_id         ── 2 shuffles
+  *   referential: broadcast-or-SMJ anti joins both ways   ── ≤1 shuffle
+  *   drift: per-part histograms + global baseline join    ── 1 shuffle
+  *
+  * All byte-derived columns are computed in the scan stage; only small
+  * derived facts cross shuffles. Resume prunes completed `part=` directories
+  * before the scan (partition pruning, anti-join on the state table —
+  * reference resume semantics validation_agent.py:787-812).
+  */
+object ImageSuite {
+
+  val PsnrThresholdDb = 40.0
+  val PhashHammingMax = 10
+  val NullRateMax = 0.02
+  val DriftKsMax = 0.35
+  val DriftChi2Max = 30.0
+
+  /** Decode stage: one pass over rows, emits DecodedFacts, drops bytes. */
+  def decodeFacts(spark: SparkSession, images: DataFrame,
+                  decodeNanos: Option[LongAccumulator] = None): Dataset[DecodedFacts] = {
+    import spark.implicits._
+    images.select("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "part")
+      .as[(String, Array[Byte], Int, Int, String, String, Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, bytes, w, h, fmt, caption, phash, part) =>
+          val t0 = System.nanoTime()
+          val hasBytes = bytes != null && bytes.nonEmpty
+          val nBytes = if (bytes == null) 0L else bytes.length.toLong
+          val dec = if (hasBytes) ImageCodec.decode(bytes) else None
+          val sniffed = ImageCodec.sniffFormat(bytes).getOrElse("none")
+          // ground truth is id-derived (asserted-vs-inferred): the ordinal
+          // seeds the synthesis, so reference pixels are recomputable.
+          val ord = idOrdinal(id)
+          val facts = dec match {
+            case Some((px, dw, dh)) =>
+              val truth = ImageCodec.synthPixels(ord, dw, dh)
+              val p = ImageCodec.psnr(px, truth).getOrElse(Double.NaN)
+              val ph = Phash.phash64(px, dw, dh)
+              DecodedFacts(id, part, fmt, caption, w, h, phash,
+                hasBytes, nBytes, decode_ok = true, dw, dh,
+                psnr_db = p, phash_rec = ph,
+                phash_hamming = Phash.hamming(ph, phash),
+                fmt_sniffed = sniffed,
+                caption_expected = ImageGen.caption(ord))
+            case None =>
+              DecodedFacts(id, part, fmt, caption, w, h, phash,
+                hasBytes, nBytes, decode_ok = false, 0, 0,
+                psnr_db = Double.NaN, phash_rec = 0L, phash_hamming = -1,
+                fmt_sniffed = sniffed,
+                caption_expected = ImageGen.caption(ord))
+          }
+          decodeNanos.foreach(_.add(System.nanoTime() - t0))
+          facts
+        }
+      }
+  }
+
+  def idOrdinal(id: String): Long =
+    try id.stripPrefix("img-").toLong catch { case _: Throwable => -1L }
+
+  /** Row-invariant violation fan-out: one array<struct> per row, exploded —
+    * Catalyst-native generator, no UDTF (SURVEY.md §2.10).
+    */
+  def rowViolations(facts: DataFrame): DataFrame = {
+    def viol(cond: Column, check: String, observed: Column, expected: String): Column =
+      when(cond, struct(lit(check).as("check"),
+        observed.cast("string").as("observed"), lit(expected).as("expected")))
+
+    val entries = array(
+      viol(!col("has_bytes"), "bytes_present", lit("empty"), "non-empty bytes"),
+      viol(col("has_bytes") && !col("decode_ok"), "decodable",
+        concat(lit("undecodable n_bytes="), col("n_bytes")), "decodable image"),
+      viol(col("w") <= 0 || col("h") <= 0, "dims_positive",
+        concat(lit("w="), col("w"), lit(" h="), col("h")), "w>0 and h>0"),
+      viol(col("decode_ok") && (col("w") =!= col("dec_w") || col("h") =!= col("dec_h")),
+        "dims_match_decoded",
+        concat(lit("asserted="), col("w"), lit("x"), col("h"),
+          lit(" decoded="), col("dec_w"), lit("x"), col("dec_h")),
+        "asserted dims equal decoded dims"),
+      viol(col("w") === 0 && col("h") === 0 && !col("has_bytes"), "sentinel_row",
+        lit("w=h=0, empty bytes"), "no sentinel rows"),
+      viol(col("decode_ok") && !isnan(col("psnr_db")) && col("psnr_db") < PsnrThresholdDb,
+        "psnr_allclose", round(col("psnr_db"), 2),
+        s"PSNR >= $PsnrThresholdDb dB vs ground truth"),
+      viol(col("decode_ok") && col("phash_hamming") > PhashHammingMax,
+        "phash_consistent", col("phash_hamming"),
+        s"hamming(phash, recomputed) <= $PhashHammingMax"),
+      viol(col("fmt_sniffed") =!= lit("none") && col("fmt") =!= col("fmt_sniffed"),
+        "fmt_matches_magic",
+        concat(lit("fmt="), col("fmt"), lit(" magic="), col("fmt_sniffed")),
+        "fmt tag equals magic bytes"),
+      viol(col("caption").isNotNull && col("caption") =!= col("caption_expected"),
+        "caption_equality", col("caption"), "caption bit-for-bit equal to source"))
+
+    facts
+      .withColumn("v", explode(filter(entries, e => e.isNotNull)))
+      .select(col("part"), col("image_id"), col("v.check").as("check"),
+        col("v.observed").as("observed"), col("v.expected").as("expected"))
+  }
+
+  /** Per-(part, check) verdicts for the row-invariant family. */
+  def rowVerdicts(facts: DataFrame, violations: DataFrame, runId: String): DataFrame = {
+    val rowChecks = Seq("bytes_present", "decodable", "dims_positive",
+      "dims_match_decoded", "sentinel_row", "psnr_allclose", "phash_consistent",
+      "fmt_matches_magic", "caption_equality")
+    val parts = facts.groupBy("part").agg(count(lit(1)).as("n_rows"))
+    val checks = parts.sparkSession.createDataFrame(
+      rowChecks.map(Tuple1(_))).toDF("check")
+    val vcounts = violations.filter(col("check").isin(rowChecks: _*))
+      .groupBy("part", "check").agg(count(lit(1)).as("n_violations"))
+    parts.crossJoin(broadcast(checks))
+      .join(vcounts, Seq("part", "check"), "left")
+      .na.fill(0L, Seq("n_violations"))
+      .select(col("part"), col("check"),
+        (col("n_violations") === 0).as("pass"),
+        (col("n_violations").cast("double") / col("n_rows").cast("double")).as("metric"),
+        lit(0.0).as("threshold"),
+        col("n_rows"), col("n_violations"), lit(runId).as("run_id"))
+  }
+
+  /** Null-rate / coverage verdicts per partition (A10 — the core stat). */
+  def coverageVerdicts(facts: DataFrame, runId: String): DataFrame = {
+    val agg = facts.groupBy("part").agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("caption").isNull, 1L).otherwise(0L)).as("null_caption"),
+      sum(when(!col("has_bytes"), 1L).otherwise(0L)).as("null_bytes"))
+    def verdict(nullCol: String, check: String) =
+      agg.select(col("part"), lit(check).as("check"),
+        (col(nullCol).cast("double") / col("n_rows").cast("double") <= NullRateMax).as("pass"),
+        (col(nullCol).cast("double") / col("n_rows").cast("double")).as("metric"),
+        lit(NullRateMax).as("threshold"),
+        col("n_rows"), col(nullCol).as("n_violations"), lit(runId).as("run_id"))
+    verdict("null_caption", "null_rate_caption")
+      .unionByName(verdict("null_bytes", "null_rate_bytes"))
+  }
+
+  /** Global uniqueness of image_id with salted two-stage aggregation;
+    * violations carry every extra row beyond the kept (first) one.
+    * Returns (verdicts per part, violations).
+    */
+  def uniqueness(facts: DataFrame, runId: String, saltBuckets: Int = 32): (DataFrame, DataFrame) = {
+    // stage 1: (id, salt) partial counts — a hot duplicated id spreads over
+    // saltBuckets reducers; stage 2 merges per id.
+    val salted = facts.select(col("image_id"), col("part"))
+      .withColumn("salt", pmod(xxhash64(col("image_id"), col("part"), rand(ImageGen.Seed)), lit(saltBuckets)))
+    val stage1 = salted.groupBy("image_id", "salt")
+      .agg(count(lit(1)).as("c1"), min("part").as("minp1"))
+    val perId = stage1.groupBy("image_id")
+      .agg(sum("c1").as("n"), min("minp1").as("min_part"))
+    val dups = perId.filter(col("n") > 1)
+    val violations = facts.join(broadcast(dups.select("image_id", "n")), Seq("image_id"))
+      .select(col("part"), col("image_id"), lit("uniqueness_image_id").as("check"),
+        concat(lit("key seen "), col("n"), lit(" times")).as("observed"),
+        lit("unique image_id").as("expected"))
+    val perPart = facts.groupBy("part").agg(count(lit(1)).as("n_rows"))
+      .join(violations.groupBy("part").agg(count(lit(1)).as("n_violations")), Seq("part"), "left")
+      .na.fill(0L, Seq("n_violations"))
+      .select(col("part"), lit("uniqueness_image_id").as("check"),
+        (col("n_violations") === 0).as("pass"),
+        (col("n_violations").cast("double") / col("n_rows").cast("double")).as("metric"),
+        lit(0.0).as("threshold"), col("n_rows"), col("n_violations"),
+        lit(runId).as("run_id"))
+    (perPart, violations)
+  }
+
+  /** Referential checks image↔caption, both directions (left anti), plus
+    * cross-table bit-for-bit caption consistency on the inner match
+    * (input_hint caption-equality) — one join surface feeds all three.
+    */
+  def referential(facts: DataFrame, captions: DataFrame, runId: String): (DataFrame, DataFrame) = {
+    val imgIds = facts.select(col("image_id"), col("part"), col("caption"))
+    val capIds = captions.select(col("image_id").as("cap_image_id"),
+      col("part").as("cap_part"), col("caption").as("cap_caption"))
+    val missingCaption = imgIds.join(capIds,
+        imgIds("image_id") === capIds("cap_image_id"), "left_anti")
+      .select(col("part"), col("image_id"),
+        lit("referential_caption_exists").as("check"),
+        lit("no caption row").as("observed"), lit("caption row exists").as("expected"))
+    val orphanCaption = capIds.join(imgIds,
+        capIds("cap_image_id") === imgIds("image_id"), "left_anti")
+      .select(col("cap_part").as("part"), col("cap_image_id").as("image_id"),
+        lit("referential_image_exists").as("check"),
+        lit("caption without image").as("observed"), lit("image row exists").as("expected"))
+    val mismatched = imgIds.join(capIds,
+        imgIds("image_id") === capIds("cap_image_id"), "inner")
+      .filter(col("caption").isNotNull && col("cap_caption").isNotNull &&
+        col("caption") =!= col("cap_caption"))
+      .select(col("part"), col("image_id"),
+        lit("caption_consistent").as("check"),
+        col("cap_caption").as("observed"), col("caption").as("expected"))
+    val violations = missingCaption.unionByName(orphanCaption)
+      .unionByName(mismatched)
+    val nImgs = facts.groupBy("part").agg(count(lit(1)).as("n_rows"))
+    val verdicts = Seq("referential_caption_exists", "referential_image_exists",
+      "caption_consistent").map { c =>
+      nImgs
+        .join(violations.filter(col("check") === c)
+          .groupBy("part").agg(count(lit(1)).as("n_violations")), Seq("part"), "left")
+        .na.fill(0L, Seq("n_violations"))
+        .select(col("part"), lit(c).as("check"), (col("n_violations") === 0).as("pass"),
+          (col("n_violations").cast("double") / col("n_rows").cast("double")).as("metric"),
+          lit(0.0).as("threshold"), col("n_rows"), col("n_violations"),
+          lit(runId).as("run_id"))
+    }.reduce(_ unionByName _)
+    (verdicts, violations)
+  }
+
+  /** Full suite over pending partitions; returns (verdicts, violations,
+    * metrics). Global checks (uniqueness/referential/drift) always run over
+    * the full table; per-partition families are resumable via `state`.
+    */
+  def run(spark: SparkSession, dataDir: String, runId: String,
+          stateDir: Option[String] = None,
+          baselineDir: Option[String] = None): (DataFrame, DataFrame, DataFrame) = {
+    import spark.implicits._
+    val images = ImageGen.images(spark, dataDir)
+    val captions = ImageGen.captions(spark, dataDir)
+
+    val done: Set[String] = stateDir.map(readDoneParts(spark, _)).getOrElse(Set.empty)
+    val pending = if (done.isEmpty) images
+      else images.filter(!col("part").isin(done.toSeq: _*)) // partition-pruned scan
+
+    val decodeNs = spark.sparkContext.longAccumulator("decodeNanos")
+    val facts = decodeFacts(spark, pending, Some(decodeNs)).toDF().cache()
+    // Global checks never touch `bytes` — a light projection keeps the
+    // full-table pass down to pruned parquet columns (id/part/w/h/caption).
+    val light = images.select("image_id", "part", "w", "h", "caption")
+
+    val rv = rowViolations(facts)
+    val rVerd = rowVerdicts(facts, rv, runId)
+    val cVerd = coverageVerdicts(facts, runId)
+    val (uVerd, uViol) = uniqueness(light, runId)
+    val (fVerd, fViol) = referential(light, captions, runId)
+    val (dVerd, dViol) = Drift.check(light, runId,
+      baselineDir.map(Drift.readBaseline(spark, _)))
+
+    val verdicts = rVerd.unionByName(cVerd).unionByName(uVerd)
+      .unionByName(fVerd).unionByName(dVerd)
+    val violations = rv.unionByName(uViol).unionByName(fViol).unionByName(dViol)
+
+    val metrics = facts.groupBy("part").agg(
+        count(lit(1)).as("nr"),
+        sum("n_bytes").cast("double").as("bytes_total"),
+        avg(when(col("decode_ok"), col("psnr_db"))).as("psnr_mean"))
+      .select(col("part"), col("nr"), col("bytes_total"), col("psnr_mean"))
+      .as[(String, Long, Double, Double)]
+      .flatMap { case (p, nr, bt, pm) => Seq(
+        MetricRow(p, "n_rows", nr.toDouble, runId),
+        MetricRow(p, "bytes_total", bt, runId),
+        MetricRow(p, "psnr_mean", pm, runId))
+      }.toDF()
+
+    (verdicts, violations, metrics)
+  }
+
+  /** Persist verdict/violation/metric/state tables; appends state rows so a
+    * rerun skips completed partitions (exactly-once over partitions).
+    */
+  def runAndCheckpoint(spark: SparkSession, dataDir: String, outDir: String,
+                       runId: String): Unit = {
+    import spark.implicits._
+    val stateDir = s"$outDir/state"
+    val (verdicts, violations, metrics) =
+      run(spark, dataDir, runId, Some(stateDir), None)
+    verdicts.write.mode(SaveMode.Append).parquet(s"$outDir/verdicts")
+    violations.write.mode(SaveMode.Append).parquet(s"$outDir/violations")
+    metrics.write.mode(SaveMode.Append).parquet(s"$outDir/metrics")
+    val state = verdicts.groupBy("part").agg(
+        sum(col("n_violations")).as("nv"), max(col("n_rows")).as("nr"))
+      .select(col("part"), lit("done").as("status"), col("nr").as("n_rows"),
+        col("nv").as("n_violations"), lit(runId).as("run_id"),
+        lit(System.currentTimeMillis()).as("finished_at"))
+    state.write.mode(SaveMode.Append).parquet(stateDir)
+  }
+
+  def readDoneParts(spark: SparkSession, stateDir: String): Set[String] =
+    try {
+      import spark.implicits._
+      spark.read.parquet(stateDir).filter(col("status") === "done")
+        .select("part").as[String].collect().toSet
+    } catch { case _: Throwable => Set.empty }
+}
