@@ -303,6 +303,90 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // J3: parent → detail fan-out join with per-parent aggregates —
+    // reference study→DOIs fan-out `analysis.py:1215-1250`.
+    "q_j3_fanout" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(count(col("l_linenumber")).as("n_lines"),
+             coalesce(sum(col("l_quantity")).cast("double"), lit(0.0)).as("sum_qty"))
+        .filter(col("o_orderkey") <= 2000)
+        .orderBy("o_orderkey")
+    }),
+
+    // P8: tag-membership classification against a broadcast whitelist with
+    // priority order — reference env-tag whitelist `osm.py:389-416` (the
+    // 240-entry tag table) as a CASE-priority membership filter.
+    "q_p8_membership" -> ((s, dir) => {
+      val priority = when(col("word").isin("spark", "stream"), "env_a")
+        .when(col("word").isin("join", "merge", "sort"), "env_b")
+        .when(col("word").isin("table", "row"), "env_c")
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .withColumn("category", priority)
+        .filter(col("category").isNotNull)
+        .groupBy("doc_id", "category").agg(count(lit(1)).as("n"))
+        .filter(col("doc_id") < 100)
+        .orderBy("doc_id", "category")
+    }),
+
+    // F4/F5: unit conversions with the reference's rounding discipline —
+    // K→°C `analysis.py:446-454`, m→ft `biosample.py:58-61` (1dp/2dp).
+    "q_f4_units" -> ((s, dir) => {
+      // rounding discipline: 1-dp round runs on EXACT decimals (2-dp data
+      // is a rounding tie ~10% of the time — double rounding differs
+      // between engines at ties); the float rounds use scales far from
+      // the data's precision (tie probability ~0).
+      t(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          round(col("value").cast("decimal(18,2)") - lit(273.15).cast("decimal(18,2)"), 1)
+            .cast("double").as("value_c"),
+          round(col("value") * 3.28084, 2).as("value_ft"),
+          round(col("value") / 1024.0, 3).as("value_kib"))
+        .orderBy("event_id")
+    }),
+
+    // O6/O7: set-intersect / set-except on token arrays — reference
+    // `field_names & slots` `validation_agent.py:227` and missing-sections
+    // `validation_agent.py:573-575`.
+    "q_o6_setops" -> ((s, dir) => {
+      val vocab = array(Seq("spark", "join", "table", "stream", "data")
+        .map(lit(_)): _*)
+      t(s, dir, "documents").filter(col("text").isNotNull && col("doc_id") < 200)
+        .select(col("doc_id"),
+          array_sort(array_intersect(array_distinct(split(col("text"), " ")), vocab)).as("present"),
+          array_sort(array_except(vocab, split(col("text"), " "))).as("missing"))
+        .orderBy("doc_id")
+    }),
+
+    // F12: array ops over embeddings — element_at / slice / size / HOF
+    // transform (reference list ops `direct_retrieval.py:419-423`).
+    "q_f12_array_ops" -> ((s, dir) => {
+      t(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          size(col("embedding")).as("dims"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"),
+          round(aggregate(slice(col("embedding"), 1, 8).cast("array<double>"),
+            lit(0.0), (a, x) => a + x), 6).as("head_sum"),
+          size(filter(col("embedding"), x => x > 0.0f)).as("n_positive"))
+        .orderBy("vec_id")
+    }),
+
+    // ST6 batch twin: tumbling-window aggregation (the streaming windowed
+    // agg, expressed on the batch frame — same plan Catalyst compiles for
+    // the stream in graft.streaming.StreamingValidation).
+    "q_st_tumbling" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_format(window(col("ts").cast("timestamp"), "6 hours").getField("start"),
+          "yyyy-MM-dd HH:mm").as("win_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy("win_start", "event_type")
+    }),
+
     // F1: haversine great-circle distance — reference `geospatial.py:51-58`,
     // as pure builtin column math (codegen'd); coordinates derived
     // deterministically from integer keys, result rounded 6dp (libm ULP).
@@ -440,6 +524,48 @@ object SparkEntry {
       """SELECT event_type, sum(k) AS sum_k, max(k) AS max_k FROM (
            SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            FROM events) GROUP BY 1""",
+    "q_j3_fanout" ->
+      """SELECT o_orderkey, o_orderstatus, count(l_linenumber) AS n_lines,
+         coalesce(CAST(sum(l_quantity) AS DOUBLE), 0.0) AS sum_qty
+         FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey <= 2000
+         GROUP BY 1, 2""",
+    "q_p8_membership" ->
+      """SELECT doc_id,
+         CASE WHEN word IN ('spark','stream') THEN 'env_a'
+              WHEN word IN ('join','merge','sort') THEN 'env_b'
+              WHEN word IN ('table','row') THEN 'env_c' END AS category,
+         count(*) AS n
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE text IS NOT NULL)
+         WHERE doc_id < 100 AND (word IN ('spark','stream','join','merge','sort','table','row'))
+         GROUP BY 1, 2""",
+    "q_f4_units" ->
+      """SELECT event_id,
+         CAST(round(CAST(value AS DECIMAL(18,2)) - CAST(273.15 AS DECIMAL(18,2)), 1) AS DOUBLE) AS value_c,
+         round(value * 3.28084, 2) AS value_ft,
+         round(value / 1024.0, 3) AS value_kib
+         FROM events WHERE event_id < 2000""",
+    "q_o6_setops" ->
+      """WITH v(vocab) AS (SELECT ['spark','join','table','stream','data']),
+         d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+               WHERE text IS NOT NULL AND doc_id < 200)
+         SELECT doc_id,
+           list_sort(list_distinct(list_intersect(toks, vocab))) AS present,
+           list_sort(list_filter(vocab, x -> NOT list_contains(toks, x))) AS missing
+         FROM d, v""",
+    "q_f12_array_ops" ->
+      """SELECT vec_id, len(embedding) AS dims,
+         round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+         round((SELECT sum(CAST(embedding[i] AS DOUBLE))
+                FROM UNNEST(range(1, 9)) AS u(i)), 6) AS head_sum,
+         len(list_filter(embedding, x -> x > 0.0)) AS n_positive
+         FROM embeddings WHERE vec_id < 100""",
+    "q_st_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M') AS win_start,
+         event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events GROUP BY 1, 2""",
     "q_f1_haversine" ->
       """WITH n AS (
            SELECT n_nationkey,

@@ -19,6 +19,12 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
   */
 object ImageCodec {
 
+  // ImageIO defaults to a file-backed stream cache: every decode/encode
+  // touches a temp file under a global lock — a serial bottleneck at 32
+  // executor threads. In-memory cache keeps the codec embarrassingly
+  // parallel.
+  ImageIO.setUseCache(false)
+
   /** Ground-truth pixels for an image id: a smooth, id-seeded pattern
     * (low-frequency gradients so JPEG at q=0.9 stays above 40 dB PSNR).
     * Returns row-major packed RGB ints.
@@ -109,11 +115,41 @@ object ImageCodec {
     bos.toByteArray
   }
 
+  // Per-thread cached readers per format: ImageIO.read does a synchronized
+  // registry scan and allocates a fresh reader on every call — at 32
+  // executor threads that lock dominates decode. One reader per
+  // (thread, format) removes the contention entirely.
+  private val readerCache = new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+    override def initialValue() = new java.util.HashMap[String, javax.imageio.ImageReader]()
+  }
+
+  private def readerFor(fmt: String): javax.imageio.ImageReader = {
+    val cache = readerCache.get()
+    var r = cache.get(fmt)
+    if (r == null) {
+      r = ImageIO.getImageReadersByFormatName(fmt).next()
+      cache.put(fmt, r)
+    }
+    r
+  }
+
   /** Decode to (pixels, width, height); None on undecodable bytes. */
   def decode(bytes: Array[Byte]): Option[(Array[Int], Int, Int)] =
     if (bytes == null || bytes.length == 0) None
     else try {
-      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      val img = sniffFormat(bytes) match {
+        case Some(fmt) =>
+          val reader = readerFor(fmt)
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+          try {
+            reader.setInput(iis, true, true)
+            reader.read(0)
+          } finally {
+            reader.setInput(null)
+            iis.close()
+          }
+        case None => ImageIO.read(new ByteArrayInputStream(bytes))
+      }
       if (img == null) None
       else Some((fromImage(img), img.getWidth, img.getHeight))
     } catch { case _: Throwable => None }

@@ -163,19 +163,32 @@ object ImageGen {
   def write(spark: SparkSession, n: Long, outDir: String): Unit = {
     import spark.implicits._
     val np = nParts(n)
+    // Repartition on `part` before the partitioned write: one compacted
+    // file per partition directory instead of (#tasks × #parts) shards —
+    // without it, every later scan pays per-file open/footer costs that
+    // dwarf the work (the small-files problem; at petabyte scale the same
+    // discipline is Iceberg compaction targeting ~512 MB files).
+    // 1 MB row groups: a split boundary every ~700 rows, so the decode
+    // stage can fan out to any core count even with one file per partition
+    // (mirrors production files, where 128 MB row groups inside ~512 MB
+    // files give the same splittability).
     val imgs: DataFrame = spark.range(0, n, 1,
         math.max(spark.sparkContext.defaultParallelism, np))
       .mapPartitions(_.map(i => genRow(i, np))).toDF()
-    imgs.write.mode(SaveMode.Overwrite).partitionBy("part").parquet(s"$outDir/images")
+    imgs.repartition(np, col("part"))
+      .write.mode(SaveMode.Overwrite)
+      .option("parquet.block.size", (1 << 20).toString)
+      .partitionBy("part").parquet(s"$outDir/images")
     val caps = spark.range(0, n, 1, math.max(spark.sparkContext.defaultParallelism, np))
       .mapPartitions(_.flatMap(i => genCaption(i, np).iterator))
       .union(spark.createDataset(genOrphans(n, np)))
       .toDF()
-    caps.write.mode(SaveMode.Overwrite).partitionBy("part").parquet(s"$outDir/captions")
+    caps.repartition(np, col("part"))
+      .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(s"$outDir/captions")
   }
 
   /** Bump when generation logic changes — invalidates cached datasets. */
-  val GenVersion = 3
+  val GenVersion = 5
 
   /** Generate-if-absent, keyed by row count; returns the dataset dir. */
   def ensure(spark: SparkSession, n: Long, baseDir: String = "/root/repo/data/images"): String = {

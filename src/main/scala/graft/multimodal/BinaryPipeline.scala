@@ -1,0 +1,118 @@
+package graft.multimodal
+
+import graft.images.{ImageCodec, Phash}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, processed in fixed-size batches inside partitions — the Scala
+  * twin of a `mapInPandas` Arrow-batch pipeline (the shape a Python
+  * feature-extraction UDF would see). Image ops are real (ImageCodec);
+  * audio/video decode is STUBBED with deterministic fakes (no codec libs
+  * in this container) behind the same batch interface, so schema,
+  * partitioning and batch discipline are fully exercised and tested.
+  *
+  * Scale design: payloads never cross a shuffle — every derived column is
+  * computed in the scan stage, then `bytes` is dropped (SURVEY.md §7.4);
+  * batches bound peak memory per task regardless of row width.
+  */
+object BinaryPipeline {
+
+  val BatchSize = 64
+
+  case class MediaRow(media_id: String, kind: String, bytes: Array[Byte],
+                      meta_w: Int, meta_h: Int, duration_ms: Int)
+
+  case class MediaFeatures(media_id: String, kind: String, n_bytes: Long,
+                           sniffed: String, feat_w: Int, feat_h: Int,
+                           n_frames: Int, phash: Long, batch_size: Int)
+
+  /** Batched per-partition feature extraction. The iterator is consumed in
+    * groups of [[BatchSize]] — mirroring Arrow record batches — so a
+    * Python `mapInPandas` twin could drop in with identical semantics.
+    */
+  def extractFeatures(rows: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.map { r =>
+          val nb = if (r.bytes == null) 0L else r.bytes.length.toLong
+          r.kind match {
+            case "image" =>
+              val sniff = ImageCodec.sniffFormat(r.bytes).getOrElse("none")
+              ImageCodec.decode(r.bytes) match {
+                case Some((px, w, h)) =>
+                  MediaFeatures(r.media_id, r.kind, nb, sniff, w, h, 1,
+                    Phash.phash64(px, w, h), batch.size)
+                case None =>
+                  MediaFeatures(r.media_id, r.kind, nb, sniff, 0, 0, 0, 0L, batch.size)
+              }
+            case "audio" =>
+              // STUB: no audio codec in-container; deterministic fake
+              // "sample-rate fingerprint" from the payload digest.
+              MediaFeatures(r.media_id, r.kind, nb, "pcm-stub", 0, 0,
+                n_frames = (nb / 2).toInt, phash = stubDigest(r.bytes),
+                batch.size)
+            case "video" =>
+              // STUB: frame-sample every 1000 ms of asserted duration.
+              val frames = math.max(1, r.duration_ms / 1000)
+              MediaFeatures(r.media_id, r.kind, nb, "h264-stub",
+                r.meta_w, r.meta_h, frames, stubDigest(r.bytes), batch.size)
+            case _ =>
+              MediaFeatures(r.media_id, r.kind, nb, "none", 0, 0, 0, 0L, batch.size)
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic stand-in for a real media hash. */
+  def stubDigest(bytes: Array[Byte]): Long = {
+    if (bytes == null) return 0L
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    h
+  }
+
+  /** Resize (real, images only): decode → area-average to (tw, th) →
+    * re-encode png. Stays in the scan stage.
+    */
+  def resizeImages(rows: Dataset[MediaRow], tw: Int, th: Int): Dataset[(String, Array[Byte])] = {
+    import rows.sparkSession.implicits._
+    rows.filter(_.kind == "image").mapPartitions(_.flatMap { r =>
+      ImageCodec.decode(r.bytes).map { case (px, w, h) =>
+        val out = new Array[Int](tw * th)
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) {
+            out(y * tw + x) = px(math.min(h - 1, y * h / th) * w + math.min(w - 1, x * w / tw))
+            x += 1
+          }
+          y += 1
+        }
+        (r.media_id, ImageCodec.encode(out, tw, th, "png"))
+      }
+    })
+  }
+
+  /** Deterministic synthetic media table (images real, audio/video fake). */
+  def synthMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val m = ImageCodec.mix64(i)
+      (math.abs(m) % 3) match {
+        case 0 =>
+          val px = ImageCodec.synthPixels(i, 32, 32)
+          MediaRow(f"med-$i%08d", "image", ImageCodec.encode(px, 32, 32, "png"), 32, 32, 0)
+        case 1 =>
+          val b = Array.tabulate[Byte](256)(k => (ImageCodec.mix64(i * 997 + k) & 0xff).toByte)
+          MediaRow(f"med-$i%08d", "audio", b, 0, 0, 2000)
+        case _ =>
+          val b = Array.tabulate[Byte](512)(k => (ImageCodec.mix64(i * 31 + k) & 0xff).toByte)
+          MediaRow(f"med-$i%08d", "video", b, 640, 480, 5000)
+      }
+    }
+  }
+}

@@ -41,16 +41,19 @@ object DedupQueries {
 
   /** MinHash signatures: k md5-based hash functions, min per (doc, seed).
     * Returns (doc_id, sigs: array[string] ordered by seed).
+    *
+    * One aggregation pass: the k mins are k `min()` aggregates over the
+    * same shingle rows (partial aggregation combines map-side), instead of
+    * a k× row explosion + extra shuffle — at 10^12 scale this keeps the
+    * shuffle width equal to the shingle count, not k × shingles.
     */
   def minhashSignatures(d: DataFrame, k: Int): DataFrame = {
     val sh = shingles(d)
-    val seeds = sh.sparkSession.range(k).select(col("id").cast("int").as("seed"))
-    sh.join(broadcast(seeds))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("mh"))
-      .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("seed"), col("mh")))).as("sm"))
-      .select(col("doc_id"), transform(col("sm"), x => x.getField("mh")).as("sigs"))
+    val minCols = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
+    sh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(i => col(s"mh$i")): _*).as("sigs"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

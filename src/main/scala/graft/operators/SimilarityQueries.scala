@@ -28,6 +28,17 @@ object SimilarityQueries {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Deterministic hyperplane: w(p, d) = first-hex-nibble(md5("p:d")) − 7.5
+    * — same values the DuckDB oracle derives in SQL.
+    */
+  def hyperplane(p: Int, dims: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dims) { d =>
+      val hex = md.digest(s"$p:$d".getBytes("UTF-8"))
+      ((hex(0) >> 4) & 0xf).toDouble - 7.5
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Pairwise cosine on a bounded id range — value-level oracle for the
@@ -64,24 +75,19 @@ object SimilarityQueries {
     // Random-hyperplane LSH signatures (8 bits, md5-derived hyperplanes):
     // the bucketed ANN path — one shuffle on the bucket, candidates only
     // within buckets. Oracle checks the signature assignment itself.
+    // Hyperplane weights w(plane, d) = nibble(md5("plane:d")) − 7.5 are
+    // CONSTANTS: computed once on the driver and embedded as literal
+    // arrays, so the scan stage is a single narrow projection (no join,
+    // no per-row md5 — the plan the optimizer can't derive itself).
     "q_sim_lsh_buckets" -> ((s, dir) => {
       val planes = 8
       val e = embs(s, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      val p = s.range(planes).select(col("id").cast("int").as("plane"))
-      // hyperplane weight w(plane, d) = nibble(md5(plane:d)) - 7.5,
-      // reproducible in SQL; projection sign → signature bit.
-      val proj = e.join(broadcast(p))
-        .withColumn("proj", aggregate(
-          zip_with(col("emb"),
-            transform(sequence(lit(0), lit(63)),
-              d => conv(md5(concat(col("plane").cast("string"), lit(":"), d.cast("string")))
-                .substr(lit(1), lit(1)), 16, 10).cast("double") - 7.5),
-            (x, wgt) => x * wgt),
-          lit(0.0), (acc, x) => acc + x))
-        .withColumn("bit", when(col("proj") > 0, 1L).otherwise(0L))
-      proj.groupBy("vec_id")
-        .agg(sum(expr("bit * shiftleft(cast(1 as bigint), plane)")).as("bucket"))
+      val bucket = (0 until planes).map { p =>
+        val w = hyperplane(p, 64)
+        when(dot(col("emb"), typedlit(w)) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      e.select(col("vec_id"), bucket.as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec"))
         .orderBy("bucket")
     })

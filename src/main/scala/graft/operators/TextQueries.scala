@@ -82,15 +82,19 @@ object TextQueries {
 
     // Document fingerprinting: normalized-content digest + position-weighted
     // token hash (order-sensitive rolling-style fingerprint, exact BIGINT).
+    // Single narrow projection: the positional hash folds over the token
+    // array with HOFs — no explode, no shuffle at all (scan → project).
     "q_text_fingerprint" -> ((s, dir) => {
       val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-      val toks = split(norm, " ")
       docs(s, dir).filter(col("text").isNotNull)
-        .select(col("doc_id"), norm.as("norm"), posexplode(toks))
-        .withColumn("th", expr("cast(conv(substring(md5(col), 1, 8), 16, 10) as bigint)"))
-        .groupBy("doc_id")
-        .agg(first(md5(col("norm"))).as("content_md5"),
-             sum(col("th") * (col("pos") + 1)).as("positional_hash"))
+        .select(col("doc_id"), norm.as("norm"))
+        .select(col("doc_id"),
+          md5(col("norm")).as("content_md5"),
+          aggregate(
+            zip_with(split(col("norm"), " "),
+              sequence(lit(1L), size(split(col("norm"), " ")).cast("long")),
+              (t, i) => conv(md5(t).substr(lit(1), lit(8)), 16, 10).cast("long") * i),
+            lit(0L), (acc, x) => acc + x).as("positional_hash"))
         .orderBy("doc_id")
     })
   )

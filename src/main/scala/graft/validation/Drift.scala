@@ -66,16 +66,19 @@ object Drift {
 
   /** Drift verdicts per partition: chi-square (bucketed counts vs baseline
     * proportions) + KS (t-digest CDFs, computed on the driver from the
-    * small per-part sketches). Returns (verdicts, violations).
+    * small per-part sketches). With `baselineDir`, both the histogram and
+    * the reference digests come from the persisted snapshot; otherwise the
+    * current global distribution is the baseline. Returns
+    * (verdicts, violations).
     */
   def check(images: DataFrame, runId: String,
-            baseline: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+            baselineDir: Option[String] = None): (DataFrame, DataFrame) = {
     val spark = images.sparkSession
     import spark.implicits._
 
     val hist = histogram(images).cache()
-    val global = baseline.getOrElse(
-      hist.groupBy("colname", "bucket").agg(sum("cnt").as("cnt")))
+    val global = baselineDir.map(d => readBaseline(spark, d))
+      .getOrElse(hist.groupBy("colname", "bucket").agg(sum("cnt").as("cnt")))
       .select(col("colname"), col("bucket"), col("cnt").as("g_cnt"))
     val gTot = global.groupBy("colname").agg(sum("g_cnt").as("g_tot"))
     val pTot = hist.groupBy("part", "colname").agg(sum("cnt").as("p_tot"))
@@ -92,17 +95,38 @@ object Drift {
       .groupBy("part", "colname")
       .agg(sum("term").as("chi2"), sum("cnt").as("n_rows"))
 
-    // KS from mergeable t-digests: per-part sketch vs global sketch,
-    // statistic evaluated on the driver (sketches are tiny).
-    val partDig = digests(images, byPart = true)
-      .as[(String, String, Array[Byte])].collect()
-    val globalDig = digests(images, byPart = false)
-      .as[(String, Array[Byte])].collect()
-      .map { case (c, b) => c -> TDigest.fromBytes(b) }.toMap
-    val ksRows = partDig.map { case (part, colname, bytes) =>
-      val ks = TDigest.ks(TDigest.fromBytes(bytes), globalDig(colname))
-      (part, colname, ks)
-    }.toSeq
+    // KS from mergeable t-digests: per-part sketch vs global sketch.
+    // The global digest is the MERGE of the per-part digests (driver-side,
+    // sketches are tiny) — one pass over the data, not two; exactly the
+    // property that lets sketches accumulate across resumed runs.
+    // Partial sketches built in plain Scala per input partition (no per-row
+    // aggregator-buffer serialization), merged on the driver: one narrow
+    // pass, ~(#splits × #parts × 2) tiny sketch rows collected. The udaf
+    // path ([[digests]]) remains for snapshot persistence.
+    val partial = images.select(col("part"), col("w").cast("double"), col("h").cast("double"))
+      .as[(String, Double, Double)]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.Map[(String, String), TDigest]()
+        it.foreach { case (p, w, h) =>
+          m.getOrElseUpdate((p, "w"), new TDigest(100)).add(w)
+          m.getOrElseUpdate((p, "h"), new TDigest(100)).add(h)
+        }
+        m.iterator.map { case ((p, c), td) => (p, c, td.toBytes) }
+      }.collect()
+    val merged: Map[(String, String), TDigest] = partial
+      .groupBy(x => (x._1, x._2))
+      .map { case (k, xs) => k -> xs.map(x => TDigest.fromBytes(x._3)).reduce(_ merge _) }
+    val globalDig: Map[String, TDigest] = baselineDir.map { d =>
+      spark.read.parquet(s"$d/digests").as[(String, Array[Byte])].collect()
+        .map { case (c, b) => c -> TDigest.fromBytes(b) }.toMap
+    }.getOrElse {
+      merged.groupBy(_._1._2).map { case (c, xs) =>
+        c -> xs.values.map(td => TDigest.fromBytes(td.toBytes)).reduce(_ merge _)
+      }
+    }
+    val ksRows = merged.toSeq.map { case ((part, colname), td) =>
+      (part, colname, TDigest.ks(td, globalDig(colname)))
+    }
     val ksDf = spark.createDataFrame(ksRows).toDF("part", "colname", "ks")
 
     val joined = chi2.join(ksDf, Seq("part", "colname"))

@@ -73,6 +73,29 @@ object ImageSuite {
   def idOrdinal(id: String): Long =
     try id.stripPrefix("img-").toLong catch { case _: Throwable => -1L }
 
+  /** Expression-based decode stage — same facts as [[decodeFacts]], but as
+    * a DataFrame projection over the native `image_facts` Catalyst
+    * expression: no Product-encoder round-trip per row, prune/pushdown
+    * compose around it, and downstream predicates stay codegen'd.
+    */
+  def decodeFactsExpr(images: DataFrame): DataFrame = {
+    val f = graft.functions.ImageFactsExpr.imageFacts(col("bytes"), col("image_id"))
+    images
+      .select(col("image_id"), col("part"), col("fmt"), col("caption"),
+        col("w"), col("h"), col("phash"), f.as("f"))
+      .select(col("image_id"), col("part"), col("fmt"), col("caption"),
+        col("w"), col("h"), col("phash"),
+        col("f.has_bytes").as("has_bytes"), col("f.n_bytes").as("n_bytes"),
+        col("f.decode_ok").as("decode_ok"),
+        col("f.dec_w").as("dec_w"), col("f.dec_h").as("dec_h"),
+        col("f.psnr_db").as("psnr_db"), col("f.phash_rec").as("phash_rec"),
+        when(col("f.decode_ok"),
+          bit_count(col("f.phash_rec").bitwiseXOR(col("phash"))))
+          .otherwise(lit(-1)).as("phash_hamming"),
+        col("f.fmt_sniffed").as("fmt_sniffed"),
+        col("f.caption_expected").as("caption_expected"))
+  }
+
   /** Row-invariant violation fan-out: one array<struct> per row, exploded —
     * Catalyst-native generator, no UDTF (SURVEY.md §2.10).
     */
@@ -235,19 +258,21 @@ object ImageSuite {
     val pending = if (done.isEmpty) images
       else images.filter(!col("part").isin(done.toSeq: _*)) // partition-pruned scan
 
-    val decodeNs = spark.sparkContext.longAccumulator("decodeNanos")
-    val facts = decodeFacts(spark, pending, Some(decodeNs)).toDF().cache()
+    // native-expression decode path (see decodeFactsExpr; ≡ decodeFacts,
+    // equivalence enforced by ImageFactsExprSpec)
+    val facts = decodeFactsExpr(pending).cache()
     // Global checks never touch `bytes` — a light projection keeps the
-    // full-table pass down to pruned parquet columns (id/part/w/h/caption).
-    val light = images.select("image_id", "part", "w", "h", "caption")
+    // full-table pass down to pruned parquet columns (id/part/w/h/caption),
+    // cached once and shared by uniqueness/referential/drift so the scan
+    // happens a single time.
+    val light = images.select("image_id", "part", "w", "h", "caption").cache()
 
     val rv = rowViolations(facts)
     val rVerd = rowVerdicts(facts, rv, runId)
     val cVerd = coverageVerdicts(facts, runId)
     val (uVerd, uViol) = uniqueness(light, runId)
     val (fVerd, fViol) = referential(light, captions, runId)
-    val (dVerd, dViol) = Drift.check(light, runId,
-      baselineDir.map(Drift.readBaseline(spark, _)))
+    val (dVerd, dViol) = Drift.check(light, runId, baselineDir)
 
     val verdicts = rVerd.unionByName(cVerd).unionByName(uVerd)
       .unionByName(fVerd).unionByName(dVerd)

@@ -12,10 +12,10 @@ import org.apache.spark.sql.functions._
   */
 object ImageSuiteQueries {
 
-  /** sf tier → row count (sf0.001→2k, sf0.01→20k, sf0.1→200k). */
+  /** sf tier → row count (sf0.001→5k, sf0.01→50k, sf0.1→500k). */
   def rowsFor(sfDir: String): Long = {
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.001)
-    math.max(2000L, math.min(200000L, (sf * 2000000).toLong))
+    math.max(2000L, math.min(500000L, (sf * 5000000).toLong))
   }
 
   // one suite execution per dataset dir per session
@@ -67,7 +67,7 @@ object ImageSuiteQueries {
       val base = s"$d/baseline"
       if (!new java.io.File(s"$base/histogram").exists())
         Drift.snapshot(s, clean, base)
-      val (verd, _) = Drift.check(images, "baseline", Some(Drift.readBaseline(s, base)))
+      val (verd, _) = Drift.check(images, "baseline", Some(base))
       verd.orderBy("part", "check")
     })
   )

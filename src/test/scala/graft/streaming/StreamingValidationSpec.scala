@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingValidationSpec extends SparkTestBase {
+
+  test("windowed counts over a file stream equal the batch computation") {
+    // file stream sources read directories — stage the single parquet file
+    val eventsDir = s"target/stream-events-${System.nanoTime()}"
+    new java.io.File(eventsDir).mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$eventsDir/events.parquet"))
+    val ckpt = s"target/stream-ckpt-${System.nanoTime()}"
+    val streamed = StreamingValidation.runFileStreamOnce(
+      spark, eventsDir, ckpt, s"wc_${System.nanoTime()}")
+    val batch = StreamingValidation.windowedCounts(
+      spark.read.parquet(eventsDir).withColumn("ts", col("ts").cast("timestamp")))
+    // batch plan on a batch frame computes the same aggregation
+    val a = streamed.orderBy("win_start", "event_type").collect().map(_.toString).toSeq
+    val b = batch.orderBy("win_start", "event_type").collect().map(_.toString).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("mapGroupsWithState accumulates per-partition violation counters across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Boolean)]
+    val q = StreamingValidation.runningValidation(input.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode(OutputMode.Update()).start()
+    input.addData(("p0", false), ("p0", true), ("p1", false))
+    q.processAllAvailable()
+    input.addData(("p0", false), ("p1", true))
+    q.processAllAvailable()
+    val rows = spark.table("running")
+      .groupBy("part").agg(max("n_rows").as("n_rows"), max("n_violations").as("nv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(rows == Set(("p0", 3L, 1L), ("p1", 2L, 1L)))
+  }
+
+  test("late rows beyond the watermark are dropped (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val df = input.toDS().toDF("ts", "event_type", "value")
+    val q = StreamingValidation.windowedCounts(df, "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("late")
+      .outputMode(OutputMode.Append()).start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    input.addData((t(0), "a", 1.0), (t(1), "a", 2.0))
+    q.processAllAvailable()
+    input.addData((t(30), "a", 1.0)) // advances watermark to 10:25, closes 10:00 window
+    q.processAllAvailable()
+    input.addData((t(2), "a", 100.0)) // late beyond watermark → dropped
+    q.processAllAvailable()
+    input.addData((t(40), "a", 1.0)) // close the 10:30 window too
+    q.processAllAvailable()
+    val rows = spark.table("late").collect()
+      .map(r => (r.getAs[Timestamp]("win_start").toString, r.getAs[Long]("n"))).toMap
+    q.stop()
+    assert(rows("2024-01-01 10:00:00.0") == 2L, s"late row must not count: $rows")
+  }
+}
