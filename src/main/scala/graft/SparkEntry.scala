@@ -303,6 +303,98 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // P1: nested-field extraction with null guards — reference
+    // `lat_lon.latitude` pulls with isinstance guards `biosample.py:149-179`;
+    // props parsed to a typed struct, nested access with coalesce default.
+    "q_p1_nested" -> ((s, dir) => {
+      t(s, dir, "events").filter(col("event_id") < 3000)
+        .withColumn("p", from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("struct<k: bigint>")))
+        .select(col("event_id"),
+          coalesce(col("p.k"), lit(-1L)).as("k"),
+          col("p.k").isNotNull.as("has_k"))
+        .orderBy("event_id")
+    }),
+
+    // S2: deterministic hash sample — reference `random.sample`
+    // `cli.py:21-31` / `shuf | head` `Makefile:124`, made reproducible via
+    // content hashing (the cache-key discipline, `cache.py:27-29`) so the
+    // oracle can replay it.
+    "q_s2_sample_hash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // J4: multi-source enrichment join — reference "try ALL methods, keep
+    // everything, pick best" `analysis.py:555-642`: several left joins, a
+    // coalesce ladder (F15) picks the first available value.
+    "q_j4_multisource" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      o.join(c, o("o_custkey") === c("c_custkey"), "left")
+        .join(n, c("c_nationkey") === n("n_nationkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("n_name"), col("c_mktsegment"), lit("unknown")).as("region_label"),
+          coalesce(col("c_acctbal"), lit(0.0)).cast("decimal(18,2)").cast("double").as("bal"))
+        .filter(col("o_orderkey") <= 3000)
+        .orderBy("o_orderkey")
+    }),
+
+    // F6/F7/F8: string cleanup, prefix predicates, templating — reference
+    // DOI normalization `analysis.py:1136`, header heuristics
+    // `analysis.py:517-530`, URL templating `biosample.py:485-552`.
+    "q_f6_strings" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("text").isNotNull && col("doc_id") < 300)
+        .select(col("doc_id"),
+          trim(regexp_replace(lower(col("source")), "[^a-z0-9]", "")).as("source_norm"),
+          col("text").startsWith("the").as("starts_the"),
+          col("text").contains("spark").as("has_spark"),
+          (upper(col("lang")) === col("lang")).as("lang_isupper"),
+          format_string("doc://%s/%07d", col("source"), col("doc_id")).as("uri"))
+        .orderBy("doc_id")
+    }),
+
+    // A12: perf-metric aggregation — reference per-op call count/avg/min/
+    // max/total `logging_utils.py:525-550`, over events-as-operations.
+    "q_a12_metrics" -> ((s, dir) => {
+      t(s, dir, "events").groupBy("event_type").agg(
+        count(lit(1)).as("calls"),
+        min(col("value").cast("decimal(18,2)")).cast("double").as("min_v"),
+        max(col("value").cast("decimal(18,2)")).cast("double").as("max_v"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_v"),
+        (sum(col("value").cast("decimal(18,2)")).cast("double") / count(lit(1))).as("avg_v"))
+        .orderBy("event_type")
+    }),
+
+    // W2: rank/dense_rank with real ties (integer key) — reference
+    // dominant-type ranking `biosample.py:117-126`.
+    "q_w2_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("p_brand").orderBy(col("p_size").desc)
+      t(s, dir, "part")
+        .withColumn("rk", rank().over(w))
+        .withColumn("drk", dense_rank().over(w))
+        .filter(col("rk") <= 2)
+        .select("p_brand", "p_partkey", "p_size", "rk", "drk")
+        .orderBy("p_brand", "p_size", "p_partkey")
+    }),
+
+    // P9: category routing (filter + union of differently-shaped branches)
+    // — reference doi_category routing `analysis.py:1175-1189`.
+    "q_p9_routing" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") >= 150000.0)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .withColumn("route", lit("high_value"))
+      val lo = o.filter(col("o_totalprice") < 150000.0)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+        .withColumn("route", lit("normal"))
+      hi.unionByName(lo).orderBy("route", "o_orderstatus")
+    }),
+
     // J3: parent → detail fan-out join with per-parent aggregates —
     // reference study→DOIs fan-out `analysis.py:1215-1250`.
     "q_j3_fanout" -> ((s, dir) => {
@@ -524,6 +616,50 @@ object SparkEntry {
       """SELECT event_type, sum(k) AS sum_k, max(k) AS max_k FROM (
            SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            FROM events) GROUP BY 1""",
+    "q_p1_nested" ->
+      """SELECT event_id,
+         coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k,
+         json_extract_string(props, '$.k') IS NOT NULL AS has_k
+         FROM events WHERE event_id < 3000""",
+    "q_s2_sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')""",
+    "q_j4_multisource" ->
+      """SELECT o_orderkey,
+         coalesce(n_name, c_mktsegment, 'unknown') AS region_label,
+         CAST(CAST(coalesce(c_acctbal, 0.0) AS DECIMAL(18,2)) AS DOUBLE) AS bal
+         FROM orders
+         LEFT JOIN customer ON o_custkey = c_custkey
+         LEFT JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderkey <= 3000""",
+    "q_f6_strings" ->
+      """SELECT doc_id,
+         trim(regexp_replace(lower(source), '[^a-z0-9]', '', 'g')) AS source_norm,
+         starts_with(text, 'the') AS starts_the,
+         contains(text, 'spark') AS has_spark,
+         upper(lang) = lang AS lang_isupper,
+         printf('doc://%s/%07d', source, doc_id) AS uri
+         FROM documents WHERE text IS NOT NULL AND doc_id < 300""",
+    "q_a12_metrics" ->
+      """SELECT event_type, count(*) AS calls,
+         CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_v,
+         CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_v,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_v,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_v
+         FROM events GROUP BY 1""",
+    "q_w2_rank" ->
+      """SELECT p_brand, p_partkey, p_size, rk, drk FROM (
+           SELECT p_brand, p_partkey, p_size,
+             rank() OVER w AS rk, dense_rank() OVER w AS drk
+           FROM part
+           WINDOW w AS (PARTITION BY p_brand ORDER BY p_size DESC))
+         WHERE rk <= 2""",
+    "q_p9_routing" ->
+      """SELECT o_orderstatus, count(*) AS n, 'high_value' AS route
+         FROM orders WHERE o_totalprice >= 150000.0 GROUP BY 1
+         UNION ALL
+         SELECT o_orderstatus, count(*), 'normal'
+         FROM orders WHERE o_totalprice < 150000.0 GROUP BY 1""",
     "q_j3_fanout" ->
       """SELECT o_orderkey, o_orderstatus, count(l_linenumber) AS n_lines,
          coalesce(CAST(sum(l_quantity) AS DOUBLE), 0.0) AS sum_qty

@@ -46,7 +46,7 @@ object SuiteBench {
       def noop(df: org.apache.spark.sql.DataFrame): Unit =
         df.write.mode("overwrite").format("noop").save()
       // three measured rounds per level (JIT/codegen warm by round 3)
-      for (round <- 1 to 2) {
+      for (round <- 1 to 1) {
         val total = t {
           val (v, vi, m) = ImageSuite.run(sp, dir, s"l$cpus-$round")
           noop(v); noop(vi); noop(m)

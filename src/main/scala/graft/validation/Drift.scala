@@ -64,86 +64,100 @@ object Drift {
     else m.groupBy("colname").agg(td(col("value")).as("sketch"))
   }
 
+  /** Per-input-split partial state: one t-digest + one bucket histogram
+    * per (part, colname) — built in plain Scala (no per-row aggregator
+    * buffer serialization), merged associatively.
+    */
+  case class DriftPartial(part: String, colname: String,
+                          sketch: Array[Byte], buckets: Map[Long, Long]) {
+    def merge(o: DriftPartial): DriftPartial = {
+      val td = TDigest.fromBytes(sketch).merge(TDigest.fromBytes(o.sketch))
+      val b = (buckets.keySet ++ o.buckets.keySet).map(k =>
+        k -> (buckets.getOrElse(k, 0L) + o.buckets.getOrElse(k, 0L))).toMap
+      DriftPartial(part, colname, td.toBytes, b)
+    }
+  }
+
   /** Drift verdicts per partition: chi-square (bucketed counts vs baseline
-    * proportions) + KS (t-digest CDFs, computed on the driver from the
-    * small per-part sketches). With `baselineDir`, both the histogram and
-    * the reference digests come from the persisted snapshot; otherwise the
-    * current global distribution is the baseline. Returns
-    * (verdicts, violations).
+    * proportions) + KS (t-digest CDFs) — both statistics from ONE narrow
+    * pass that builds mergeable partials per input split, reduced per
+    * (part, colname) (a KB-scale shuffle), final math on the driver. At
+    * 10^12 rows the identical partials flow through the same
+    * groupByKey/reduceGroups; only the final few-hundred-row collect ever
+    * reaches the driver. With `baselineDir`, the reference histogram and
+    * digests come from the persisted snapshot; otherwise the merged global
+    * is the baseline. Returns (verdicts, violations).
     */
   def check(images: DataFrame, runId: String,
             baselineDir: Option[String] = None): (DataFrame, DataFrame) = {
     val spark = images.sparkSession
     import spark.implicits._
 
-    val hist = histogram(images).cache()
-    val global = baselineDir.map(d => readBaseline(spark, d))
-      .getOrElse(hist.groupBy("colname", "bucket").agg(sum("cnt").as("cnt")))
-      .select(col("colname"), col("bucket"), col("cnt").as("g_cnt"))
-    val gTot = global.groupBy("colname").agg(sum("g_cnt").as("g_tot"))
-    val pTot = hist.groupBy("part", "colname").agg(sum("cnt").as("p_tot"))
-
-    // chi-square: expected = p_tot * g_cnt/g_tot per bucket
-    val chi2 = hist.join(global, Seq("colname", "bucket"), "right")
-      .join(broadcast(gTot), Seq("colname"))
-      .join(pTot, Seq("part", "colname"))
-      .na.fill(0L, Seq("cnt"))
-      .withColumn("e", col("p_tot").cast("double") * col("g_cnt").cast("double") / col("g_tot").cast("double"))
-      .filter(col("e") > 0)
-      .withColumn("term",
-        (col("cnt").cast("double") - col("e")) * (col("cnt").cast("double") - col("e")) / col("e"))
-      .groupBy("part", "colname")
-      .agg(sum("term").as("chi2"), sum("cnt").as("n_rows"))
-
-    // KS from mergeable t-digests: per-part sketch vs global sketch.
-    // The global digest is the MERGE of the per-part digests (driver-side,
-    // sketches are tiny) — one pass over the data, not two; exactly the
-    // property that lets sketches accumulate across resumed runs.
-    // Partial sketches built in plain Scala per input partition (no per-row
-    // aggregator-buffer serialization), merged on the driver: one narrow
-    // pass, ~(#splits × #parts × 2) tiny sketch rows collected. The udaf
-    // path ([[digests]]) remains for snapshot persistence.
-    val partial = images.select(col("part"), col("w").cast("double"), col("h").cast("double"))
-      .as[(String, Double, Double)]
-      .mapPartitions { it =>
-        val m = scala.collection.mutable.Map[(String, String), TDigest]()
-        it.foreach { case (p, w, h) =>
-          m.getOrElseUpdate((p, "w"), new TDigest(100)).add(w)
-          m.getOrElseUpdate((p, "h"), new TDigest(100)).add(h)
+    val merged: Array[DriftPartial] =
+      images.select(col("part"), col("w").cast("double"), col("h").cast("double"))
+        .as[(String, Double, Double)]
+        .mapPartitions { it =>
+          val tds = scala.collection.mutable.Map[(String, String), TDigest]()
+          val hists = scala.collection.mutable.Map[(String, String), scala.collection.mutable.Map[Long, Long]]()
+          def add(p: String, c: String, v: Double): Unit = {
+            tds.getOrElseUpdate((p, c), new TDigest(100)).add(v)
+            val h = hists.getOrElseUpdate((p, c), scala.collection.mutable.Map[Long, Long]())
+            val b = math.floor(v / BucketWidth).toLong
+            h(b) = h.getOrElse(b, 0L) + 1L
+          }
+          it.foreach { case (p, w, h) => add(p, "w", w); add(p, "h", h) }
+          tds.iterator.map { case ((p, c), td) =>
+            DriftPartial(p, c, td.toBytes, hists((p, c)).toMap)
+          }
         }
-        m.iterator.map { case ((p, c), td) => (p, c, td.toBytes) }
-      }.collect()
-    val merged: Map[(String, String), TDigest] = partial
-      .groupBy(x => (x._1, x._2))
-      .map { case (k, xs) => k -> xs.map(x => TDigest.fromBytes(x._3)).reduce(_ merge _) }
-    val globalDig: Map[String, TDigest] = baselineDir.map { d =>
-      spark.read.parquet(s"$d/digests").as[(String, Array[Byte])].collect()
-        .map { case (c, b) => c -> TDigest.fromBytes(b) }.toMap
-    }.getOrElse {
-      merged.groupBy(_._1._2).map { case (c, xs) =>
-        c -> xs.values.map(td => TDigest.fromBytes(td.toBytes)).reduce(_ merge _)
-      }
-    }
-    val ksRows = merged.toSeq.map { case ((part, colname), td) =>
-      (part, colname, TDigest.ks(td, globalDig(colname)))
-    }
-    val ksDf = spark.createDataFrame(ksRows).toDF("part", "colname", "ks")
+        .groupByKey(x => (x.part, x.colname))
+        .reduceGroups((a, b) => a.merge(b))
+        .map(_._2)
+        .collect()
 
-    val joined = chi2.join(ksDf, Seq("part", "colname"))
-    val verdicts = joined.flatMap { row =>
-      val part = row.getAs[String]("part")
-      val colname = row.getAs[String]("colname")
-      val nRows = row.getAs[Long]("n_rows")
-      val c2 = row.getAs[Double]("chi2")
-      val ks = row.getAs[Double]("ks")
+    // reference distribution: persisted snapshot, else merged global
+    val (globalHist, globalDig): (Map[String, Map[Long, Long]], Map[String, TDigest]) =
+      baselineDir.map { d =>
+        val h = spark.read.parquet(s"$d/histogram")
+          .as[(String, Long, Long)].collect()
+          .groupBy(_._1).map { case (c, xs) => c -> xs.map(x => x._2 -> x._3).toMap }
+        val g = spark.read.parquet(s"$d/digests").as[(String, Array[Byte])].collect()
+          .map { case (c, b) => c -> TDigest.fromBytes(b) }.toMap
+        (h, g)
+      }.getOrElse {
+        val byCol = merged.groupBy(_.colname)
+        val h = byCol.map { case (c, xs) =>
+          c -> xs.flatMap(_.buckets.toSeq).groupBy(_._1)
+            .map { case (b, ys) => b -> ys.map(_._2).sum }
+        }
+        val g = byCol.map { case (c, xs) =>
+          c -> xs.map(x => TDigest.fromBytes(x.sketch)).reduce(_ merge _)
+        }
+        (h, g)
+      }
+
+    val verdictRows = merged.toSeq.flatMap { p =>
+      val g = globalHist(p.colname)
+      val gTot = g.values.sum.toDouble
+      val pTot = p.buckets.values.sum
+      // normalized chi-square: raw statistic over the FULL bucket union
+      // (zero-observation buckets included), divided by the partition row
+      // count — a scale-invariant effect size (see ImageSuite.DriftChi2Max).
+      val chi2 = g.toSeq.map { case (b, gCnt) =>
+        val e = pTot * gCnt / gTot
+        val o = p.buckets.getOrElse(b, 0L).toDouble
+        if (e > 0) (o - e) * (o - e) / e else 0.0
+      }.sum / math.max(1L, pTot)
+      val ks = TDigest.ks(TDigest.fromBytes(p.sketch), globalDig(p.colname))
       Seq(
-        Verdict(part, s"drift_chi2_$colname", c2 <= ImageSuite.DriftChi2Max,
-          c2, ImageSuite.DriftChi2Max, nRows,
-          if (c2 <= ImageSuite.DriftChi2Max) 0L else 1L, runId),
-        Verdict(part, s"drift_ks_$colname", ks <= ImageSuite.DriftKsMax,
-          ks, ImageSuite.DriftKsMax, nRows,
+        Verdict(p.part, s"drift_chi2_${p.colname}", chi2 <= ImageSuite.DriftChi2Max,
+          chi2, ImageSuite.DriftChi2Max, pTot,
+          if (chi2 <= ImageSuite.DriftChi2Max) 0L else 1L, runId),
+        Verdict(p.part, s"drift_ks_${p.colname}", ks <= ImageSuite.DriftKsMax,
+          ks, ImageSuite.DriftKsMax, pTot,
           if (ks <= ImageSuite.DriftKsMax) 0L else 1L, runId))
-    }.toDF()
+    }
+    val verdicts = spark.createDataset(verdictRows).toDF()
 
     val violations = verdicts.filter(!col("pass"))
       .select(col("part"), lit("-").as("image_id"), col("check"),
