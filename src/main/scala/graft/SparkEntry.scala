@@ -80,6 +80,21 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // A5 (native pivot form): groupBy().pivot() with an explicit value
+    // list — the planner's PivotFirst path (vs the conditional-sum
+    // formulation in q_a5_pivot_status).
+    "q_a5b_pivot_native" -> ((s, dir) => {
+      val p = t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+      p.select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))
+        .orderBy("o_orderpriority")
+    }),
+
     // A6/A7: argmax/argmin — reference best-retrieval `analysis.py:645-671`
     // (max_by text length) and closest-date `analysis.py:283` (min_by).
     // Composite scalar key (price*1e6+partkey, exact in double < 2^53)
@@ -517,6 +532,12 @@ object SparkEntry {
          sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS n_f,
          sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS n_o,
          sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS n_p
+         FROM orders GROUP BY 1""",
+    "q_a5b_pivot_native" ->
+      """SELECT o_orderpriority,
+         sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS "F",
+         sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS "O",
+         sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS "P"
          FROM orders GROUP BY 1""",
     "q_a6_maxby_brand" ->
       """SELECT p_brand,
