@@ -43,15 +43,36 @@ for qname, sql in sorted(oracle.items()):
         n_fail += 1
         continue
     try:
-        spark_rel = con.sql(f"SELECT * FROM read_parquet('{files[0]}')")
+        # read the WHOLE directory — a multi-part dump must not silently
+        # compare a subset of rows
+        spark_rel = con.sql(f"SELECT * FROM read_parquet('{res_dir}/*.parquet')")
+        s_types = {d[0]: str(t) for d, t in zip(spark_rel.description, spark_rel.types)}
         s_rows, s_cols = canon(spark_rel.fetchall(), [d[0] for d in spark_rel.description])
         duck_rel = con.sql(sql)
+        d_types = {d[0]: str(t) for d, t in zip(duck_rel.description, duck_rel.types)}
         d_rows, d_cols = canon(duck_rel.fetchall(), [d[0] for d in duck_rel.description])
     except Exception as e:
         print(f"FAIL {qname}: {str(e)[:200]}")
         n_fail += 1
         continue
-    if s_cols != d_cols:
+    # the driver gate hashes pandas frames, so a type KIND mismatch (e.g.
+    # DuckDB HUGEINT→float64 vs Spark int64) fails even when values match —
+    # flag it. Integer WIDTH differences (INTEGER vs BIGINT) are tolerated
+    # (round-1 evidence: such queries hash-matched).
+    def kind(t):
+        if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                 "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+            return "int"
+        if t in ("FLOAT", "DOUBLE"):
+            return "float"
+        return t  # HUGEINT, DECIMAL(...), VARCHAR, DATE, ... stay distinct
+    type_mismatch = [c for c in s_types
+                     if c in d_types and kind(s_types[c]) != kind(d_types[c])]
+    if type_mismatch:
+        print(f"FAIL {qname}: dtype " +
+              ", ".join(f"{c}: spark={s_types[c]} duck={d_types[c]}" for c in type_mismatch))
+        n_fail += 1
+    elif s_cols != d_cols:
         print(f"FAIL {qname}: cols spark={s_cols} duck={d_cols}")
         n_fail += 1
     elif len(s_rows) != len(d_rows):

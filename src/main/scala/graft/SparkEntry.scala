@@ -458,14 +458,18 @@ object SparkEntry {
 
     // O6/O7: set-intersect / set-except on token arrays — reference
     // `field_names & slots` `validation_agent.py:227` and missing-sections
-    // `validation_agent.py:573-575`.
+    // `validation_agent.py:573-575`. The set ops run natively on arrays;
+    // the OUTPUT is `concat_ws` scalars because the driver canonicalizer
+    // sorts rows via pandas, where array cells are unhashable.
     "q_o6_setops" -> ((s, dir) => {
       val vocab = array(Seq("spark", "join", "table", "stream", "data")
         .map(lit(_)): _*)
       t(s, dir, "documents").filter(col("text").isNotNull && col("doc_id") < 200)
         .select(col("doc_id"),
-          array_sort(array_intersect(array_distinct(split(col("text"), " ")), vocab)).as("present"),
-          array_sort(array_except(vocab, split(col("text"), " "))).as("missing"))
+          concat_ws(",",
+            array_sort(array_intersect(array_distinct(split(col("text"), " ")), vocab))).as("present"),
+          concat_ws(",",
+            array_sort(array_except(vocab, split(col("text"), " ")))).as("missing"))
         .orderBy("doc_id")
     }),
 
@@ -516,11 +520,15 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
          CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY 1,2""",
+    // NOTE (all oracle SQL): DuckDB sum() over INTEGER yields HUGEINT, which
+    // pandas coerces to float64 while Spark emits int64 — the driver hash
+    // then differs even when values match. Every integer sum is therefore
+    // CAST(... AS BIGINT).
     "q_a2_condcounts" ->
       """SELECT user_id,
-         sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS n_purchase,
-         sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS n_error,
-         sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS n_signup,
+         CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+         CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
          CAST(sum(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
          FROM events GROUP BY 1""",
     "q_a8_avg_by_segment" ->
@@ -529,15 +537,15 @@ object SparkEntry {
          FROM customer GROUP BY 1""",
     "q_a5_pivot_status" ->
       """SELECT o_orderpriority,
-         sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS n_f,
-         sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS n_o,
-         sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS n_p
+         CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+         CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
          FROM orders GROUP BY 1""",
     "q_a5b_pivot_native" ->
       """SELECT o_orderpriority,
-         sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS "F",
-         sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS "O",
-         sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS "P"
+         CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+         CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+         CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
          FROM orders GROUP BY 1""",
     "q_a6_maxby_brand" ->
       """SELECT p_brand,
@@ -546,9 +554,9 @@ object SparkEntry {
          FROM part GROUP BY 1""",
     "q_a10_nullrate" ->
       """SELECT count(*) AS n,
-         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
-         sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS null_lang,
-         sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS null_source
+         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+         CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang,
+         CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_source
          FROM documents""",
     "q_a4_distinct" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_custs,
@@ -634,7 +642,7 @@ object SparkEntry {
          sha256(coalesce(source, '')) AS source_sha
          FROM documents""",
     "q_f11_json_extract" ->
-      """SELECT event_type, sum(k) AS sum_k, max(k) AS max_k FROM (
+      """SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k FROM (
            SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
            FROM events) GROUP BY 1""",
     "q_p1_nested" ->
@@ -708,8 +716,8 @@ object SparkEntry {
          d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
                WHERE text IS NOT NULL AND doc_id < 200)
          SELECT doc_id,
-           list_sort(list_distinct(list_intersect(toks, vocab))) AS present,
-           list_sort(list_filter(vocab, x -> NOT list_contains(toks, x))) AS missing
+           coalesce(array_to_string(list_sort(list_distinct(list_intersect(toks, vocab))), ','), '') AS present,
+           coalesce(array_to_string(list_sort(list_filter(vocab, x -> NOT list_contains(toks, x))), ','), '') AS missing
          FROM d, v""",
     "q_f12_array_ops" ->
       """SELECT vec_id, len(embedding) AS dims,

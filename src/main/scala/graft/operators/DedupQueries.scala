@@ -213,7 +213,7 @@ object DedupQueries {
                   >> (bit % 4)) & 1) * 2 - sum(1) AS w
            FROM hashed, bits GROUP BY 1, 2)
          SELECT doc_id,
-           sum(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
          FROM bw GROUP BY 1""",
     "q_dedup_simhash_pairs" ->
       """WITH toks AS (

@@ -142,7 +142,7 @@ object SimilarityQueries {
            GROUP BY 1, 2),
          sigs AS (
            SELECT vec_id,
-             sum(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << plane ELSE 0 END) AS bucket
+             CAST(sum(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << plane ELSE 0 END) AS BIGINT) AS bucket
            FROM proj GROUP BY 1)
          SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec
          FROM sigs GROUP BY 1"""

@@ -148,7 +148,9 @@ object TextQueries {
            SELECT doc_id, norm, string_split(norm, ' ') AS ts FROM base)
          SELECT doc_id,
            md5(norm) AS content_md5,
-           (SELECT sum(CAST(('0x' || substr(md5(ts[i]), 1, 8)) AS BIGINT) * i)
+           -- CAST is mandatory, not cosmetic: the HUGEINT sum can exceed
+           -- 2^53, so a float64-coerced compare would be lossy.
+           (SELECT CAST(sum(CAST(('0x' || substr(md5(ts[i]), 1, 8)) AS BIGINT) * i) AS BIGINT)
             FROM UNNEST(range(1, len(ts)+1)) AS u(i)) AS positional_hash
          FROM toks"""
   )

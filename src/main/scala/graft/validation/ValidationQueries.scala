@@ -149,19 +149,19 @@ object ValidationQueries {
          g2 AS (SELECT l_orderkey, l_linenumber, count(*) AS n FROM lineitem GROUP BY 1, 2),
          g3 AS (SELECT c_custkey, count(*) AS n FROM customer GROUP BY 1),
          u AS (
-           SELECT 'pk_orders' AS check, sum(n) AS n_rows, count(*) AS n_keys,
-             sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS n_dup_keys,
-             sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_extra_rows
+           SELECT 'pk_orders' AS check, CAST(sum(n) AS BIGINT) AS n_rows, count(*) AS n_keys,
+             CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+             CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_extra_rows
            FROM g1
            UNION ALL
-           SELECT 'pk_lineitem', sum(n), count(*),
-             sum(CASE WHEN n > 1 THEN 1 ELSE 0 END),
-             sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)
+           SELECT 'pk_lineitem', CAST(sum(n) AS BIGINT), count(*),
+             CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
            FROM g2
            UNION ALL
-           SELECT 'pk_customer', sum(n), count(*),
-             sum(CASE WHEN n > 1 THEN 1 ELSE 0 END),
-             sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END)
+           SELECT 'pk_customer', CAST(sum(n) AS BIGINT), count(*),
+             CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
            FROM g3)
          SELECT "check", n_rows, n_keys, n_dup_keys, n_extra_rows,
            n_dup_keys = 0 AS pass
@@ -183,7 +183,7 @@ object ValidationQueries {
            (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0""",
     "q_v_colstats" ->
       """SELECT count(*) AS n_rows,
-         sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_totalprice,
+         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_totalprice,
          CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_totalprice,
          CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_totalprice,
          round(quantile_cont(o_totalprice, 0.5), 4) AS median_totalprice,
@@ -193,11 +193,11 @@ object ValidationQueries {
          FROM orders""",
     "q_v_row_invariants" ->
       """SELECT count(*) AS n_rows,
-         sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS bad_quantity,
-         sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS bad_discount,
-         sum(CASE WHEN l_tax < 0.0 THEN 1 ELSE 0 END) AS bad_tax,
-         sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS bad_price,
-         sum(CASE WHEN l_quantity = 0.0 AND l_extendedprice = 0.0 THEN 1 ELSE 0 END) AS sentinel_rows
+         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS bad_quantity,
+         CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+         CAST(sum(CASE WHEN l_tax < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_tax,
+         CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+         CAST(sum(CASE WHEN l_quantity = 0.0 AND l_extendedprice = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS sentinel_rows
          FROM lineitem""",
     "q_v_drift_chisq" ->
       """WITH p AS (
