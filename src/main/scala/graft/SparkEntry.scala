@@ -300,6 +300,118 @@ object SparkEntry {
         .orderBy("ym")
     }),
 
+    // F2 (full depth): multi-format date-parsing ladder — reference
+    // `parse_collection_date` `analysis.py:61-104`: regex-gated format
+    // attempts, YYYY-MM defaults to mid-month (day 15), datetime strings
+    // keep the date part, unparseable → null. Messy strings are derived
+    // deterministically from o_orderdate so the oracle replays them; each
+    // to_date sits behind its rlike gate (CaseWhen is lazy per row, so no
+    // ANSI parse error can fire on a non-matching format).
+    "q_f2b_date_ladder" -> ((s, dir) => {
+      val d = col("o_orderdate")
+      val raw = when(col("o_orderkey") % 6 === 0, date_format(d, "yyyy-MM-dd"))
+        .when(col("o_orderkey") % 6 === 1, date_format(d, "yyyy-MM"))
+        .when(col("o_orderkey") % 6 === 2, concat(date_format(d, "yyyy-MM-dd"), lit(" 00:00:00")))
+        .when(col("o_orderkey") % 6 === 3, date_format(d, "yyyy/MM/dd"))
+        .when(col("o_orderkey") % 6 === 4, date_format(d, "MM/dd/yyyy"))
+        .otherwise(lit("n/a"))
+      val parsed = coalesce(
+        when(col("raw_date").rlike("^\\d{4}-\\d{2}$"),
+          to_date(concat(col("raw_date"), lit("-15")), "yyyy-MM-dd")),
+        when(col("raw_date").rlike("^\\d{4}-\\d{2}-\\d{2}([ T].*)?$"),
+          to_date(substring(col("raw_date"), 1, 10), "yyyy-MM-dd")),
+        when(col("raw_date").rlike("^\\d{4}/\\d{2}/\\d{2}$"),
+          to_date(col("raw_date"), "yyyy/MM/dd")),
+        when(col("raw_date").rlike("^\\d{2}/\\d{2}/\\d{4}$"),
+          to_date(col("raw_date"), "MM/dd/yyyy")))
+      t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+        .withColumn("raw_date", raw)
+        .withColumn("parsed", parsed)
+        .select(col("o_orderkey"), col("raw_date"),
+          date_format(col("parsed"), "yyyy-MM-dd").as("parsed_date"),
+          col("parsed").isNull.as("unparsed"))
+        .orderBy("o_orderkey")
+    }),
+
+    // F16: text sectioning heuristic — reference `_structure_text_as_yaml`
+    // `analysis.py:495-552`: a line is a header iff it is short AND
+    // (ALL-CAPS | ends with ':' | starts with a section word); header lines
+    // open sections, non-header lines accumulate into the section body.
+    // The multi-line input is derived deterministically from `text` so the
+    // oracle replays it. Plan: one narrow projection → posexplode →
+    // window-sum section ids (partitioned by doc — no global window) →
+    // per-(doc, section) agg with order-stable array_sort(collect_list).
+    "q_f16_sections" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ml = concat_ws("\n",
+        lit("INTRODUCTION"),
+        expr("concat_ws(' ', slice(split(text, ' '), 1, cast(size(split(text, ' '))/2 as int)))"),
+        lit("Methods:"),
+        expr("concat_ws(' ', slice(split(text, ' '), cast(size(split(text, ' '))/2 as int) + 1, size(split(text, ' '))))"),
+        lit("Conclusion"),
+        concat(lit("fin "), coalesce(col("source"), lit("none"))))
+      val isHeader = length(col("line")) < 60 &&
+        ((col("line") === upper(col("line")) && col("line") =!= lower(col("line"))) ||
+          col("line").endsWith(":") ||
+          col("line").rlike("^(Abstract|Introduction|Methods|Results|Discussion|Conclusion)"))
+      val w = Window.partitionBy("doc_id").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents").filter(col("text").isNotNull && col("doc_id") < 200)
+        .select(col("doc_id"), posexplode(split(ml, "\n")).as(Seq("i", "line")))
+        .filter(length(col("line")) > 0) // blank lines are paragraph breaks
+        .withColumn("is_header", isHeader)
+        .withColumn("sec", sum(when(col("is_header"), 1).otherwise(0)).over(w))
+        .groupBy("doc_id", "sec")
+        .agg(
+          coalesce(max(when(col("is_header"), col("line"))), lit("Main Content")).as("title"),
+          count(when(!col("is_header"), lit(1))).as("n_body_lines"),
+          array_join(transform(
+            array_sort(collect_list(when(!col("is_header"), struct(col("i"), col("line"))))),
+            x => x.getField("line")), " ").as("body"))
+        .filter(col("n_body_lines") > 0) // sections without content are dropped
+        .select(col("doc_id"), col("sec").as("section_idx"), col("title"),
+          col("n_body_lines"), col("body"))
+        .orderBy("doc_id", "section_idx")
+    }),
+
+    // P1b: corrupt-record schema-on-read — SURVEY §1.4's Pydantic-validation
+    // mapping: from_json in PERMISSIVE mode routes malformed payloads into
+    // columnNameOfCorruptRecord instead of failing the job (the reference's
+    // "errors become rows" discipline). Corruption planted deterministically.
+    "q_p1b_corrupt" -> ((s, dir) => {
+      val messy = when(col("event_id") % 37 === 0, concat(lit("{bad "), col("props")))
+        .otherwise(col("props"))
+      val schema = org.apache.spark.sql.types.DataType
+        .fromDDL("struct<k: bigint, _corrupt: string>")
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      t(s, dir, "events")
+        .withColumn("p", from_json(messy, schema,
+          Map("columnNameOfCorruptRecord" -> "_corrupt")))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("p._corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(when(col("p._corrupt").isNull, col("p.k")).otherwise(lit(0L))).as("sum_k_valid"))
+        .orderBy("event_type")
+    }),
+
+    // F13: MapType output — nested per-category counts as a map column
+    // (reference `feature_counts` nested dict `osm.py:577-585`), emitted as
+    // canonical JSON (entries sorted by key) so the driver can hash it.
+    "q_f13_map" -> ((s, dir) => {
+      val priority = when(col("word").isin("spark", "stream"), "env_a")
+        .when(col("word").isin("join", "merge", "sort"), "env_b")
+        .when(col("word").isin("table", "row"), "env_c")
+      t(s, dir, "documents").filter(col("text").isNotNull && col("doc_id") < 100)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .withColumn("category", priority)
+        .filter(col("category").isNotNull)
+        .groupBy("doc_id", "category").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id")
+        .agg(to_json(map_from_entries(
+          array_sort(collect_list(struct(col("category"), col("n")))))).as("category_counts"))
+        .orderBy("doc_id")
+    }),
+
     // F9: deterministic hashing — reference MD5 cache keys `cache.py:27-29`.
     "q_f9_hash" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -637,6 +749,98 @@ object SparkEntry {
     "q_f2_dates" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n
          FROM orders GROUP BY 1""",
+    "q_f2b_date_ladder" ->
+      """WITH m AS (
+           SELECT o_orderkey,
+             CASE o_orderkey % 6
+               WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+               WHEN 1 THEN strftime(o_orderdate, '%Y-%m')
+               WHEN 2 THEN strftime(o_orderdate, '%Y-%m-%d') || ' 00:00:00'
+               WHEN 3 THEN strftime(o_orderdate, '%Y/%m/%d')
+               WHEN 4 THEN strftime(o_orderdate, '%m/%d/%Y')
+               ELSE 'n/a' END AS raw_date
+           FROM orders WHERE o_orderkey <= 2000),
+         p AS (
+           SELECT o_orderkey, raw_date,
+             CASE
+               WHEN regexp_matches(raw_date, '^\d{4}-\d{2}$')
+                 THEN CAST(raw_date || '-15' AS DATE)
+               WHEN regexp_matches(raw_date, '^\d{4}-\d{2}-\d{2}([ T].*)?$')
+                 THEN CAST(substr(raw_date, 1, 10) AS DATE)
+               WHEN regexp_matches(raw_date, '^\d{4}/\d{2}/\d{2}$')
+                 THEN CAST(strptime(raw_date, '%Y/%m/%d') AS DATE)
+               WHEN regexp_matches(raw_date, '^\d{2}/\d{2}/\d{4}$')
+                 THEN CAST(strptime(raw_date, '%m/%d/%Y') AS DATE)
+               ELSE NULL END AS parsed
+           FROM m)
+         SELECT o_orderkey, raw_date,
+           strftime(parsed, '%Y-%m-%d') AS parsed_date,
+           parsed IS NULL AS unparsed
+         FROM p""",
+    "q_f16_sections" ->
+      """WITH d AS (
+           SELECT doc_id, source, string_split(text, ' ') AS ts
+           FROM documents WHERE text IS NOT NULL AND doc_id < 200),
+         ml AS (
+           SELECT doc_id,
+             'INTRODUCTION' || chr(10) ||
+             coalesce(array_to_string(ts[1:len(ts)//2], ' '), '') || chr(10) ||
+             'Methods:' || chr(10) ||
+             coalesce(array_to_string(ts[len(ts)//2+1:len(ts)], ' '), '') || chr(10) ||
+             'Conclusion' || chr(10) ||
+             'fin ' || coalesce(source, 'none') AS t
+           FROM d),
+         lines AS (
+           SELECT doc_id, i, string_split(t, chr(10))[i] AS line
+           FROM ml, UNNEST(range(1, len(string_split(t, chr(10))) + 1)) AS u(i)),
+         nonblank AS (SELECT * FROM lines WHERE length(line) > 0),
+         h AS (
+           SELECT doc_id, i, line,
+             length(line) < 60 AND (
+               (line = upper(line) AND line <> lower(line))
+               OR ends_with(line, ':')
+               OR regexp_matches(line, '^(Abstract|Introduction|Methods|Results|Discussion|Conclusion)')
+             ) AS is_header
+           FROM nonblank),
+         secs AS (
+           SELECT doc_id, i, line, is_header,
+             CAST(sum(CASE WHEN is_header THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sec
+           FROM h)
+         SELECT doc_id, sec AS section_idx,
+           coalesce(max(CASE WHEN is_header THEN line END), 'Main Content') AS title,
+           count(CASE WHEN NOT is_header THEN 1 END) AS n_body_lines,
+           string_agg(CASE WHEN NOT is_header THEN line END, ' ' ORDER BY i) AS body
+         FROM secs GROUP BY 1, 2
+         HAVING count(CASE WHEN NOT is_header THEN 1 END) > 0""",
+    "q_p1b_corrupt" ->
+      """WITH m AS (
+           SELECT event_type,
+             CASE WHEN event_id % 37 = 0 THEN '{bad ' || props ELSE props END AS s
+           FROM events)
+         SELECT event_type, count(*) AS n,
+           CAST(sum(CASE WHEN NOT json_valid(s) THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN json_valid(s)
+             THEN coalesce(CAST(json_extract_string(s, '$.k') AS BIGINT), 0)
+             ELSE 0 END) AS BIGINT) AS sum_k_valid
+         FROM m GROUP BY 1""",
+    "q_f13_map" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents WHERE text IS NOT NULL AND doc_id < 100),
+         c AS (
+           SELECT doc_id,
+             CASE WHEN word IN ('spark','stream') THEN 'env_a'
+                  WHEN word IN ('join','merge','sort') THEN 'env_b'
+                  WHEN word IN ('table','row') THEN 'env_c' END AS category,
+             count(*) AS n
+           FROM w
+           WHERE word IN ('spark','stream','join','merge','sort','table','row')
+           GROUP BY 1, 2)
+         SELECT doc_id,
+           '{' || string_agg('"' || category || '":' || n, ',' ORDER BY category) || '}' AS category_counts
+         FROM c GROUP BY 1""",
     "q_f9_hash" ->
       """SELECT doc_id, md5(coalesce(text, '')) AS text_md5,
          sha256(coalesce(source, '')) AS source_sha

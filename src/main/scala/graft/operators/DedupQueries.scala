@@ -136,6 +136,72 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // 64-bit SimHash, oracle-shaped (bits join): emitted as two 32-bit
+    // halves (lo = bits 0..31, hi = bits 32..63) because DuckDB BIGINT
+    // shifts can't build a full unsigned 64-bit value. Same construction
+    // as q_dedup_simhash widened to 64 bits.
+    "q_dedup_simhash64" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+      val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .withColumn("hx", md5(col("tok")))
+      val bits = s.range(64).select(col("id").cast("int").as("bit"))
+      toks.join(broadcast(bits))
+        .withColumn("nib",
+          expr("cast(conv(substring(hx, cast(bit/4 as int) + 1, 1), 16, 10) as int)"))
+        .withColumn("bitval", expr("shiftright(nib, bit % 4) & 1"))
+        .groupBy("doc_id", "bit")
+        .agg(sum(col("bitval") * 2 - 1).as("w"))
+        .withColumn("sbit", when(col("w") > 0, 1L).otherwise(0L))
+        .groupBy("doc_id")
+        .agg(
+          sum(expr("if(bit < 32, sbit * shiftleft(cast(1 as bigint), bit), cast(0 as bigint))")).as("simhash_lo"),
+          sum(expr("if(bit >= 32, sbit * shiftleft(cast(1 as bigint), bit - 32), cast(0 as bigint))")).as("simhash_hi"))
+        .orderBy("doc_id")
+    }),
+
+    // 64-bit SimHash, PRODUCTION shape: the whole signature from ONE narrow
+    // projection — per-doc HOF fold over the token array builds all 64 bit
+    // weights (no 64× row explosion, no shuffle at all: scan → project).
+    // Output ≡ q_dedup_simhash64, so it shares that query's oracle SQL; at
+    // 10^12 docs this is the path (cost linear in tokens, embarrassingly
+    // parallel).
+    "q_dedup_simhash64_prod" -> ((s, dir) => {
+      docs(s, dir).filter(col("text").isNotNull)
+        .withColumn("toks", expr("filter(split(text, ' '), t -> length(t) > 0)"))
+        .filter(size(col("toks")) > 0) // bits-join twin drops token-less docs
+        .withColumn("ws", expr(
+          """aggregate(
+               transform(toks, t -> md5(t)),
+               array_repeat(cast(0 as bigint), 64),
+               (acc, hx) -> zip_with(acc, sequence(0, 63), (a, bit) ->
+                 a + (shiftright(cast(conv(substring(hx, cast(bit/4 as int) + 1, 1), 16, 10) as int), cast(bit % 4 as int)) & 1) * 2 - 1))"""))
+        .select(col("doc_id"),
+          expr("""aggregate(zip_with(slice(ws, 1, 32), sequence(0, 31),
+                    (w, i) -> if(w > 0, shiftleft(cast(1 as bigint), cast(i as int)), cast(0 as bigint))),
+                  cast(0 as bigint), (a, x) -> a + x)""").as("simhash_lo"),
+          expr("""aggregate(zip_with(slice(ws, 33, 32), sequence(0, 31),
+                    (w, i) -> if(w > 0, shiftleft(cast(1 as bigint), cast(i as int)), cast(0 as bigint))),
+                  cast(0 as bigint), (a, x) -> a + x)""").as("simhash_hi"))
+        .orderBy("doc_id")
+    }),
+
+    // 64-bit SimHash near-dup pairs: hamming over both halves.
+    "q_dedup_simhash64_pairs" -> ((s, dir) => {
+      val sh = queries("q_dedup_simhash64_prod")(s, dir).filter(col("doc_id") < 150)
+      val a = sh.select(col("doc_id").as("a_id"),
+        col("simhash_lo").as("a_lo"), col("simhash_hi").as("a_hi"))
+      val b = sh.select(col("doc_id").as("b_id"),
+        col("simhash_lo").as("b_lo"), col("simhash_hi").as("b_hi"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("hamming",
+          bit_count(col("a_lo").bitwiseXOR(col("b_lo"))) +
+          bit_count(col("a_hi").bitwiseXOR(col("b_hi"))))
+        .filter(col("hamming") <= 16)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
+    }),
+
     // SimHash near-dup pairs on a bounded range: hamming via bit_count(xor).
     "q_dedup_simhash_pairs" -> ((s, dir) => {
       val sh = queries("q_dedup_simhash")(s, dir).filter(col("doc_id") < 150)
@@ -148,6 +214,24 @@ object DedupQueries {
         .orderBy("a_id", "b_id")
     })
   )
+
+  /** Shared oracle for both 64-bit SimHash variants (identical output). */
+  private val simhash64OracleSql: String =
+    """WITH toks AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+         WHERE text IS NOT NULL),
+       hashed AS (
+         SELECT doc_id, md5(tok) AS hx FROM toks WHERE length(tok) > 0),
+       bits AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS bit),
+       bw AS (
+         SELECT doc_id, bit,
+           sum(((strpos('0123456789abcdef', substr(hx, bit//4 + 1, 1)) - 1)
+                >> (bit % 4)) & 1) * 2 - sum(1) AS w
+         FROM hashed, bits GROUP BY 1, 2)
+       SELECT doc_id,
+         CAST(sum(CASE WHEN w > 0 AND bit < 32 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash_lo,
+         CAST(sum(CASE WHEN w > 0 AND bit >= 32 THEN CAST(1 AS BIGINT) << (bit - 32) ELSE 0 END) AS BIGINT) AS simhash_hi
+       FROM bw GROUP BY 1"""
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -215,6 +299,31 @@ object DedupQueries {
          SELECT doc_id,
            CAST(sum(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
          FROM bw GROUP BY 1""",
+    "q_dedup_simhash64" -> simhash64OracleSql,
+    // the production (HOF single-pass) variant computes the IDENTICAL
+    // signature, so it is held to the same oracle
+    "q_dedup_simhash64_prod" -> simhash64OracleSql,
+    "q_dedup_simhash64_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+           WHERE text IS NOT NULL AND doc_id < 150),
+         hashed AS (
+           SELECT doc_id, md5(tok) AS hx FROM toks WHERE length(tok) > 0),
+         bits AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS bit),
+         bw AS (
+           SELECT doc_id, bit,
+             sum(((strpos('0123456789abcdef', substr(hx, bit//4 + 1, 1)) - 1)
+                  >> (bit % 4)) & 1) * 2 - sum(1) AS w
+           FROM hashed, bits GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN w > 0 AND bit < 32 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN w > 0 AND bit >= 32 THEN CAST(1 AS BIGINT) << (bit - 32) ELSE 0 END) AS BIGINT) AS hi
+           FROM bw GROUP BY 1)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 16""",
     "q_dedup_simhash_pairs" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

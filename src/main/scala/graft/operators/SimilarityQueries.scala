@@ -39,6 +39,66 @@ object SimilarityQueries {
     }
   }
 
+  // ANN LSH retrieval parameters: `AnnTables` independent hash tables of
+  // `AnnPlanes` sign bits each (OR-amplification: a candidate shares ≥1
+  // whole bucket). Global plane index = t*AnnPlanes + p.
+  //
+  // Tuned for the synthetic table's worst case: its embeddings are
+  // ISOTROPIC random (measured BF top-1 cos ≈ 0.37, top-5 ≈ 0.29, zero
+  // label/cluster structure), so p(bit match) for a true neighbor is only
+  // ~0.60 vs 0.50 background — 24 tables × 4 bits gives measured mean
+  // recall@5 ≈ 0.95 at the price of a wide candidate net. On real
+  // clustered embeddings (neighbor cos ≥ 0.9 → p ≥ 0.9) the same plan
+  // shape prunes candidates by orders of magnitude with fewer tables;
+  // the shape — signature scan, bucket equi-join, within-bucket re-rank,
+  // never all-pairs — is what carries to 10^12 rows.
+  val AnnTables = 24
+  val AnnPlanes = 4
+  val AnnK = 5
+
+  /** Bucket id for hash table `t`: AnnPlanes sign bits packed into a long.
+    * Hyperplane weights are driver-computed literals — the scan stage stays
+    * one narrow codegen'd projection.
+    */
+  private def bucketFor(emb: Column, t: Int): Column =
+    (0 until AnnPlanes).map { p =>
+      val w = hyperplane(t * AnnPlanes + p, 64)
+      when(dot(emb, typedlit(w)) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH ANN retrieval end-to-end (the 100 TB path the brute-force query is
+    * the oracle for): signatures → bucket-equi-join for candidates (shuffle
+    * on (table, bucket), never all-pairs) → exact cosine re-rank within
+    * candidates → per-query top-k. Reference analogue: nearest-k ranking
+    * (`osm.py:563-575`). Queries with fewer than k candidates emit fewer
+    * rows (same semantics both engines). At hot buckets, AQE skew-join
+    * splits the probe; raising AnnPlanes shrinks buckets geometrically.
+    */
+  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embs(s, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
+    val sigs = e.select(col("vec_id"),
+        explode(array((0 until AnnTables).map(t =>
+          struct(lit(t).as("t"), bucketFor(col("emb"), t).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val qIds = e.filter(col("label") === 0).select(col("vec_id").as("q_id"))
+    val qSigs = sigs.join(qIds, sigs("vec_id") === qIds("q_id"))
+      .select(col("q_id"), col("t"), col("bucket"))
+    val cand = qSigs.join(sigs, Seq("t", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("c_id"))
+      .distinct()
+    val qEmb = e.select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val cEmb = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    cand.join(qEmb, Seq("q_id")).join(cEmb, Seq("c_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= AnnK)
+      .select(col("q_id"), col("rk"), col("c_id"), round(col("cos"), 4).as("cos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Pairwise cosine on a bounded id range — value-level oracle for the
@@ -70,6 +130,30 @@ object SimilarityQueries {
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("rk"), col("c_id"), round(col("cos"), 4).as("cos"))
         .orderBy("q_id", "rk")
+    }),
+
+    // LSH ANN retrieval end-to-end: per-query top-k within bucket-join
+    // candidates (see lshTopK) — the production path validated against
+    // q_ann_topk_bruteforce by q_ann_recall_lsh.
+    "q_ann_topk_lsh" -> ((s, dir) => lshTopK(s, dir).orderBy("q_id", "rk")),
+
+    // Recall@k of the LSH path vs the brute-force baseline, per query —
+    // the accuracy contract of the approximate operator. n/k with small
+    // integer n is bit-identical across engines.
+    "q_ann_recall_lsh" -> ((s, dir) => {
+      val bf = queries("q_ann_topk_bruteforce")(s, dir).select(col("q_id"), col("c_id"))
+      val lsh = lshTopK(s, dir)
+        .select(col("q_id").as("l_q"), col("c_id").as("l_c"))
+      val overlap = bf.join(lsh,
+          bf("q_id") === lsh("l_q") && bf("c_id") === lsh("l_c"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_overlap"))
+      embs(s, dir).filter(col("label") === 0)
+        .select(col("vec_id").as("q_id"))
+        .join(overlap, Seq("q_id"), "left")
+        .na.fill(0L, Seq("n_overlap"))
+        .select(col("q_id"), col("n_overlap"),
+          (col("n_overlap").cast("double") / AnnK.toDouble).as("recall"))
+        .orderBy("q_id")
     }),
 
     // Random-hyperplane LSH signatures (8 bits, md5-derived hyperplanes):
@@ -131,6 +215,99 @@ object SimilarityQueries {
            FROM dots)
          SELECT q_id, rk, c_id, round(cos, 4) AS cos
          FROM ranked WHERE rk <= 5""",
+    "q_ann_topk_lsh" ->
+      """WITH e AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         planes AS (SELECT CAST(unnest(range(0, 96)) AS INTEGER) AS plane),
+         proj AS (
+           SELECT vec_id, plane,
+             sum(emb[d+1] * (CAST(('0x' || substr(md5(CAST(plane AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) AS BIGINT) - 7.5)) AS proj
+           FROM e, planes, UNNEST(range(0, 64)) AS u(d)
+           GROUP BY 1, 2),
+         sigs AS (
+           SELECT vec_id, plane // 4 AS t,
+             CAST(sum(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (plane % 4) ELSE 0 END) AS BIGINT) AS bucket
+           FROM proj GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT s1.vec_id AS q_id, s2.vec_id AS c_id
+           FROM (SELECT s.* FROM sigs s JOIN e ON e.vec_id = s.vec_id AND e.label = 0) s1
+           JOIN sigs s2 ON s2.t = s1.t AND s2.bucket = s1.bucket AND s2.vec_id <> s1.vec_id),
+         dots AS (
+           SELECT c.q_id, c.c_id,
+             sum(qe.emb[i] * ce.emb[i]) AS dp,
+             sum(qe.emb[i] * qe.emb[i]) AS nq,
+             sum(ce.emb[i] * ce.emb[i]) AS nc
+           FROM cand c
+           JOIN e qe ON qe.vec_id = c.q_id
+           JOIN e ce ON ce.vec_id = c.c_id,
+           UNNEST(range(1, 65)) AS u(i)
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT q_id, c_id, dp/(sqrt(nq)*sqrt(nc)) AS cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY dp/(sqrt(nq)*sqrt(nc)) DESC, c_id) AS rk
+           FROM dots)
+         SELECT q_id, rk, c_id, round(cos, 4) AS cos
+         FROM ranked WHERE rk <= 5""",
+    "q_ann_recall_lsh" ->
+      """WITH e AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         planes AS (SELECT CAST(unnest(range(0, 96)) AS INTEGER) AS plane),
+         proj AS (
+           SELECT vec_id, plane,
+             sum(emb[d+1] * (CAST(('0x' || substr(md5(CAST(plane AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) AS BIGINT) - 7.5)) AS proj
+           FROM e, planes, UNNEST(range(0, 64)) AS u(d)
+           GROUP BY 1, 2),
+         sigs AS (
+           SELECT vec_id, plane // 4 AS t,
+             CAST(sum(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (plane % 4) ELSE 0 END) AS BIGINT) AS bucket
+           FROM proj GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT s1.vec_id AS q_id, s2.vec_id AS c_id
+           FROM (SELECT s.* FROM sigs s JOIN e ON e.vec_id = s.vec_id AND e.label = 0) s1
+           JOIN sigs s2 ON s2.t = s1.t AND s2.bucket = s1.bucket AND s2.vec_id <> s1.vec_id),
+         ldots AS (
+           SELECT c.q_id, c.c_id,
+             sum(qe.emb[i] * ce.emb[i]) AS dp,
+             sum(qe.emb[i] * qe.emb[i]) AS nq,
+             sum(ce.emb[i] * ce.emb[i]) AS nc
+           FROM cand c
+           JOIN e qe ON qe.vec_id = c.q_id
+           JOIN e ce ON ce.vec_id = c.c_id,
+           UNNEST(range(1, 65)) AS u(i)
+           GROUP BY 1, 2),
+         lsh AS (
+           SELECT q_id, c_id FROM (
+             SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY dp/(sqrt(nq)*sqrt(nc)) DESC, c_id) AS rk
+             FROM ldots) WHERE rk <= 5),
+         bpairs AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.emb AS q_emb, c.emb AS c_emb
+           FROM (SELECT * FROM e WHERE label = 0) q
+           JOIN e c ON q.vec_id <> c.vec_id),
+         bdots AS (
+           SELECT q_id, c_id,
+             sum(q_emb[i] * c_emb[i]) AS dp,
+             sum(q_emb[i] * q_emb[i]) AS nq,
+             sum(c_emb[i] * c_emb[i]) AS nc
+           FROM bpairs, UNNEST(range(1, 65)) AS u(i)
+           GROUP BY 1, 2),
+         bf AS (
+           SELECT q_id, c_id FROM (
+             SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY dp/(sqrt(nq)*sqrt(nc)) DESC, c_id) AS rk
+             FROM bdots) WHERE rk <= 5),
+         overlap AS (
+           SELECT bf.q_id, count(*) AS n_overlap
+           FROM bf JOIN lsh ON bf.q_id = lsh.q_id AND bf.c_id = lsh.c_id
+           GROUP BY 1)
+         SELECT e.vec_id AS q_id,
+           coalesce(n_overlap, 0) AS n_overlap,
+           CAST(coalesce(n_overlap, 0) AS DOUBLE) / 5.0 AS recall
+         FROM e LEFT JOIN overlap ON overlap.q_id = e.vec_id
+         WHERE e.label = 0""",
     "q_sim_lsh_buckets" ->
       """WITH e AS (
            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),

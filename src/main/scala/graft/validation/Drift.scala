@@ -88,33 +88,59 @@ object Drift {
     * digests come from the persisted snapshot; otherwise the merged global
     * is the baseline. Returns (verdicts, violations).
     */
-  def check(images: DataFrame, runId: String,
-            baselineDir: Option[String] = None): (DataFrame, DataFrame) = {
+  /** One narrow pass over `images` building mergeable per-(part, colname)
+    * partials (t-digest + bucket histogram), reduced per key (a KB-scale
+    * shuffle) and collected — the only data that ever reaches the driver.
+    */
+  def collectPartials(images: DataFrame): Array[DriftPartial] = {
     val spark = images.sparkSession
     import spark.implicits._
-
-    val merged: Array[DriftPartial] =
-      images.select(col("part"), col("w").cast("double"), col("h").cast("double"))
-        .as[(String, Double, Double)]
-        .mapPartitions { it =>
-          val tds = scala.collection.mutable.Map[(String, String), TDigest]()
-          val hists = scala.collection.mutable.Map[(String, String), scala.collection.mutable.Map[Long, Long]]()
-          def add(p: String, c: String, v: Double): Unit = {
-            tds.getOrElseUpdate((p, c), new TDigest(100)).add(v)
-            val h = hists.getOrElseUpdate((p, c), scala.collection.mutable.Map[Long, Long]())
-            val b = math.floor(v / BucketWidth).toLong
-            h(b) = h.getOrElse(b, 0L) + 1L
-          }
-          it.foreach { case (p, w, h) => add(p, "w", w); add(p, "h", h) }
-          tds.iterator.map { case ((p, c), td) =>
-            DriftPartial(p, c, td.toBytes, hists((p, c)).toMap)
-          }
+    images.select(col("part"), col("w").cast("double"), col("h").cast("double"))
+      .as[(String, Double, Double)]
+      .mapPartitions { it =>
+        val tds = scala.collection.mutable.Map[(String, String), TDigest]()
+        val hists = scala.collection.mutable.Map[(String, String), scala.collection.mutable.Map[Long, Long]]()
+        def add(p: String, c: String, v: Double): Unit = {
+          tds.getOrElseUpdate((p, c), new TDigest(100)).add(v)
+          val h = hists.getOrElseUpdate((p, c), scala.collection.mutable.Map[Long, Long]())
+          val b = math.floor(v / BucketWidth).toLong
+          h(b) = h.getOrElse(b, 0L) + 1L
         }
-        .groupByKey(x => (x.part, x.colname))
-        .reduceGroups((a, b) => a.merge(b))
-        .map(_._2)
-        .collect()
+        it.foreach { case (p, w, h) => add(p, "w", w); add(p, "h", h) }
+        tds.iterator.map { case ((p, c), td) =>
+          DriftPartial(p, c, td.toBytes, hists((p, c)).toMap)
+        }
+      }
+      .groupByKey(x => (x.part, x.colname))
+      .reduceGroups((a, b) => a.merge(b))
+      .map(_._2)
+      .collect()
+  }
 
+  /** Persist partials (ST2 resume: done partitions are never re-scanned for
+    * drift — their sketches merge from this table instead).
+    */
+  def writePartials(spark: SparkSession, partials: Seq[DriftPartial], dir: String): Unit =
+    if (partials.nonEmpty)
+      spark.createDataset(partials)(org.apache.spark.sql.Encoders.product[DriftPartial])
+        .write.mode(SaveMode.Append).parquet(dir)
+
+  def readPartials(spark: SparkSession, dir: String): Array[DriftPartial] =
+    try {
+      import spark.implicits._
+      spark.read.parquet(dir).as[DriftPartial].collect()
+    } catch { case _: Throwable => Array.empty }
+
+  def check(images: DataFrame, runId: String,
+            baselineDir: Option[String] = None): (DataFrame, DataFrame) =
+    verdictsFrom(images.sparkSession, collectPartials(images), runId, baselineDir)
+
+  /** Drift verdicts from already-merged partials (fresh, persisted, or a
+    * mix): chi-square vs baseline histogram + KS vs baseline digest.
+    */
+  def verdictsFrom(spark: SparkSession, merged: Array[DriftPartial], runId: String,
+                   baselineDir: Option[String] = None): (DataFrame, DataFrame) = {
+    import spark.implicits._
     // reference distribution: persisted snapshot, else merged global
     val (globalHist, globalDig): (Map[String, Map[Long, Long]], Map[String, TDigest]) =
       baselineDir.map { d =>
@@ -140,12 +166,18 @@ object Drift {
       val g = globalHist(p.colname)
       val gTot = g.values.sum.toDouble
       val pTot = p.buckets.values.sum
-      // normalized chi-square: raw statistic over the FULL bucket union
-      // (zero-observation buckets included), divided by the partition row
-      // count — a scale-invariant effect size (see ImageSuite.DriftChi2Max).
-      val chi2 = g.toSeq.map { case (b, gCnt) =>
-        val e = pTot * gCnt / gTot
+      // normalized chi-square: raw statistic over the FULL union of baseline
+      // and partition buckets, divided by the partition row count — a
+      // scale-invariant effect size (see ImageSuite.DriftChi2Max). Buckets
+      // observed outside the baseline's support get a half-count smoothed
+      // expected value, so mass that drifted into novel buckets contributes
+      // to the statistic instead of being silently dropped. `pTot.toDouble`
+      // BEFORE the multiply: two large Longs would overflow at design scale.
+      val chi2 = (g.keySet ++ p.buckets.keySet).toSeq.map { b =>
+        val gCnt = g.getOrElse(b, 0L)
         val o = p.buckets.getOrElse(b, 0L).toDouble
+        val e = if (gCnt > 0) pTot.toDouble * gCnt / gTot
+                else pTot.toDouble * 0.5 / gTot // smoothed: novel support
         if (e > 0) (o - e) * (o - e) / e else 0.0
       }.sum / math.max(1L, pTot)
       val ks = TDigest.ks(TDigest.fromBytes(p.sketch), globalDig(p.colname))

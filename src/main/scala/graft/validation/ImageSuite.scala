@@ -181,9 +181,11 @@ object ImageSuite {
     */
   def uniqueness(facts: DataFrame, runId: String, saltBuckets: Int = 32): (DataFrame, DataFrame) = {
     // stage 1: (id, salt) partial counts — a hot duplicated id spreads over
-    // saltBuckets reducers; stage 2 merges per id.
+    // saltBuckets reducers; stage 2 merges per id. The salt is pure content
+    // hash (no rand()): partition-layout-independent, so task retries and
+    // repartitions reproduce identical salts.
     val salted = facts.select(col("image_id"), col("part"))
-      .withColumn("salt", pmod(xxhash64(col("image_id"), col("part"), rand(ImageGen.Seed)), lit(saltBuckets)))
+      .withColumn("salt", pmod(xxhash64(col("image_id"), col("part")), lit(saltBuckets)))
     val stage1 = salted.groupBy("image_id", "salt")
       .agg(count(lit(1)).as("c1"), min("part").as("minp1"))
     val perId = stage1.groupBy("image_id")
@@ -326,14 +328,26 @@ object ImageSuite {
     val rv = rowViolations(facts)
     val rVerd = rowVerdicts(facts, rv, runId)
     val cVerd = coverageVerdicts(facts, runId)
+    val qVerd = Scoring.qualityVerdicts(facts, runId)
     val (kVerd, kViol) = keyChecks(light, captions, runId)
     val (dVerd, dViol) = Drift.check(light, runId, baselineDir)
 
-    val verdicts = rVerd.unionByName(cVerd).unionByName(kVerd)
-      .unionByName(dVerd)
+    // every verdict carries a graded score (V1); overall composition (V8)
+    // is Scoring.overallScores over this frame
+    val verdicts = rVerd.unionByName(cVerd).unionByName(qVerd)
+      .unionByName(kVerd).unionByName(dVerd)
+      .withColumn("score",
+        Scoring.verdictScore(col("check"), col("metric"), col("threshold")))
     val violations = rv.unionByName(kViol).unionByName(dViol)
 
-    val metrics = facts.groupBy("part").agg(
+    (verdicts, violations, metricsOf(facts, runId))
+  }
+
+  /** Per-partition lineage metrics (PerformanceTimer twin). */
+  def metricsOf(facts: DataFrame, runId: String): DataFrame = {
+    val spark = facts.sparkSession
+    import spark.implicits._
+    facts.groupBy("part").agg(
         count(lit(1)).as("nr"),
         sum("n_bytes").cast("double").as("bytes_total"),
         avg(when(col("decode_ok"), col("psnr_db"))).as("psnr_mean"))
@@ -344,28 +358,140 @@ object ImageSuite {
         MetricRow(p, "bytes_total", bt, runId),
         MetricRow(p, "psnr_mean", pm, runId))
       }.toDF()
-
-    (verdicts, violations, metrics)
   }
+
+  /** Incremental twin of [[keyChecks]] for resumed runs: uniqueness,
+    * referential (both directions) and caption consistency for the PENDING
+    * partitions only, against a persisted key index `(image_id, part)` of
+    * everything validated so far — done partitions are never re-scanned.
+    * Cross-partition duplicates against old runs surface as violations on
+    * the NEW partition (the old partition's verdict is already checkpointed
+    * — the reference's resume semantics, validation_agent.py:787-812).
+    * At 10^12 scale the key index is the standard dedup-index pattern:
+    * O(keys) storage, hash-equi joins only (bucket it by hash(image_id) in
+    * the Iceberg layout so the join is storage-partitioned).
+    */
+  def incrementalKeyChecks(lightNew: DataFrame, oldKeys: DataFrame,
+                           captions: DataFrame, runId: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val caps = captions.select(col("image_id").as("cap_id"),
+      col("part").as("cap_part"), col("caption").as("cap_caption"))
+    val w = Window.partitionBy("image_id")
+    val withN = lightNew.withColumn("n_new", count(lit(1)).over(w))
+    val oldCount = oldKeys.groupBy("image_id").agg(count(lit(1)).as("n_old"))
+    val j = withN.join(oldCount, Seq("image_id"), "left")
+      .na.fill(0L, Seq("n_old"))
+    val dupViol = j.filter(col("n_new") + col("n_old") > 1)
+      .select(col("part"), col("image_id"), lit("uniqueness_image_id").as("check"),
+        concat(lit("key seen "), col("n_new") + col("n_old"), lit(" times")).as("observed"),
+        lit("unique image_id").as("expected"))
+    val missingCap = lightNew.join(caps,
+        lightNew("image_id") === caps("cap_id"), "left_anti")
+      .select(col("part"), col("image_id"), lit("referential_caption_exists").as("check"),
+        lit("no caption row").as("observed"), lit("caption row exists").as("expected"))
+    // orphan captions: no image row anywhere validated so far — shrinks
+    // monotonically as more partitions complete
+    val allIds = oldKeys.select("image_id")
+      .unionByName(lightNew.select("image_id"))
+    val orphanCap = caps.join(allIds, caps("cap_id") === allIds("image_id"), "left_anti")
+      .select(col("cap_part").as("part"), col("cap_id").as("image_id"),
+        lit("referential_image_exists").as("check"),
+        lit("caption without image").as("observed"), lit("image row exists").as("expected"))
+    val mismatch = lightNew.join(caps, lightNew("image_id") === caps("cap_id"))
+      .filter(col("caption").isNotNull && col("cap_caption").isNotNull &&
+        col("caption") =!= col("cap_caption"))
+      .select(col("part"), col("image_id"), lit("caption_consistent").as("check"),
+        col("cap_caption").as("observed"), col("caption").as("expected"))
+    val violations = dupViol.unionByName(missingCap)
+      .unionByName(orphanCap).unionByName(mismatch)
+
+    val checks = Seq("uniqueness_image_id", "referential_caption_exists",
+      "referential_image_exists", "caption_consistent")
+    val nImgs = lightNew.groupBy("part").agg(count(lit(1)).as("n_rows"))
+    val checksDf = broadcast(lightNew.sparkSession.createDataFrame(
+      checks.map(Tuple1(_))).toDF("check"))
+    val verdicts = nImgs.crossJoin(checksDf)
+      .join(violations.groupBy("part", "check").agg(count(lit(1)).as("n_violations")),
+        Seq("part", "check"), "left")
+      .na.fill(0L, Seq("n_violations"))
+      .select(col("part"), col("check"), (col("n_violations") === 0).as("pass"),
+        (col("n_violations").cast("double") / col("n_rows").cast("double")).as("metric"),
+        lit(0.0).as("threshold"), col("n_rows"), col("n_violations"),
+        lit(runId).as("run_id"))
+    (verdicts, violations)
+  }
+
+  private def readKeys(spark: SparkSession, dir: String): DataFrame =
+    try spark.read.parquet(dir).select("image_id", "part")
+    catch { case _: Throwable =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("image_id", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("part", org.apache.spark.sql.types.StringType))))
+    }
 
   /** Persist verdict/violation/metric/state tables; appends state rows so a
     * rerun skips completed partitions (exactly-once over partitions).
+    *
+    * FULLY resumable (ST2): on resume, done partitions are not re-read by
+    * ANY check family —
+    *   - row families prune to pending `part=` directories (partition
+    *     pruning on the scan);
+    *   - uniqueness/referential/consistency run incrementally against the
+    *     persisted key index (`outDir/keys`);
+    *   - drift merges persisted per-partition sketch partials
+    *     (`outDir/drift_partials`) with fresh partials from pending
+    *     partitions only.
     */
   def runAndCheckpoint(spark: SparkSession, dataDir: String, outDir: String,
                        runId: String): Unit = {
     import spark.implicits._
     val stateDir = s"$outDir/state"
-    val (verdicts, violations, metrics) =
-      run(spark, dataDir, runId, Some(stateDir), None)
+    val images = ImageGen.images(spark, dataDir)
+    val captions = ImageGen.captions(spark, dataDir)
+    val done: Set[String] = readDoneParts(spark, stateDir)
+    val pending = if (done.isEmpty) images
+      else images.filter(!col("part").isin(done.toSeq: _*)) // partition-pruned
+
+    val facts = decodeFactsExpr(pending).cache()
+    val lightNew = pending.select("image_id", "part", "w", "h", "caption").cache()
+
+    val rv = rowViolations(facts)
+    val rVerd = rowVerdicts(facts, rv, runId)
+    val cVerd = coverageVerdicts(facts, runId)
+    val qVerd = Scoring.qualityVerdicts(facts, runId)
+    val oldKeys = readKeys(spark, s"$outDir/keys")
+    val (kVerd, kViol) = incrementalKeyChecks(lightNew, oldKeys, captions, runId)
+    val freshPartials = Drift.collectPartials(lightNew)
+    val storedPartials = Drift.readPartials(spark, s"$outDir/drift_partials")
+      .filter(p => done.contains(p.part))
+    val (dVerd, dViol) =
+      Drift.verdictsFrom(spark, storedPartials ++ freshPartials, runId)
+
+    val verdicts = rVerd.unionByName(cVerd).unionByName(qVerd)
+      .unionByName(kVerd).unionByName(dVerd)
+      .withColumn("score",
+        Scoring.verdictScore(col("check"), col("metric"), col("threshold")))
+    val violations = rv.unionByName(kViol).unionByName(dViol)
+
     verdicts.write.mode(SaveMode.Append).parquet(s"$outDir/verdicts")
-    violations.write.mode(SaveMode.Append).parquet(s"$outDir/violations")
-    metrics.write.mode(SaveMode.Append).parquet(s"$outDir/metrics")
-    val state = verdicts.groupBy("part").agg(
+    violations.withColumn("run_id", lit(runId))
+      .write.mode(SaveMode.Append).parquet(s"$outDir/violations")
+    metricsOf(facts, runId).write.mode(SaveMode.Append).parquet(s"$outDir/metrics")
+    // extend the key index + sketch store with this run's partitions
+    lightNew.select("image_id", "part")
+      .write.mode(SaveMode.Append).parquet(s"$outDir/keys")
+    Drift.writePartials(spark, freshPartials.toSeq, s"$outDir/drift_partials")
+    // state: only partitions processed THIS run become done
+    val state = verdicts
+      .join(lightNew.select("part").distinct(), Seq("part"), "left_semi")
+      .groupBy("part").agg(
         sum(col("n_violations")).as("nv"), max(col("n_rows")).as("nr"))
       .select(col("part"), lit("done").as("status"), col("nr").as("n_rows"),
         col("nv").as("n_violations"), lit(runId).as("run_id"),
         lit(System.currentTimeMillis()).as("finished_at"))
     state.write.mode(SaveMode.Append).parquet(stateDir)
+    facts.unpersist(); lightNew.unpersist()
   }
 
   def readDoneParts(spark: SparkSession, stateDir: String): Set[String] =

@@ -18,12 +18,15 @@ object ImageSuiteQueries {
     math.max(2000L, math.min(500000L, (sf * 5000000).toLong))
   }
 
-  // one suite execution per dataset dir per session
-  private val cache = scala.collection.mutable.Map[String, (DataFrame, DataFrame, DataFrame)]()
+  // One suite execution per (session, dataset dir): cached DataFrames are
+  // bound to the session that built them, so a stop/recreate-session
+  // pattern (the Bench flow) must not resurrect frames from a dead session.
+  private val cache = scala.collection.mutable.Map[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]()
 
   def suite(s: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) =
     cache.synchronized {
-      cache.getOrElseUpdate(sfDir, {
+      cache.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+      cache.getOrElseUpdate((s, sfDir), {
         val dir = ImageGen.ensure(s, rowsFor(sfDir))
         val (v, viol, m) = ImageSuite.run(s, dir, "verify")
         (v.cache(), viol.cache(), m.cache())
@@ -40,6 +43,12 @@ object ImageSuiteQueries {
     "qi_violations" -> ((s, dir) => {
       val (_, viol, _) = suite(s, dir)
       viol.orderBy("part", "check", "image_id")
+    }),
+    // V8: per-partition overall score composed from the graded sub-scores
+    // (ValidationResult.overall_score twin, validation_agent.py:422-424).
+    "qi_overall_scores" -> ((s, dir) => {
+      val (v, _, _) = suite(s, dir)
+      Scoring.overallScores(v).orderBy("part")
     }),
     // Per-partition metric rows (PerformanceTimer twin).
     "qi_metrics" -> ((s, dir) => {

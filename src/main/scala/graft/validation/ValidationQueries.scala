@@ -1,5 +1,6 @@
 package graft
 
+import graft.validation.Scoring
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -106,6 +107,27 @@ object ValidationQueries {
         sum(when(col("l_quantity") === 0.0 && col("l_extendedprice") === 0.0, 1).otherwise(0)).as("sentinel_rows"))
     }),
 
+    // V1/V8 oracle twin: graded 1.0/0.8/0.6/0.2 score ladders over exact
+    // violation rates + overall score = mean of sub-scores (reference
+    // bucket shape validation_agent.py:742-750, composition 422-424).
+    // Rates are exact integer ratios; the ladder compares and the final
+    // mean are identical FP ops in both engines.
+    "q_v_scores" -> ((s, dir) => {
+      val agg = t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") > 48, 1L).otherwise(0L)).as("n_hi_qty"),
+        sum(when(col("l_discount") > 0.09, 1L).otherwise(0L)).as("n_hi_disc"),
+        sum(when(col("l_extendedprice") <= 0.0, 1L).otherwise(0L)).as("n_bad_price"))
+      def rate(c: String) = col(c).cast("double") / col("n_rows").cast("double")
+      val sq = Scoring.rateScore(rate("n_hi_qty"))
+      val sd = Scoring.rateScore(rate("n_hi_disc"))
+      val sp = Scoring.rateScore(rate("n_bad_price"))
+      agg.select(col("l_returnflag"),
+          sq.as("score_quantity"), sd.as("score_discount"), sp.as("score_price"),
+          ((sq + sd + sp) / 3.0).as("overall_score"))
+        .orderBy("l_returnflag")
+    }),
+
     // Distribution drift, chi-square: purchase vs view value histograms.
     // Integer bucket counts → exact doubles; identical formula order both
     // engines. The graft twin of compatibility/prior checks (V10).
@@ -199,6 +221,31 @@ object ValidationQueries {
          CAST(sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
          CAST(sum(CASE WHEN l_quantity = 0.0 AND l_extendedprice = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS sentinel_rows
          FROM lineitem""",
+    "q_v_scores" ->
+      """WITH a AS (
+           SELECT l_returnflag, count(*) AS n_rows,
+             sum(CASE WHEN l_quantity > 48 THEN 1 ELSE 0 END) AS n_hi_qty,
+             sum(CASE WHEN l_discount > 0.09 THEN 1 ELSE 0 END) AS n_hi_disc,
+             sum(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0 END) AS n_bad_price
+           FROM lineitem GROUP BY 1),
+         s AS (
+           SELECT l_returnflag,
+             CASE WHEN CAST(n_hi_qty AS DOUBLE)/n_rows = 0 THEN CAST(1.0 AS DOUBLE)
+                  WHEN CAST(n_hi_qty AS DOUBLE)/n_rows <= 0.01 THEN CAST(0.8 AS DOUBLE)
+                  WHEN CAST(n_hi_qty AS DOUBLE)/n_rows <= 0.05 THEN CAST(0.6 AS DOUBLE)
+                  ELSE CAST(0.2 AS DOUBLE) END AS score_quantity,
+             CASE WHEN CAST(n_hi_disc AS DOUBLE)/n_rows = 0 THEN CAST(1.0 AS DOUBLE)
+                  WHEN CAST(n_hi_disc AS DOUBLE)/n_rows <= 0.01 THEN CAST(0.8 AS DOUBLE)
+                  WHEN CAST(n_hi_disc AS DOUBLE)/n_rows <= 0.05 THEN CAST(0.6 AS DOUBLE)
+                  ELSE CAST(0.2 AS DOUBLE) END AS score_discount,
+             CASE WHEN CAST(n_bad_price AS DOUBLE)/n_rows = 0 THEN CAST(1.0 AS DOUBLE)
+                  WHEN CAST(n_bad_price AS DOUBLE)/n_rows <= 0.01 THEN CAST(0.8 AS DOUBLE)
+                  WHEN CAST(n_bad_price AS DOUBLE)/n_rows <= 0.05 THEN CAST(0.6 AS DOUBLE)
+                  ELSE CAST(0.2 AS DOUBLE) END AS score_price
+           FROM a)
+         SELECT l_returnflag, score_quantity, score_discount, score_price,
+           (score_quantity + score_discount + score_price) / 3.0 AS overall_score
+         FROM s""",
     "q_v_drift_chisq" ->
       """WITH p AS (
            SELECT floor(value/50.0) AS bucket, count(*) AS obs_p

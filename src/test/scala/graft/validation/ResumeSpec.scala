@@ -1,0 +1,131 @@
+package graft.validation
+
+import graft.SparkTestBase
+import graft.images.ImageGen
+import org.apache.commons.io.FileUtils
+import org.apache.spark.sql.functions._
+import java.io.File
+
+/** ST2 at full depth: EVERY check family resumes without re-reading done
+  * partitions. The proof is destructive — after run 1 completes half the
+  * partitions, their image data is DELETED before run 2; run 2 must still
+  * produce the same global results as one uninterrupted run (cross-partition
+  * duplicates included), which is only possible if uniqueness/referential
+  * come from the persisted key index and drift from persisted sketch
+  * partials.
+  */
+class ResumeSpec extends SparkTestBase {
+
+  val N = 2000L
+  lazy val srcDir: String = ImageGen.ensure(spark, N, "target/test-images")
+  val workDir = "target/resume-test"
+  val dataDir = s"$workDir/data"
+  val outDir = s"$workDir/out"
+  val np: Int = ImageGen.nParts(N) // 8 → parts p0..p7
+  val firstHalf: Seq[String] = (0 until np / 2).map(i => s"p$i")
+  val secondHalf: Seq[String] = (np / 2 until np).map(i => s"p$i")
+
+  def violSet(df: org.apache.spark.sql.DataFrame, check: String): Set[String] =
+    df.filter(col("check") === check).select("image_id")
+      .collect().map(_.getString(0)).toSet
+
+  // full-run reference over the intact source data
+  lazy val (fullKeyViol, fullDriftVerd) = {
+    val images = ImageGen.images(spark, srcDir)
+    val light = images.select("image_id", "part", "w", "h", "caption")
+    val (_, kv) = ImageSuite.keyChecks(light, ImageGen.captions(spark, srcDir), "ref")
+    val (dv, _) = Drift.check(light, "ref")
+    (kv.cache(), dv.collect().map(r => (r.getAs[String]("part"),
+      r.getAs[String]("check"), r.getAs[Double]("metric"), r.getAs[Boolean]("pass"))))
+  }
+
+  lazy val ranBothPhases: Unit = {
+    FileUtils.deleteQuietly(new File(workDir))
+    FileUtils.copyDirectory(new File(srcDir), new File(dataDir))
+    // phase 1: only the first half of the partitions exists
+    val stash = new File(s"$workDir/stash"); stash.mkdirs()
+    secondHalf.foreach { p =>
+      FileUtils.moveDirectory(new File(s"$dataDir/images/part=$p"),
+        new File(s"$workDir/stash/part=$p"))
+    }
+    ImageSuite.runAndCheckpoint(spark, dataDir, outDir, "run1")
+    // phase 2: restore the second half, DESTROY the already-done first half
+    secondHalf.foreach { p =>
+      FileUtils.moveDirectory(new File(s"$workDir/stash/part=$p"),
+        new File(s"$dataDir/images/part=$p"))
+    }
+    firstHalf.foreach { p =>
+      FileUtils.deleteQuietly(new File(s"$dataDir/images/part=$p"))
+    }
+    ImageSuite.runAndCheckpoint(spark, dataDir, outDir, "run2")
+  }
+
+  def runViol(runId: String): org.apache.spark.sql.DataFrame = {
+    ranBothPhases
+    // violations carry no run_id; split via the verdict runs' parts — easier:
+    // read all and split by which run could have produced them is ambiguous,
+    // so the assertions below use the union and the final-run snapshot
+    spark.read.parquet(s"$outDir/violations")
+  }
+
+  test("resume completes although done partitions' data was deleted") {
+    ranBothPhases
+    val state = spark.read.parquet(s"$outDir/state")
+    assert(state.filter(col("status") === "done")
+      .select("part").distinct().count() == np.toLong)
+    // row-family verdicts exist for every partition exactly once
+    val decodable = spark.read.parquet(s"$outDir/verdicts")
+      .filter(col("check") === "decodable")
+    assert(decodable.count() == np.toLong)
+    assert(decodable.select("part").distinct().count() == np.toLong)
+  }
+
+  test("cross-partition duplicates are caught from the key index, not a rescan") {
+    val all = runViol("x")
+    val expected = violSet(fullKeyViol, "uniqueness_image_id")
+    val got = violSet(all, "uniqueness_image_id")
+    assert(expected.nonEmpty)
+    assert(got == expected,
+      s"missing=${expected diff got} extra=${got diff expected}")
+  }
+
+  test("referential + consistency checks match the uninterrupted run") {
+    val all = runViol("x")
+    assert(violSet(all, "referential_caption_exists") ==
+      violSet(fullKeyViol, "referential_caption_exists"))
+    assert(violSet(all, "caption_consistent") ==
+      violSet(fullKeyViol, "caption_consistent"))
+    // orphans: captions whose image arrived only in run 2 resolve by then —
+    // the FINAL run's orphan set equals the uninterrupted run's
+    val finalOrphans = violSet(all.filter(col("run_id") === "run2"),
+      "referential_image_exists")
+    assert(finalOrphans == violSet(fullKeyViol, "referential_image_exists"))
+  }
+
+  test("drift on resume merges stored partials: chi2 exactly matches full run") {
+    ranBothPhases
+    // run2's drift verdicts (latest run) vs the uninterrupted reference
+    val run2 = spark.read.parquet(s"$outDir/verdicts")
+      .filter(col("run_id") === "run2" && col("check").startsWith("drift_chi2"))
+      .collect().map(r => (r.getAs[String]("part"), r.getAs[String]("check")) ->
+        r.getAs[Double]("metric")).toMap
+    val ref = fullDriftVerd.filter(_._2.startsWith("drift_chi2"))
+      .map(v => (v._1, v._2) -> v._3).toMap
+    assert(run2.keySet == ref.keySet)
+    for ((k, m) <- ref)
+      assert(math.abs(run2(k) - m) < 1e-12, s"$k: run2=${run2(k)} ref=$m")
+  }
+
+  test("drift KS from merged stored digests stays within sketch tolerance") {
+    ranBothPhases
+    val run2 = spark.read.parquet(s"$outDir/verdicts")
+      .filter(col("run_id") === "run2" && col("check").startsWith("drift_ks"))
+      .collect().map(r => (r.getAs[String]("part"), r.getAs[String]("check")) ->
+        r.getAs[Double]("metric")).toMap
+    val ref = fullDriftVerd.filter(_._2.startsWith("drift_ks"))
+      .map(v => (v._1, v._2) -> v._3).toMap
+    assert(run2.keySet == ref.keySet)
+    for ((k, m) <- ref)
+      assert(math.abs(run2(k) - m) < 0.05, s"$k: run2=${run2(k)} ref=$m")
+  }
+}
