@@ -28,10 +28,11 @@ object Bench {
   private val headline = Seq(
     "q_a1_groupcount", "q_a2_condcounts", "q_j1_join_agg", "q_j6_asof_nearest",
     "q_w1_topk_per_brand", "q_w5_running_sum",
-    "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
+    "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash64_prod",
+    "q_dedup_simhash64_expr",
     "q_text_tokens", "q_text_quality", "q_text_fingerprint",
-    "q_ann_topk_bruteforce", "q_sim_lsh_buckets",
-    "q_v_uniqueness", "q_v_referential", "q_v_colstats",
+    "q_ann_topk_bruteforce", "q_ann_topk_lsh", "q_sim_lsh_buckets",
+    "q_v_uniqueness", "q_v_referential", "q_v_colstats", "q_v_scores",
     "q_v_drift_chisq", "q_v_drift_ks")
 
   private def session(cpus: Int): SparkSession = {

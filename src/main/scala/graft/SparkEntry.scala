@@ -49,6 +49,22 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // A1 through the salted-aggregate OPTIMIZER RULE (graft.plans): the
+    // salt_key marker makes Catalyst rewrite the aggregation into the
+    // two-stage salted form (hot keys spread over 32 reducers) — result
+    // must still hash-match the plain DuckDB oracle. l_quantity is
+    // integer-valued, so the changed addition order stays exact.
+    "q_a1b_salted_rule" -> ((s, dir) => {
+      graft.plans.SaltedAgg.install(s)
+      t(s, dir, "lineitem")
+        .groupBy(graft.plans.SaltedAgg.saltKey(col("l_returnflag")).as("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // A2: single-pass conditional multi-aggregate — reference
     // `biosample.py:76-103` / `osm.py:613-637` (water/natural/protected
     // counts in one pass over features).
@@ -632,6 +648,12 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
          CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
          FROM lineitem GROUP BY 1,2""",
+    "q_a1b_salted_rule" ->
+      """SELECT l_returnflag, count(*) AS n,
+         CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+         CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+         CAST(max(l_quantity) AS DOUBLE) AS max_qty
+         FROM lineitem GROUP BY 1""",
     // NOTE (all oracle SQL): DuckDB sum() over INTEGER yields HUGEINT, which
     // pandas coerces to float64 while Spark emits int64 — the driver hash
     // then differs even when values match. Every integer sum is therefore

@@ -39,18 +39,39 @@ object DedupQueries {
       .distinct()
   }
 
-  /** MinHash signatures: k md5-based hash functions, min per (doc, seed).
-    * Returns (doc_id, sigs: array[string] ordered by seed).
+  /** Largest prime below 2^32 — the MinHash modulus. */
+  val MinhashP = 4294967291L
+
+  /** Affine MinHash coefficients, md5-derived so the DuckDB oracle can
+    * recompute them in SQL: first 8 md5 hex chars of "tag:i" as an int,
+    * bounded under 2^30 (so a*h < 2^62 never overflows a signed 64-bit
+    * int in EITHER engine — DuckDB errors on overflow, Spark ANSI too).
+    */
+  def mhCoeff(tag: String, i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$tag:$i".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex, 16) % 1073741789L + (if (tag == "a") 1L else 0L)
+  }
+
+  /** MinHash signatures: ONE md5 per shingle → 32-bit integer h, then k
+    * affine hashes (a_i·h + b_i) mod P minimized per doc. Returns
+    * (doc_id, sigs: array<bigint> ordered by seed).
     *
-    * One aggregation pass: the k mins are k `min()` aggregates over the
-    * same shingle rows (partial aggregation combines map-side), instead of
-    * a k× row explosion + extra shuffle — at 10^12 scale this keeps the
-    * shuffle width equal to the shingle count, not k × shingles.
+    * Shape notes for 10^12 docs:
+    *   - one aggregation pass: the k mins are k `min()` aggregates over
+    *     the same shingle rows (map-side partials), not a k× row
+    *     explosion — shuffle width stays equal to the shingle count;
+    *   - constant factor: k affine integer ops per shingle instead of k
+    *     md5 calls (the round-1 plan spent 90% of its time in md5).
     */
   def minhashSignatures(d: DataFrame, k: Int): DataFrame = {
     val sh = shingles(d)
-    val minCols = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
+      .withColumn("h", expr("cast(conv(substring(md5(shingle), 1, 8), 16, 10) as bigint)"))
+    val minCols = (0 until k).map { i =>
+      val a = mhCoeff("a", i); val b = mhCoeff("b", i)
+      min((col("h") * a + b) % MinhashP).as(s"mh$i")
+    }
     sh.groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"), array((0 until k).map(i => col(s"mh$i")): _*).as("sigs"))
@@ -99,7 +120,9 @@ object DedupQueries {
       val bandIdx = s.range(bands).select(col("id").cast("int").as("band"))
       val buckets = sigs.join(broadcast(bandIdx))
         .select(col("doc_id"), col("band"),
-          md5(concat_ws("|", slice(col("sigs"), col("band") * rowsPerBand + 1, lit(rowsPerBand)))).as("bucket"))
+          md5(concat_ws("|", transform(
+            slice(col("sigs"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")))).as("bucket"))
       val cand = buckets.as("x").join(buckets.as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -167,15 +190,23 @@ object DedupQueries {
     // 10^12 docs this is the path (cost linear in tokens, embarrassingly
     // parallel).
     "q_dedup_simhash64_prod" -> ((s, dir) => {
+      // Per token: ONE md5 + two hex→int convs, then the 64 bit values are
+      // pure integer shifts of the two 32-bit halves (bit b lives in hex
+      // nibble b/4 at in-nibble position b%4 → shift 4·(7−b/4)+b%4 within
+      // its half) — no per-bit string ops in the fold.
       docs(s, dir).filter(col("text").isNotNull)
         .withColumn("toks", expr("filter(split(text, ' '), t -> length(t) > 0)"))
         .filter(size(col("toks")) > 0) // bits-join twin drops token-less docs
+        .withColumn("hs", expr(
+          """transform(transform(toks, t -> md5(t)), hx -> named_struct(
+               'h1', cast(conv(substring(hx, 1, 8), 16, 10) as bigint),
+               'h2', cast(conv(substring(hx, 9, 8), 16, 10) as bigint)))"""))
         .withColumn("ws", expr(
-          """aggregate(
-               transform(toks, t -> md5(t)),
-               array_repeat(cast(0 as bigint), 64),
-               (acc, hx) -> zip_with(acc, sequence(0, 63), (a, bit) ->
-                 a + (shiftright(cast(conv(substring(hx, cast(bit/4 as int) + 1, 1), 16, 10) as int), cast(bit % 4 as int)) & 1) * 2 - 1))"""))
+          """aggregate(hs, array_repeat(cast(0 as bigint), 64),
+               (acc, h) -> zip_with(acc, sequence(0, 63), (a, bit) ->
+                 a + ((CASE WHEN bit < 32
+                       THEN shiftright(h.h1, cast(28 - 4*cast(bit/4 as int) + bit % 4 as int))
+                       ELSE shiftright(h.h2, cast(60 - 4*cast(bit/4 as int) + bit % 4 as int)) END & 1) * 2 - 1)))"""))
         .select(col("doc_id"),
           expr("""aggregate(zip_with(slice(ws, 1, 32), sequence(0, 31),
                     (w, i) -> if(w > 0, shiftleft(cast(1 as bigint), cast(i as int)), cast(0 as bigint))),
@@ -183,6 +214,20 @@ object DedupQueries {
           expr("""aggregate(zip_with(slice(ws, 33, 32), sequence(0, 31),
                     (w, i) -> if(w > 0, shiftleft(cast(1 as bigint), cast(i as int)), cast(0 as bigint))),
                   cast(0 as bigint), (a, x) -> a + x)""").as("simhash_hi"))
+        .orderBy("doc_id")
+    }),
+
+    // 64-bit SimHash via the NATIVE expression (tier (b) of the ladder):
+    // one tight primitive loop per row — same signature, same oracle as
+    // the bits-join and HOF variants.
+    "q_dedup_simhash64_expr" -> ((s, dir) => {
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          graft.functions.SimHash64Expr.simhash64(col("text")).as("sh"))
+        .filter(col("sh").isNotNull)
+        .select(col("doc_id"),
+          col("sh.simhash_lo").as("simhash_lo"),
+          col("sh.simhash_hi").as("simhash_hi"))
         .orderBy("doc_id")
     }),
 
@@ -265,15 +310,24 @@ object DedupQueries {
            SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
            FROM toks, UNNEST(range(1, len(ts)-1)) AS u(i)
            WHERE len(ts) >= 3),
-         seeds AS (SELECT unnest(range(0, 16)) AS seed),
+         hs AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+           FROM sh),
+         seeds AS (
+           SELECT seed,
+             CAST(('0x' || substr(md5('a:' || CAST(seed AS VARCHAR)), 1, 8)) AS BIGINT) % 1073741789 + 1 AS a,
+             CAST(('0x' || substr(md5('b:' || CAST(seed AS VARCHAR)), 1, 8)) AS BIGINT) % 1073741789 AS b
+           FROM (SELECT unnest(range(0, 16)) AS seed)),
          mh AS (
-           SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS mh
-           FROM sh, seeds GROUP BY 1, 2),
+           SELECT doc_id, seed, min((a * h + b) % 4294967291) AS mh
+           FROM hs, seeds GROUP BY 1, 2),
          sigarr AS (
            SELECT doc_id, list(mh ORDER BY seed) AS sigs FROM mh GROUP BY 1),
          bands AS (
            SELECT doc_id, b,
-             md5(sigs[b*4+1] || '|' || sigs[b*4+2] || '|' || sigs[b*4+3] || '|' || sigs[b*4+4]) AS bucket
+             md5(CAST(sigs[b*4+1] AS VARCHAR) || '|' || CAST(sigs[b*4+2] AS VARCHAR)
+                 || '|' || CAST(sigs[b*4+3] AS VARCHAR) || '|' || CAST(sigs[b*4+4] AS VARCHAR)) AS bucket
            FROM sigarr, (SELECT unnest(range(0, 4)) AS b)),
          cand AS (
            SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
@@ -300,9 +354,10 @@ object DedupQueries {
            CAST(sum(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
          FROM bw GROUP BY 1""",
     "q_dedup_simhash64" -> simhash64OracleSql,
-    // the production (HOF single-pass) variant computes the IDENTICAL
-    // signature, so it is held to the same oracle
+    // the production (HOF single-pass) and native-expression variants
+    // compute the IDENTICAL signature, so both are held to the same oracle
     "q_dedup_simhash64_prod" -> simhash64OracleSql,
+    "q_dedup_simhash64_expr" -> simhash64OracleSql,
     "q_dedup_simhash64_pairs" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -32,6 +32,14 @@ object ExplainDump {
       images.select("image_id", "part", "w", "h", "caption"),
       ImageGen.captions(spark, dir), "x")
     v.explain("formatted")
+
+    println("=== salted-agg rule (expect TWO HashAggregate pairs, salt in inner keys) ===")
+    SparkEntry.queries("q_a1b_salted_rule")(spark, "/root/testdata/sf0.001")
+      .explain("formatted")
+
+    println("=== LSH ANN top-k (expect shuffle-hash/sort-merge on (t,bucket), NO cartesian) ===")
+    SparkEntry.queries("q_ann_topk_lsh")(spark, "/root/testdata/sf0.001")
+      .explain("formatted")
     spark.stop()
   }
 }
