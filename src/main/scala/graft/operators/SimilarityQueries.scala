@@ -156,6 +156,68 @@ object SimilarityQueries {
         .orderBy("q_id")
     }),
 
+    // Embedding-cosine near-dup as a DEDUP operator: candidate pairs from
+    // the LSH bucket join (never all-pairs), exact cosine on candidates,
+    // keep pairs above the near-dup threshold. Bounded id range keeps the
+    // oracle tractable; the plan shape is the production one.
+    "q_dedup_embedding" -> ((s, dir) => {
+      val e = embs(s, dir).filter(col("vec_id") < 300)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      val sigs = e.select(col("vec_id"),
+          explode(array((0 until AnnTables).map(t =>
+            struct(lit(t).as("t"), bucketFor(col("emb"), t).as("bucket"))): _*)).as("tb"))
+        .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      val cand = sigs.as("x").join(sigs.as("y"),
+          col("x.t") === col("y.t") && col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+        .distinct()
+      val aEmb = e.select(col("vec_id").as("a_id"), col("emb").as("a_emb"))
+      val bEmb = e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"))
+      cand.join(aEmb, Seq("a_id")).join(bEmb, Seq("b_id"))
+        .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
+        .filter(col("cos") >= 0.35)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // IVF ANN variant: coarse quantizer = the first 16 vectors as cell
+    // centroids (deterministic, so the oracle reproduces them — a k-means
+    // refinement would only move the centroids, not the plan shape).
+    // Every vector is assigned to its argmax-cosine cell; label-0 queries
+    // probe their top-2 cells; exact re-rank within the probed cells.
+    // Shuffle is on cell id — the inverted-file pattern.
+    "q_ann_topk_ivf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embs(s, dir)
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
+      val cents = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cell"), col("emb").as("c_emb"))
+      val scored = e.crossJoin(broadcast(cents))
+        .withColumn("csim", cosine(col("emb"), col("c_emb")))
+      val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+      val assign = scored.withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") === 1)
+        .select(col("vec_id").as("m_id"), col("cell"))
+      val probes = scored.filter(col("label") === 0)
+        .withColumn("rk", row_number().over(wAssign))
+        .filter(col("rk") <= 2)
+        .select(col("vec_id").as("q_id"), col("cell"))
+      val cand = probes.join(assign, Seq("cell"))
+        .filter(col("q_id") =!= col("m_id"))
+        .select(col("q_id"), col("m_id").as("c_id"))
+        .distinct()
+      val qEmb = e.select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val cEmb = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb2"))
+      val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+      cand.join(qEmb, Seq("q_id")).join(cEmb, Seq("c_id"))
+        .withColumn("cos", cosine(col("q_emb"), col("c_emb2")))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("c_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "rk")
+    }),
+
     // Random-hyperplane LSH signatures (8 bits, md5-derived hyperplanes):
     // the bucketed ANN path — one shuffle on the bucket, candidates only
     // within buckets. Oracle checks the signature assignment itself.
@@ -215,6 +277,80 @@ object SimilarityQueries {
            FROM dots)
          SELECT q_id, rk, c_id, round(cos, 4) AS cos
          FROM ranked WHERE rk <= 5""",
+    "q_dedup_embedding" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings WHERE vec_id < 300),
+         planes AS (SELECT CAST(unnest(range(0, 96)) AS INTEGER) AS plane),
+         proj AS (
+           SELECT vec_id, plane,
+             sum(emb[d+1] * (CAST(('0x' || substr(md5(CAST(plane AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) AS BIGINT) - 7.5)) AS proj
+           FROM e, planes, UNNEST(range(0, 64)) AS u(d)
+           GROUP BY 1, 2),
+         sigs AS (
+           SELECT vec_id, plane // 4 AS t,
+             CAST(sum(CASE WHEN proj > 0 THEN CAST(1 AS BIGINT) << (plane % 4) ELSE 0 END) AS BIGINT) AS bucket
+           FROM proj GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+           FROM sigs x JOIN sigs y
+             ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         dots AS (
+           SELECT c.a_id, c.b_id,
+             sum(ae.emb[i] * be.emb[i]) AS dp,
+             sum(ae.emb[i] * ae.emb[i]) AS na,
+             sum(be.emb[i] * be.emb[i]) AS nb
+           FROM cand c
+           JOIN e ae ON ae.vec_id = c.a_id
+           JOIN e be ON be.vec_id = c.b_id,
+           UNNEST(range(1, 65)) AS u(i)
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, round(cos, 4) AS cos FROM (
+           SELECT a_id, b_id, dp/(sqrt(na)*sqrt(nb)) AS cos FROM dots)
+         WHERE cos >= 0.35""",
+    "q_ann_topk_ivf" ->
+      """WITH e AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cents AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id < 16),
+         sdots AS (
+           SELECT e.vec_id, e.label, c.cell,
+             sum(e.emb[i] * c.c_emb[i]) AS dp,
+             sum(e.emb[i] * e.emb[i]) AS nv,
+             sum(c.c_emb[i] * c.c_emb[i]) AS nc
+           FROM e, cents c, UNNEST(range(1, 65)) AS u(i)
+           GROUP BY 1, 2, 3),
+         scored AS (
+           SELECT vec_id, label, cell, dp/(sqrt(nv)*sqrt(nc)) AS csim FROM sdots),
+         assign AS (
+           SELECT vec_id AS m_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rk
+             FROM scored) WHERE rk = 1),
+         probes AS (
+           SELECT vec_id AS q_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS rk
+             FROM scored WHERE label = 0) WHERE rk <= 2),
+         cand AS (
+           SELECT DISTINCT p.q_id, a.m_id AS c_id
+           FROM probes p JOIN assign a ON a.cell = p.cell AND a.m_id <> p.q_id),
+         dots AS (
+           SELECT c.q_id, c.c_id,
+             sum(qe.emb[i] * ce.emb[i]) AS dp,
+             sum(qe.emb[i] * qe.emb[i]) AS nq,
+             sum(ce.emb[i] * ce.emb[i]) AS nc
+           FROM cand c
+           JOIN e qe ON qe.vec_id = c.q_id
+           JOIN e ce ON ce.vec_id = c.c_id,
+           UNNEST(range(1, 65)) AS u(i)
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT q_id, c_id, dp/(sqrt(nq)*sqrt(nc)) AS cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY dp/(sqrt(nq)*sqrt(nc)) DESC, c_id) AS rk
+           FROM dots)
+         SELECT q_id, rk, c_id, round(cos, 4) AS cos
+         FROM ranked WHERE rk <= 3""",
     "q_ann_topk_lsh" ->
       """WITH e AS (
            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
