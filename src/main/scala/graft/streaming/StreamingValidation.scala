@@ -71,6 +71,19 @@ object StreamingValidation {
       col("caption").isNotNull.as("caption_ok"))
       .withColumn("is_violation", !col("dims_ok") || !col("caption_ok"))
 
+  /** Streaming exact dedup — the streaming twin of `q_dedup_exact`:
+    * state-store-backed `dropDuplicatesWithinWatermark` on the content
+    * digest. A duplicate arriving within the watermark horizon is dropped
+    * exactly once; digest state older than the watermark is evicted, so
+    * state stays bounded at 10^12-row scale (unbounded-key dedup would
+    * otherwise accumulate one state row per distinct document forever).
+    */
+  def dedupStream(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("digest", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("digest")
+
   /** Run [[windowedCounts]] from a parquet-backed file stream to an
     * in-memory sink once (availableNow), returning the sink table —
     * incremental emission end-to-end with checkpointing to `ckptDir`.

@@ -67,6 +67,19 @@ object ImageSuiteQueries {
         avg(when(col("caption").isNull, 1.0).otherwise(0.0)).as("caption_null_rate"))
         .orderBy("part")
     }),
+    // Multimodal binary pipeline surfaced to the driver: batched feature
+    // extraction over the synthetic media table (images real, audio/video
+    // deterministic stubs) — per-kind feature roll-up.
+    "qi_media_features" -> ((s, dir) => {
+      val media = graft.multimodal.BinaryPipeline.synthMedia(s, 3000)
+      val feats = graft.multimodal.BinaryPipeline.extractFeatures(media)
+      feats.toDF().groupBy("kind", "sniffed").agg(
+        count(lit(1)).as("n"),
+        sum("n_bytes").as("bytes_total"),
+        sum("n_frames").as("frames_total"),
+        countDistinct("phash").as("ndv_phash"))
+        .orderBy("kind", "sniffed")
+    }),
     // Drift snapshot + check against a persisted clean baseline — the
     // baseline-snapshot-table path (vs the default global baseline).
     "qi_drift_vs_baseline" -> ((s, dir) => {

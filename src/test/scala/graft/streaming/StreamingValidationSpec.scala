@@ -45,6 +45,26 @@ class StreamingValidationSpec extends SparkTestBase {
     assert(rows == Set(("p0", 3L, 1L), ("p1", 2L, 1L)))
   }
 
+  test("streaming exact dedup drops duplicate digests within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDS().toDF("ts", "doc_id", "text")
+    val q = StreamingValidation.dedupStream(df, "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    input.addData((t(0), 1L, "alpha beta"), (t(1), 2L, "gamma"))
+    q.processAllAvailable()
+    // same content, different id, within watermark → dropped
+    input.addData((t(2), 3L, "alpha beta"), (t(3), 4L, "delta"))
+    q.processAllAvailable()
+    val kept = spark.table("dedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    q.stop()
+    assert(kept == Set(1L, 2L, 4L), s"kept=$kept")
+  }
+
   test("late rows beyond the watermark are dropped (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
