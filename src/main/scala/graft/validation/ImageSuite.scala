@@ -263,6 +263,10 @@ object ImageSuite {
       col("part").as("cap_part"), col("caption").as("cap_caption"))
     val j = light.join(caps, col("image_id") === col("cap_id"), "full_outer")
     val w = Window.partitionBy(coalesce(col("image_id"), col("cap_id")))
+    // cache: four violation branches re-read the joined frame; the cached
+    // width is a handful of scalar columns (bytes never enter this path)
+    // and MEMORY_AND_DISK spills gracefully when a partition outgrows the
+    // executor's storage fraction at scale.
     val jj = j.withColumn("n_img",
       sum(when(col("part").isNotNull, 1).otherwise(0)).over(w)).cache()
 

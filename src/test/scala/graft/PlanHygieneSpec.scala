@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression tests: the properties the engine's scale story
+  * depends on (filter pushdown to the parquet scan, column pruning,
+  * broadcast for small dims, no accidental cartesian joins) asserted on
+  * the real query plans, so a refactor that silently loses them fails CI
+  * rather than a 100 TB run.
+  */
+class PlanHygieneSpec extends SparkTestBase {
+
+  val dir = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("threshold filter is pushed down to the parquet scan") {
+    val p = planOf(SparkEntry.queries("q_p6_threshold")(spark, dir))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.matches("(?s).*PushedFilters:.*n_chars.*"),
+      s"n_chars threshold not pushed:\n$p")
+  }
+
+  test("projected fetch prunes the read schema to the used columns") {
+    val p = planOf(Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+      .filter(org.apache.spark.sql.functions.col("l_quantity") > 10))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_extendedprice"),
+      s"scan reads unused columns: $readSchema")
+  }
+
+  test("small-dimension joins broadcast (q_j1, q_j9)") {
+    for (q <- Seq("q_j1_join_agg", "q_j9_region_rollup")) {
+      val p = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast:\n$p")
+    }
+  }
+
+  test("LSH ANN retrieval plans equi-joins, never a cartesian product") {
+    val p = planOf(SparkEntry.queries("q_ann_topk_lsh")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian in LSH plan:\n$p")
+  }
+
+  test("MinHash banding joins on (band, bucket), never all-pairs") {
+    val p = planOf(SparkEntry.queries("q_dedup_minhash_lsh")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian in MinHash plan:\n$p")
+  }
+
+  test("suite light projection never reads bytes") {
+    val d = graft.images.ImageGen.ensure(spark, 2000L, "target/test-images")
+    val images = graft.images.ImageGen.images(spark, d)
+    val p = planOf(images.select("image_id", "part", "w", "h", "caption"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("bytes"), s"light scan reads bytes: $readSchema")
+  }
+
+  test("resume partition filter compiles to PartitionFilters") {
+    val d = graft.images.ImageGen.ensure(spark, 2000L, "target/test-images")
+    val images = graft.images.ImageGen.images(spark, d)
+    val p = planOf(images.filter(
+      !org.apache.spark.sql.functions.col("part").isin("p1", "p5")))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("part"), s"no partition pruning: $pf")
+  }
+}
