@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   *     production path.
   *
   * All hashes are md5-based so the DuckDB oracle can reproduce them exactly.
+  *
+  * Algorithms re-implemented from the public literature: MinHash
+  * (Broder, "On the resemblance and containment of documents", 1997),
+  * LSH banding (Gionis/Indyk/Motwani, "Similarity search in high
+  * dimensions via hashing", VLDB 1999), SimHash (Charikar, "Similarity
+  * estimation techniques from rounding algorithms", STOC 2002).
   */
 object DedupQueries {
 

@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   *
   * Dot products run through `zip_with` + `aggregate` on double-cast arrays
   * (builtin HOFs, codegen-friendly, sequential fold → deterministic order).
+  *
+  * Algorithms re-implemented from the public literature: random-hyperplane
+  * LSH (Charikar, STOC 2002), OR-amplified multi-table retrieval
+  * (Indyk/Motwani, STOC 1998), inverted-file coarse quantization
+  * (Jégou/Douze/Schmid, "Product quantization for nearest neighbor
+  * search", TPAMI 2011 — the IVF skeleton without PQ codes).
   */
 object SimilarityQueries {
 
