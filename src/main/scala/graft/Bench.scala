@@ -173,7 +173,10 @@ object Bench {
 
     val qs = qTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val errs = qErrors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = qTimes.map(_._2).sum + tPeak + tHigh + tLow
+    // exclude failure sentinels (-1.0) and don't double-count the peak leg
+    // when it was aliased to the 4N leg on small hosts
+    val total = qTimes.map(_._2).filter(_ >= 0).sum +
+      (if (cpus == hiN) 0.0 else tPeak) + tHigh + tLow
     val json =
       s"""{"metric":"validated images/sec (full constraint suite)","value":${f"$thrPeak%.1f"},"unit":"images/sec",""" +
       s""""queries":$qs,"query_errors":$errs,"sf":"$sfDir","total_sec":${f"$total%.1f"},""" +

@@ -48,9 +48,11 @@ object Pipeline {
       .withColumn("content_md5", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
     stages += StageCount("enrich", enriched.count(), "token/quality/fingerprint columns")
 
-    // 3. quality gate
+    // 3. quality gate — cached: every later stage (and the final write)
+    // would otherwise re-run the scan+enrich chain per action
     val gated = enriched.filter(
       col("n_tokens") >= 5 && col("punct_ratio") <= 0.2 && col("stopword_ratio") <= 0.8)
+      .cache()
     stages += StageCount("quality_gate", gated.count(),
       "n_tokens>=5, punct<=0.2, stopword<=0.8")
 
@@ -64,7 +66,9 @@ object Pipeline {
     val nearPairs = DedupQueries.queries("q_dedup_minhash_lsh")(spark, sfDir)
       .filter(col("est_jaccard") >= 0.5)
       .select(col("b_id").as("doc_id")).distinct()
-    val curated = exactDeduped.join(nearPairs, Seq("doc_id"), "left_anti")
+    // cached: the lineage count and the caller's write would otherwise each
+    // re-execute the whole MinHash+LSH banding chain
+    val curated = exactDeduped.join(nearPairs, Seq("doc_id"), "left_anti").cache()
     stages += StageCount("dedup_near", curated.count(), "minhash-lsh est_jaccard>=0.5")
 
     (curated, stages.result())

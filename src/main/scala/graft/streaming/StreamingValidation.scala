@@ -80,6 +80,10 @@ object StreamingValidation {
     */
   def dedupStream(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
     docs
+      // match the batch twin's `text IS NOT NULL` gate: md5(null) = null
+      // and null digests would compare equal, silently dropping every
+      // null-text document after the first
+      .filter(col("text").isNotNull)
       .withColumn("digest", md5(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("digest")

@@ -125,11 +125,16 @@ object Drift {
       spark.createDataset(partials)(org.apache.spark.sql.Encoders.product[DriftPartial])
         .write.mode(SaveMode.Append).parquet(dir)
 
-  def readPartials(spark: SparkSession, dir: String): Array[DriftPartial] =
-    try {
+  def readPartials(spark: SparkSession, dir: String): Array[DriftPartial] = {
+    // missing dir = first run; a genuine read error must propagate, not
+    // silently drop the baseline contribution of done partitions
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) Array.empty
+    else {
       import spark.implicits._
       spark.read.parquet(dir).as[DriftPartial].collect()
-    } catch { case _: Throwable => Array.empty }
+    }
+  }
 
   def check(images: DataFrame, runId: String,
             baselineDir: Option[String] = None): (DataFrame, DataFrame) =

@@ -181,11 +181,15 @@ object ImageSuite {
     */
   def uniqueness(facts: DataFrame, runId: String, saltBuckets: Int = 32): (DataFrame, DataFrame) = {
     // stage 1: (id, salt) partial counts — a hot duplicated id spreads over
-    // saltBuckets reducers; stage 2 merges per id. The salt is pure content
-    // hash (no rand()): partition-layout-independent, so task retries and
-    // repartitions reproduce identical salts.
-    val salted = facts.select(col("image_id"), col("part"))
-      .withColumn("salt", pmod(xxhash64(col("image_id"), col("part")), lit(saltBuckets)))
+    // saltBuckets reducers; stage 2 merges per id. The salt hashes ALL
+    // input columns (not just the key): pure content hash, so task retries
+    // and repartitions reproduce identical salts (never rand()), while a
+    // key duplicated with varying payloads still fans out across buckets.
+    // Only byte-identical full-row duplicates share a bucket — the
+    // irreducible case for any deterministic content salt.
+    val salted = facts
+      .withColumn("salt", pmod(xxhash64(facts.columns.map(col): _*), lit(saltBuckets)))
+      .select(col("image_id"), col("part"), col("salt"))
     val stage1 = salted.groupBy("image_id", "salt")
       .agg(count(lit(1)).as("c1"), min("part").as("minp1"))
     val perId = stage1.groupBy("image_id")
@@ -425,14 +429,22 @@ object ImageSuite {
     (verdicts, violations)
   }
 
+  /** True when `dir` exists on the session's filesystem. A genuine read
+    * error must PROPAGATE — swallowing it would silently disable
+    * cross-run duplicate detection and falsely pass uniqueness.
+    */
+  private[validation] def pathExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   private def readKeys(spark: SparkSession, dir: String): DataFrame =
-    try spark.read.parquet(dir).select("image_id", "part")
-    catch { case _: Throwable =>
+    if (pathExists(spark, dir)) spark.read.parquet(dir).select("image_id", "part")
+    else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("image_id", org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("part", org.apache.spark.sql.types.StringType))))
-    }
 
   /** Persist verdict/violation/metric/state tables; appends state rows so a
     * rerun skips completed partitions (exactly-once over partitions).
@@ -459,12 +471,26 @@ object ImageSuite {
 
     val facts = decodeFactsExpr(pending).cache()
     val lightNew = pending.select("image_id", "part", "w", "h", "caption").cache()
+    if (lightNew.isEmpty) {
+      // idempotent no-op rerun: everything is done — appending the drift
+      // verdicts recomputed from stored partials again would grow the
+      // output tables on every invocation without new information
+      facts.unpersist(); lightNew.unpersist()
+      return
+    }
 
     val rv = rowViolations(facts)
     val rVerd = rowVerdicts(facts, rv, runId)
     val cVerd = coverageVerdicts(facts, runId)
     val qVerd = Scoring.qualityVerdicts(facts, runId)
+    // Restrict the key index to DONE partitions (exactly like the drift
+    // partials below): a crash between the keys append and the state
+    // append would otherwise leave keys for partitions that are pending
+    // again, and the retry would flag every one of their rows as a
+    // cross-run duplicate. State is the commit point; anything in the
+    // side stores beyond it is ignored.
     val oldKeys = readKeys(spark, s"$outDir/keys")
+      .filter(col("part").isin(done.toSeq: _*))
     val (kVerd, kViol) = incrementalKeyChecks(lightNew, oldKeys, captions, runId)
     val freshPartials = Drift.collectPartials(lightNew)
     val storedPartials = Drift.readPartials(spark, s"$outDir/drift_partials")
@@ -499,9 +525,10 @@ object ImageSuite {
   }
 
   def readDoneParts(spark: SparkSession, stateDir: String): Set[String] =
-    try {
+    if (!pathExists(spark, stateDir)) Set.empty
+    else {
       import spark.implicits._
       spark.read.parquet(stateDir).filter(col("status") === "done")
         .select("part").as[String].collect().toSet
-    } catch { case _: Throwable => Set.empty }
+    }
 }
