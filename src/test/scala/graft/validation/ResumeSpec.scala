@@ -116,6 +116,35 @@ class ResumeSpec extends SparkTestBase {
       assert(math.abs(run2(k) - m) < 1e-12, s"$k: run2=${run2(k)} ref=$m")
   }
 
+  test("keys appended by a crashed run (no state row) do not poison the retry") {
+    val w2 = "target/resume-crash-test"
+    val data2 = s"$w2/data"; val out2 = s"$w2/out"
+    FileUtils.deleteQuietly(new File(w2))
+    FileUtils.copyDirectory(new File(srcDir), new File(data2))
+    val stash = new File(s"$w2/stash"); stash.mkdirs()
+    secondHalf.foreach { p =>
+      FileUtils.moveDirectory(new File(s"$data2/images/part=$p"),
+        new File(s"$w2/stash/part=$p"))
+    }
+    ImageSuite.runAndCheckpoint(spark, data2, out2, "run1")
+    secondHalf.foreach { p =>
+      FileUtils.moveDirectory(new File(s"$w2/stash/part=$p"),
+        new File(s"$data2/images/part=$p"))
+    }
+    // simulate a run over the second half that appended its keys and then
+    // DIED before writing its state rows
+    ImageGen.images(spark, data2)
+      .filter(col("part").isin(secondHalf: _*))
+      .select("image_id", "part")
+      .write.mode("append").parquet(s"$out2/keys")
+    ImageSuite.runAndCheckpoint(spark, data2, out2, "run2")
+    // without the done-partition filter on the key index, every second-half
+    // row would now be a false cross-run duplicate
+    val got = violSet(spark.read.parquet(s"$out2/violations"), "uniqueness_image_id")
+    assert(got == violSet(fullKeyViol, "uniqueness_image_id"),
+      s"false duplicates after crash-retry: extra=${got diff violSet(fullKeyViol, "uniqueness_image_id")}")
+  }
+
   test("drift KS from merged stored digests stays within sketch tolerance") {
     ranBothPhases
     val run2 = spark.read.parquet(s"$outDir/verdicts")
