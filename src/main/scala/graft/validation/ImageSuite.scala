@@ -488,9 +488,14 @@ object ImageSuite {
     // append would otherwise leave keys for partitions that are pending
     // again, and the retry would flag every one of their rows as a
     // cross-run duplicate. State is the commit point; anything in the
-    // side stores beyond it is ignored.
+    // side stores beyond it is ignored. Broadcast semi-join rather than
+    // an isin literal list: at 10^5+ partitions the literal would bloat
+    // the plan (the scan filter above keeps isin because partition
+    // pruning needs compile-time literals).
+    val doneDf = spark.createDataset(done.toSeq)(
+      org.apache.spark.sql.Encoders.STRING).toDF("part")
     val oldKeys = readKeys(spark, s"$outDir/keys")
-      .filter(col("part").isin(done.toSeq: _*))
+      .join(broadcast(doneDf), Seq("part"), "left_semi")
     val (kVerd, kViol) = incrementalKeyChecks(lightNew, oldKeys, captions, runId)
     val freshPartials = Drift.collectPartials(lightNew)
     val storedPartials = Drift.readPartials(spark, s"$outDir/drift_partials")
