@@ -118,12 +118,20 @@ object Drift {
   }
 
   /** Persist partials (ST2 resume: done partitions are never re-scanned for
-    * drift — their sketches merge from this table instead).
+    * drift — their sketches merge from this table instead). Dynamic
+    * partition overwrite keyed by `part` so a crash-retry replaces the
+    * crashed run's partials instead of duplicating them (a duplicate
+    * partial would double that partition's histogram on merge).
     */
   def writePartials(spark: SparkSession, partials: Seq[DriftPartial], dir: String): Unit =
-    if (partials.nonEmpty)
+    if (partials.nonEmpty) {
       spark.createDataset(partials)(org.apache.spark.sql.Encoders.product[DriftPartial])
-        .write.mode(SaveMode.Append).parquet(dir)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("part").parquet(dir)
+      // replaced files may still sit in the session's FileStatusCache
+      spark.catalog.refreshByPath(dir)
+    }
 
   def readPartials(spark: SparkSession, dir: String): Array[DriftPartial] = {
     // missing dir = first run; a genuine read error must propagate, not

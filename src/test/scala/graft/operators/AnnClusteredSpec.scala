@@ -31,9 +31,13 @@ class AnnClusteredSpec extends SparkTestBase {
     noisy.map(_ / n)
   }
 
+  // hyperplanes precomputed once (signBits runs per vector × table)
+  private lazy val planesArr: Array[Array[Double]] =
+    Array.tabulate(Tables * Planes)(i => SimilarityQueries.hyperplane(i, Dims))
+
   private def signBits(v: Array[Double], t: Int): Long =
     (0 until Planes).map { p =>
-      val w = SimilarityQueries.hyperplane(t * Planes + p, Dims)
+      val w = planesArr(t * Planes + p)
       val dot = (0 until Dims).map(d => v(d) * w(d)).sum
       if (dot > 0) 1L << p else 0L
     }.sum

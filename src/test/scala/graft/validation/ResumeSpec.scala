@@ -131,18 +131,24 @@ class ResumeSpec extends SparkTestBase {
       FileUtils.moveDirectory(new File(s"$w2/stash/part=$p"),
         new File(s"$data2/images/part=$p"))
     }
-    // simulate a run over the second half that appended its keys and then
-    // DIED before writing its state rows
+    // simulate a run over the second half that wrote its keys (same
+    // partitioned writer the engine uses) and then DIED before writing
+    // its state rows
     ImageGen.images(spark, data2)
       .filter(col("part").isin(secondHalf: _*))
       .select("image_id", "part")
-      .write.mode("append").parquet(s"$out2/keys")
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part").parquet(s"$out2/keys")
     ImageSuite.runAndCheckpoint(spark, data2, out2, "run2")
     // without the done-partition filter on the key index, every second-half
     // row would now be a false cross-run duplicate
     val got = violSet(spark.read.parquet(s"$out2/violations"), "uniqueness_image_id")
     assert(got == violSet(fullKeyViol, "uniqueness_image_id"),
       s"false duplicates after crash-retry: extra=${got diff violSet(fullKeyViol, "uniqueness_image_id")}")
+    // and the retry's dynamic overwrite must not leave duplicate key rows
+    // (appending would double n_old for these images forever after)
+    assert(spark.read.parquet(s"$out2/keys").count() == N,
+      "stale crash keys were not overwritten")
   }
 
   test("drift KS from merged stored digests stays within sketch tolerance") {
