@@ -124,14 +124,10 @@ object Drift {
     * partial would double that partition's histogram on merge).
     */
   def writePartials(spark: SparkSession, partials: Seq[DriftPartial], dir: String): Unit =
-    if (partials.nonEmpty) {
-      spark.createDataset(partials)(org.apache.spark.sql.Encoders.product[DriftPartial])
-        .write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("part").parquet(dir)
-      // replaced files may still sit in the session's FileStatusCache
-      spark.catalog.refreshByPath(dir)
-    }
+    if (partials.nonEmpty)
+      PartitionedStore.write(
+        spark.createDataset(partials)(org.apache.spark.sql.Encoders.product[DriftPartial]).toDF(),
+        dir)
 
   def readPartials(spark: SparkSession, dir: String): Array[DriftPartial] = {
     // missing dir = first run; a genuine read error must propagate, not

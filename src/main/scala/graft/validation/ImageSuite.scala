@@ -429,14 +429,6 @@ object ImageSuite {
     (verdicts, violations)
   }
 
-  private val verdictsStateSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("part", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("status", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("n_violations", org.apache.spark.sql.types.LongType),
-    org.apache.spark.sql.types.StructField("run_id", org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("finished_at", org.apache.spark.sql.types.LongType)))
-
   /** True when `dir` exists on the session's filesystem. A genuine read
     * error must PROPAGATE — swallowing it would silently disable
     * cross-run duplicate detection and falsely pass uniqueness.
@@ -524,14 +516,14 @@ object ImageSuite {
     // to the driver NOW (one row per pending partition) because its
     // lineage re-scans the keys store, whose files the overwrite below
     // replaces — a pre-built plan would hold the stale file listing.
-    val stateRows = verdicts
+    val stateRows: Seq[StateRow] = verdicts
       .join(lightNew.select("part").distinct(), Seq("part"), "left_semi")
       .groupBy("part").agg(
         sum(col("n_violations")).as("nv"), max(col("n_rows")).as("nr"))
       .select(col("part"), lit("done").as("status"), col("nr").as("n_rows"),
         col("nv").as("n_violations"), lit(runId).as("run_id"),
         lit(System.currentTimeMillis()).as("finished_at"))
-      .collect().toSeq
+      .as[StateRow].collect().toSeq
     // Extend the key index + sketch store with this run's partitions via
     // DYNAMIC PARTITION OVERWRITE, not append: a crash-retry re-processes
     // the same partitions, and appending would leave duplicate key rows
@@ -541,18 +533,11 @@ object ImageSuite {
     // idempotent per partition; the output tables above stay append-only
     // (at-least-once on crash, exactly-once per successful run — the
     // state table below is the commit point).
-    lightNew.select("image_id", "part")
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("part").parquet(s"$outDir/keys")
-    // the overwrite replaced files the session's FileStatusCache may still
-    // list — refresh so a later run in this session reads fresh metadata
-    spark.catalog.refreshByPath(s"$outDir/keys")
+    PartitionedStore.write(lightNew.select("image_id", "part"), s"$outDir/keys")
     Drift.writePartials(spark, freshPartials.toSeq, s"$outDir/drift_partials")
     // the state write is the COMMIT POINT — last, from pre-materialized rows
-    spark.createDataFrame(spark.sparkContext.parallelize(stateRows, 1),
-        verdictsStateSchema)
-      .write.mode(SaveMode.Append).parquet(stateDir)
+    spark.createDataset(stateRows).toDF()
+      .coalesce(1).write.mode(SaveMode.Append).parquet(stateDir)
     facts.unpersist(); lightNew.unpersist()
   }
 

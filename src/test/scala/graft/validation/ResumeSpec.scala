@@ -151,6 +151,49 @@ class ResumeSpec extends SparkTestBase {
       "stale crash keys were not overwritten")
   }
 
+  test("legacy flat-append side stores are migrated to the partitioned layout") {
+    import org.apache.spark.sql.Encoders
+    val w3 = "target/resume-legacy-test"
+    val data3 = s"$w3/data"; val out3 = s"$w3/out"
+    FileUtils.deleteQuietly(new File(w3))
+    FileUtils.copyDirectory(new File(srcDir), new File(data3))
+    // fabricate a run-1 checkpoint in the OLD flat-append layout: first
+    // half done, keys and drift partials as root-level files with `part`
+    // as a data column
+    val firstImgs = ImageGen.images(spark, data3)
+      .filter(col("part").isin(firstHalf: _*))
+    firstImgs.select("image_id", "part").write.parquet(s"$out3/keys")
+    val partials = Drift.collectPartials(
+      firstImgs.select("image_id", "part", "w", "h", "caption"))
+    spark.createDataset(partials.toSeq)(Encoders.product[Drift.DriftPartial])
+      .write.parquet(s"$out3/drift_partials")
+    spark.createDataset(firstHalf.map(p => StateRow(p, "done", 0L, 0L, "legacy", 0L)))(
+        Encoders.product[StateRow]).toDF()
+      .write.parquet(s"$out3/state")
+
+    ImageSuite.runAndCheckpoint(spark, data3, out3, "run2")
+
+    // stores migrated: part= dirs, no root-level parquet files left
+    for (store <- Seq("keys", "drift_partials")) {
+      val p = new org.apache.hadoop.fs.Path(s"$out3/$store")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val entries = fs.listStatus(p)
+      assert(!entries.exists(e => e.isFile && e.getPath.getName.endsWith(".parquet")),
+        s"$store still has legacy root files")
+      assert(entries.exists(e => e.isDirectory && e.getPath.getName.startsWith("part=")),
+        s"$store not partitioned after migration")
+    }
+    assert(spark.read.parquet(s"$out3/keys").count() == N)
+    // cross-run duplicates spanning the legacy keys are still detected
+    val rows = (0L until N).map(ImageGen.genRow(_, np))
+    val expected = rows.groupBy(_.image_id).filter(_._2.size > 1)
+      .filter(_._2.exists(r => secondHalf.contains(r.part))).keySet
+    val got = violSet(spark.read.parquet(s"$out3/violations")
+      .filter(col("run_id") === "run2"), "uniqueness_image_id")
+    assert(expected.nonEmpty && got == expected,
+      s"missing=${expected diff got} extra=${got diff expected}")
+  }
+
   test("drift KS from merged stored digests stays within sketch tolerance") {
     ranBothPhases
     val run2 = spark.read.parquet(s"$outDir/verdicts")
