@@ -29,9 +29,10 @@ object Bench {
     "q_a1_groupcount", "q_a2_condcounts", "q_j1_join_agg", "q_j6_asof_nearest",
     "q_w1_topk_per_brand", "q_w5_running_sum",
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash64_prod",
-    "q_dedup_simhash64_expr",
+    "q_dedup_simhash64_expr", "q_dedup_simhash64_banded",
     "q_text_tokens", "q_text_quality", "q_text_fingerprint",
-    "q_ann_topk_bruteforce", "q_ann_topk_lsh", "q_sim_lsh_buckets",
+    "q_ann_topk_bruteforce", "q_ann_topk_lsh", "q_ann_topk_ivf_trained",
+    "q_sim_lsh_buckets",
     "q_v_uniqueness", "q_v_referential", "q_v_colstats", "q_v_scores",
     "q_v_drift_chisq", "q_v_drift_ks")
 
@@ -138,12 +139,19 @@ object Bench {
     val warmDir = ImageGen.ensure(spark, math.min(nImages, 20000L))
     spark.stop()
 
-    // ---- phase 1: the N→4N pair, each level in a fresh JVM ----
+    // ---- phase 1: peak suite throughput at local[cpus] — FIRST (before
+    // the N/4N pair so it cannot inherit their load/page-cache state) and
+    // as the MEDIAN of 3 forked runs: the single late-run r2 peak showed a
+    // 2.8× spread; the median of three fresh-JVM runs is stable. All three
+    // raw times are emitted.
+    val peakRuns: Seq[Double] =
+      if (cpus == hiN) Seq.empty // peak aliases the 4N leg below
+      else (1 to 3).map(_ => forkSuite(cpus, imageDir, warmDir))
+
+    // ---- phase 2: the N→4N pair, each level in a fresh JVM ----
     val tLow = forkSuite(loN, imageDir, warmDir)
     val tHigh = forkSuite(hiN, imageDir, warmDir)
-
-    // ---- phase 2: peak suite throughput at local[cpus], fresh JVM ----
-    val tPeak = if (cpus == hiN) tHigh else forkSuite(cpus, imageDir, warmDir)
+    val tPeak = if (cpus == hiN) tHigh else peakRuns.sorted.apply(1)
 
     // ---- phase 3: headline operator queries (relative numbers) ----
     spark = session(cpus)
@@ -173,23 +181,27 @@ object Bench {
 
     val qs = qTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val errs = qErrors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // exclude failure sentinels (-1.0) and don't double-count the peak leg
-    // when it was aliased to the 4N leg on small hosts
-    val total = qTimes.map(_._2).filter(_ >= 0).sum +
-      (if (cpus == hiN) 0.0 else tPeak) + tHigh + tLow
+    // exclude failure sentinels (-1.0) and don't double-count the peak legs
+    // when they were aliased to the 4N leg on small hosts
+    val total = qTimes.map(_._2).filter(_ >= 0).sum + peakRuns.sum + tHigh + tLow
+    val peakRunsJson = peakRuns.map(t => f"$t%.2f").mkString("[", ",", "]")
     val json =
       s"""{"metric":"validated images/sec (full constraint suite)","value":${f"$thrPeak%.1f"},"unit":"images/sec",""" +
       s""""queries":$qs,"query_errors":$errs,"sf":"$sfDir","total_sec":${f"$total%.1f"},""" +
       s""""n_images":$nImages,"peak_cpus":$cpus,"suite_sec_peak":${f"$tPeak%.2f"},""" +
+      s""""suite_sec_peak_runs":$peakRunsJson,"peak_protocol":"median of 3 fresh-JVM runs, before the scaling pair",""" +
       s""""suite_sec_local$hiN":${f"$tHigh%.2f"},"suite_sec_local$loN":${f"$tLow%.2f"},""" +
       s""""images_per_sec_peak":${f"$thrPeak%.1f"},""" +
       s""""images_per_sec_local$hiN":${f"$thrHigh%.1f"},"images_per_sec_local$loN":${f"$thrLow%.1f"},""" +
       s""""scaling_levels":[$loN,$hiN],"fresh_jvm_per_level":true,""" +
       s""""scaling_efficiency_${loN}to$hiN":${f"$efficiency%.3f"},""" +
       s""""scaling_efficiency":${f"$efficiency%.3f"}}"""
+    // Emitted on three channels so the driver's sbt-stdout parser finds at
+    // least one un-mangled copy ([info]/[error] prefixes buried the r2
+    // line): bare stdout, bare stderr, and a prefix-proof BENCHJSON= line.
     println(json)
-    // the driver parses sbt stdout, where [info] prefixes can mangle the
-    // line — the file copy is the authoritative artifact
+    System.err.println(json)
+    println("BENCHJSON=" + json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
   }
 }

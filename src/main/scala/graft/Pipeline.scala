@@ -26,14 +26,19 @@ object Pipeline {
   case class StageCount(stage: String, n_rows: Long, note: String)
 
   def curate(spark: SparkSession, sfDir: String): (DataFrame, Seq[StageCount]) = {
-    import spark.implicits._
+    import org.apache.spark.sql.Observation
     val stages = Seq.newBuilder[StageCount]
 
-    // 1. ingest
+    // 1. ingest — lineage via observe(): the ingest and enrich counts ride
+    // the FIRST action over the gated frame (the cache build) instead of
+    // each paying their own full scan+enrich pass (at 100 TB those were two
+    // avoidable reads of the corpus).
+    val obsIngest = Observation("ingest")
+    val obsEnrich = Observation("enrich")
     val docs = Tables(spark, sfDir, "documents")
       .select("doc_id", "text", "lang", "source", "n_chars")
       .filter(col("text").isNotNull)
-    stages += StageCount("ingest", docs.count(), "documents with text")
+      .observe(obsIngest, count(lit(1)).as("n_rows"))
 
     // 2. enrich: token counts, quality ratios, content fingerprint
     val toks = split(col("text"), " ")
@@ -46,24 +51,32 @@ object Pipeline {
         (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
           .cast("double") / length(col("text")).cast("double"))
       .withColumn("content_md5", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
-    stages += StageCount("enrich", enriched.count(), "token/quality/fingerprint columns")
+      .observe(obsEnrich, count(lit(1)).as("n_rows"))
 
     // 3. quality gate — cached: every later stage (and the final write)
     // would otherwise re-run the scan+enrich chain per action
     val gated = enriched.filter(
       col("n_tokens") >= 5 && col("punct_ratio") <= 0.2 && col("stopword_ratio") <= 0.8)
       .cache()
+    // the ONE scan before the gate: builds the cache and fires both
+    // upstream observations
     stages += StageCount("quality_gate", gated.count(),
       "n_tokens>=5, punct<=0.2, stopword<=0.8")
+    stages += StageCount("ingest",
+      obsIngest.get("n_rows").asInstanceOf[Long], "documents with text")
+    stages += StageCount("enrich",
+      obsEnrich.get("n_rows").asInstanceOf[Long], "token/quality/fingerprint columns")
 
-    // 4a. exact dedup: keep min doc_id per content digest
+    // 4a. exact dedup: keep min doc_id per content digest (reads the cache)
     val keepExact = gated.groupBy("content_md5").agg(min("doc_id").as("doc_id"))
-    val exactDeduped = gated.join(keepExact, Seq("content_md5", "doc_id"))
+    val exactDeduped = gated.join(keepExact, Seq("content_md5", "doc_id")).cache()
     stages += StageCount("dedup_exact", exactDeduped.count(), "keep min doc_id per md5")
 
-    // 4b. near-dup: MinHash+LSH candidates with est. Jaccard >= 0.5 —
-    // drop the larger id of each pair
-    val nearPairs = DedupQueries.queries("q_dedup_minhash_lsh")(spark, sfDir)
+    // 4b. near-dup: MinHash+LSH candidates over the SURVIVING frame (not
+    // the raw corpus — pairing against already-removed docs would delete a
+    // survivor because it near-duplicates a doc the gate or exact dedup
+    // dropped), est. Jaccard >= 0.5, drop the larger id of each pair
+    val nearPairs = DedupQueries.minhashLshPairs(exactDeduped)
       .filter(col("est_jaccard") >= 0.5)
       .select(col("b_id").as("doc_id")).distinct()
     // cached: the lineage count and the caller's write would otherwise each
@@ -71,7 +84,9 @@ object Pipeline {
     val curated = exactDeduped.join(nearPairs, Seq("doc_id"), "left_anti").cache()
     stages += StageCount("dedup_near", curated.count(), "minhash-lsh est_jaccard>=0.5")
 
-    (curated, stages.result())
+    // deterministic presentation order (observe() reordered the appends)
+    val order = Seq("ingest", "enrich", "quality_gate", "dedup_exact", "dedup_near")
+    (curated, stages.result().sortBy(s => order.indexOf(s.stage)))
   }
 
   def main(args: Array[String]): Unit = {

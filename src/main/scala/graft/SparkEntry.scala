@@ -970,5 +970,6 @@ object SparkEntry {
              pow(sin(radians(b.lon - a.lon)/2), 2))), 3) AS dist_km
          FROM n a JOIN n b ON a.n_nationkey < b.n_nationkey"""
   ) ++ DedupQueries.oracleSql ++ TextQueries.oracleSql ++
-    SimilarityQueries.oracleSql ++ ValidationQueries.oracleSql
+    SimilarityQueries.oracleSql ++ ValidationQueries.oracleSql ++
+    graft.validation.ImageSuiteQueries.oracleSql
 }

@@ -83,6 +83,35 @@ object DedupQueries {
       .select(col("doc_id"), array((0 until k).map(i => col(s"mh$i")): _*).as("sigs"))
   }
 
+  /** MinHash+LSH near-dup candidate pairs with estimated Jaccard over ANY
+    * (doc_id, text, …) frame — `q_dedup_minhash_lsh` runs it over the raw
+    * documents table; `Pipeline.curate` over the gated+exact-deduped frame
+    * (so a surviving doc is never dropped for near-duplicating a doc that
+    * an earlier stage already removed). 16 hashes, 4 bands of 4 rows.
+    */
+  def minhashLshPairs(d: DataFrame): DataFrame = {
+    val s = d.sparkSession
+    val k = 16; val bands = 4; val rowsPerBand = 4
+    val sigs = minhashSignatures(d, k)
+    val bandIdx = s.range(bands).select(col("id").cast("int").as("band"))
+    val buckets = sigs.join(broadcast(bandIdx))
+      .select(col("doc_id"), col("band"),
+        md5(concat_ws("|", transform(
+          slice(col("sigs"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string")))).as("bucket"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    cand.join(sigs.select(col("doc_id").as("a_id"), col("sigs").as("a_sigs")), Seq("a_id"))
+      .join(sigs.select(col("doc_id").as("b_id"), col("sigs").as("b_sigs")), Seq("b_id"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("a_sigs"), col("b_sigs"), (x, y) => x === y), b => b))
+          .cast("double") / k.toDouble)
+      .select("a_id", "b_id", "est_jaccard")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: content digest groupBy — `cache.py:27-29` MD5 keying.
@@ -120,28 +149,8 @@ object DedupQueries {
     // MinHash + LSH banding — the 100 TB near-dup path. 16 hashes, 4 bands
     // of 4 rows: candidate pairs share ≥1 band bucket; estimated Jaccard =
     // matching-signature fraction (exact multiples of 1/16).
-    "q_dedup_minhash_lsh" -> ((s, dir) => {
-      val k = 16; val bands = 4; val rowsPerBand = 4
-      val sigs = minhashSignatures(docs(s, dir), k)
-      val bandIdx = s.range(bands).select(col("id").cast("int").as("band"))
-      val buckets = sigs.join(broadcast(bandIdx))
-        .select(col("doc_id"), col("band"),
-          md5(concat_ws("|", transform(
-            slice(col("sigs"), col("band") * rowsPerBand + 1, lit(rowsPerBand)),
-            x => x.cast("string")))).as("bucket"))
-      val cand = buckets.as("x").join(buckets.as("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-      cand.join(sigs.select(col("doc_id").as("a_id"), col("sigs").as("a_sigs")), Seq("a_id"))
-        .join(sigs.select(col("doc_id").as("b_id"), col("sigs").as("b_sigs")), Seq("b_id"))
-        .withColumn("est_jaccard",
-          size(filter(zip_with(col("a_sigs"), col("b_sigs"), (x, y) => x === y), b => b))
-            .cast("double") / k.toDouble)
-        .select("a_id", "b_id", "est_jaccard")
-        .orderBy("a_id", "b_id")
-    }),
+    "q_dedup_minhash_lsh" -> ((s, dir) => minhashLshPairs(docs(s, dir))
+      .orderBy("a_id", "b_id")),
 
     // SimHash (32-bit, md5-derived bit weights, term-frequency weighted):
     // fingerprint per doc; near-dup = small hamming distance. Signature
@@ -237,7 +246,54 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // 64-bit SimHash near-dup pairing, PRODUCTION shape (the 100 TB path
+    // the fenced all-pairs queries below are oracles for): bit-block
+    // banding over the signature — split the 64 bits into 4 exact-match
+    // blocks of 16 (lo/hi halves, low/high shorts), bucket equi-join per
+    // block, hamming re-rank on candidates. Pigeonhole guarantee: any pair
+    // at hamming ≤ 3 differs in at most 3 blocks, so at least one block
+    // matches exactly → recall 1.0 for hamming ≤ 3 (probabilistic above;
+    // spec-asserted superset). Never all-pairs: the only join is an
+    // equi-join on (block, key) — Manku/Jain/Das Sarma, "Detecting
+    // near-duplicates for web crawling", WWW 2007. At 10^12 rows a 16-bit
+    // key alone leaves big buckets; the production extension is the same
+    // paper's sorted-table scan within buckets (sort by the remaining 48
+    // bits, pair within a bounded run) — the first-level plan shape here
+    // (shuffle on the block key, no cartesian) is what carries.
+    // Signatures come from the native-expression rung (identical output to
+    // the HOF/bits-join rungs — all three share one oracle).
+    "q_dedup_simhash64_banded" -> ((s, dir) => {
+      val sh = queries("q_dedup_simhash64_expr")(s, dir)
+      val mask = lit(0xFFFFL)
+      val bands = sh.select(col("doc_id"), col("simhash_lo"), col("simhash_hi"),
+          explode(array(
+            struct(lit(0).as("band"), col("simhash_lo").bitwiseAND(mask).as("key")),
+            struct(lit(1).as("band"), shiftright(col("simhash_lo"), 16).bitwiseAND(mask).as("key")),
+            struct(lit(2).as("band"), col("simhash_hi").bitwiseAND(mask).as("key")),
+            struct(lit(3).as("band"), shiftright(col("simhash_hi"), 16).bitwiseAND(mask).as("key")))).as("bk"))
+        .select(col("doc_id"), col("simhash_lo"), col("simhash_hi"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      // signatures ride the band rows through the join (functionally
+      // dependent on doc_id), so the re-rank needs no second join
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("x.simhash_lo").as("a_lo"),
+          col("x.simhash_hi").as("a_hi"), col("y.doc_id").as("b_id"),
+          col("y.simhash_lo").as("b_lo"), col("y.simhash_hi").as("b_hi"))
+        .distinct()
+      cand
+        .withColumn("hamming",
+          bit_count(col("a_lo").bitwiseXOR(col("b_lo"))) +
+          bit_count(col("a_hi").bitwiseXOR(col("b_hi"))))
+        .filter(col("hamming") <= 16)
+        .select("a_id", "b_id", "hamming")
+        .orderBy("a_id", "b_id")
+    }),
+
     // 64-bit SimHash near-dup pairs: hamming over both halves.
+    // Bounded all-pairs BY DESIGN — this is the small-range recall oracle
+    // for q_dedup_simhash64_banded, not a production path.
     "q_dedup_simhash64_pairs" -> ((s, dir) => {
       val sh = queries("q_dedup_simhash64_prod")(s, dir).filter(col("doc_id") < 150)
       val a = sh.select(col("doc_id").as("a_id"),
@@ -360,6 +416,39 @@ object DedupQueries {
            CAST(sum(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
          FROM bw GROUP BY 1""",
     "q_dedup_simhash64" -> simhash64OracleSql,
+    "q_dedup_simhash64_banded" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+           WHERE text IS NOT NULL),
+         hashed AS (
+           SELECT doc_id, md5(tok) AS hx FROM toks WHERE length(tok) > 0),
+         bits AS (SELECT CAST(unnest(range(0, 64)) AS INTEGER) AS bit),
+         bw AS (
+           SELECT doc_id, bit,
+             sum(((strpos('0123456789abcdef', substr(hx, bit//4 + 1, 1)) - 1)
+                  >> (bit % 4)) & 1) * 2 - sum(1) AS w
+           FROM hashed, bits GROUP BY 1, 2),
+         sh AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN w > 0 AND bit < 32 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS lo,
+             CAST(sum(CASE WHEN w > 0 AND bit >= 32 THEN CAST(1 AS BIGINT) << (bit - 32) ELSE 0 END) AS BIGINT) AS hi
+           FROM bw GROUP BY 1),
+         bands AS (
+           SELECT doc_id, lo, hi, b,
+             CASE b WHEN 0 THEN lo & 65535
+                    WHEN 1 THEN (lo >> 16) & 65535
+                    WHEN 2 THEN hi & 65535
+                    ELSE (hi >> 16) & 65535 END AS key
+           FROM sh, (SELECT CAST(unnest(range(0, 4)) AS INTEGER) AS b)),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a_id, x.lo AS a_lo, x.hi AS a_hi,
+                           y.doc_id AS b_id, y.lo AS b_lo, y.hi AS b_hi
+           FROM bands x JOIN bands y
+             ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id)
+         SELECT a_id, b_id,
+           bit_count(xor(a_lo, b_lo)) + bit_count(xor(a_hi, b_hi)) AS hamming
+         FROM cand
+         WHERE bit_count(xor(a_lo, b_lo)) + bit_count(xor(a_hi, b_hi)) <= 16""",
     // the production (HOF single-pass) and native-expression variants
     // compute the IDENTICAL signature, so both are held to the same oracle
     "q_dedup_simhash64_prod" -> simhash64OracleSql,

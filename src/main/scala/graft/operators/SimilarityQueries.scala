@@ -105,6 +105,50 @@ object SimilarityQueries {
       .select(col("q_id"), col("rk"), col("c_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Trained-IVF retrieval over any (vec_id, label, embedding) frame: one
+    * integer-exact Lloyd's iteration from the 16 seed cells, then the
+    * standard inverted-file probe (see the q_ann_topk_ivf_trained entry).
+    */
+  def ivfTrainedTopK(raw: DataFrame, probeCells: Int = 2, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = raw.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
+    val seeds = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("emb").as("c_emb"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+    def assignTo(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("csim", cosine(col("emb"), col("c_emb")))
+        .withColumn("rk", row_number().over(wAssign))
+    // Lloyd's step: argmax-cosine assignment to seeds, then per-(cell, dim)
+    // BIGINT sums of floor(x·1024) collected into the refined centroid
+    val assign0 = assignTo(seeds).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"), col("emb"))
+    val cents1 = assign0
+      .select(col("cell"), posexplode(col("emb")).as(Seq("d", "x")))
+      .withColumn("q", floor(col("x") * 1024))
+      .groupBy("cell", "d").agg(sum("q").as("cq"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cq")))),
+        s => s.getField("cq").cast("double")).as("c_emb"))
+    val scored = assignTo(cents1)
+    val assign1 = scored.filter(col("rk") === 1)
+      .select(col("vec_id").as("m_id"), col("cell"))
+    val probes = scored.filter(col("label") === 0 && col("rk") <= probeCells)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    val cand = probes.join(assign1, Seq("cell"))
+      .filter(col("q_id") =!= col("m_id"))
+      .select(col("q_id"), col("m_id").as("c_id"))
+      .distinct()
+    val qEmb = e.select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val cEmb = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb2"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    cand.join(qEmb, Seq("q_id")).join(cEmb, Seq("c_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("c_emb2")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("c_id"), round(col("cos"), 4).as("cos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Pairwise cosine on a bounded id range — value-level oracle for the
@@ -224,6 +268,21 @@ object SimilarityQueries {
         .orderBy("q_id", "rk")
     }),
 
+    // IVF with a TRAINED coarse quantizer: one deterministic Lloyd's
+    // iteration over the 16 seed cells. The refined centroid is the
+    // per-cell element-wise SUM of assigned vectors, integer-quantized as
+    // floor(x·1024) — exact everywhere: ·1024 is a power-of-two scale of a
+    // float-derived double (no rounding), floor is tie-free, and BIGINT
+    // sums are order-independent, so the trained centroids are
+    // bit-identical in Spark and the DuckDB oracle. Cosine is
+    // scale-invariant, so the un-normalized sum IS the mean direction —
+    // no division, no FP-order sensitivity. Same inverted-file plan shape
+    // as q_ann_topk_ivf (assign → probe top-2 cells → exact re-rank);
+    // training quality is asserted on clustered data in AnnClusteredSpec.
+    // Reference analogue: best-of-N selection analysis.py:645-671.
+    "q_ann_topk_ivf_trained" -> ((s, dir) => ivfTrainedTopK(embs(s, dir))
+      .orderBy("q_id", "rk")),
+
     // Random-hyperplane LSH signatures (8 bits, md5-derived hyperplanes):
     // the bucketed ANN path — one shuffle on the bucket, candidates only
     // within buckets. Oracle checks the signature assignment itself.
@@ -340,6 +399,65 @@ object SimilarityQueries {
          cand AS (
            SELECT DISTINCT p.q_id, a.m_id AS c_id
            FROM probes p JOIN assign a ON a.cell = p.cell AND a.m_id <> p.q_id),
+         dots AS (
+           SELECT c.q_id, c.c_id,
+             sum(qe.emb[i] * ce.emb[i]) AS dp,
+             sum(qe.emb[i] * qe.emb[i]) AS nq,
+             sum(ce.emb[i] * ce.emb[i]) AS nc
+           FROM cand c
+           JOIN e qe ON qe.vec_id = c.q_id
+           JOIN e ce ON ce.vec_id = c.c_id,
+           UNNEST(range(1, 65)) AS u(i)
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT q_id, c_id, dp/(sqrt(nq)*sqrt(nc)) AS cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY dp/(sqrt(nq)*sqrt(nc)) DESC, c_id) AS rk
+           FROM dots)
+         SELECT q_id, rk, c_id, round(cos, 4) AS cos
+         FROM ranked WHERE rk <= 3""",
+    "q_ann_topk_ivf_trained" ->
+      """WITH e AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         cents0 AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id < 16),
+         sdots0 AS (
+           SELECT e.vec_id, c.cell,
+             sum(e.emb[i] * c.c_emb[i]) AS dp,
+             sum(e.emb[i] * e.emb[i]) AS nv,
+             sum(c.c_emb[i] * c.c_emb[i]) AS nc
+           FROM e, cents0 c, UNNEST(range(1, 65)) AS u(i)
+           GROUP BY 1, 2),
+         assign0 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY dp/(sqrt(nv)*sqrt(nc)) DESC, cell) AS rk
+             FROM sdots0) WHERE rk = 1),
+         qsum AS (
+           SELECT a.cell, d,
+             CAST(sum(CAST(floor(e.emb[d] * 1024) AS BIGINT)) AS BIGINT) AS cq
+           FROM assign0 a JOIN e ON e.vec_id = a.vec_id, UNNEST(range(1, 65)) AS u(d)
+           GROUP BY 1, 2),
+         cents1 AS (
+           SELECT cell, list(CAST(cq AS DOUBLE) ORDER BY d) AS c_emb
+           FROM qsum GROUP BY 1),
+         sdots1 AS (
+           SELECT e.vec_id, e.label, c.cell,
+             sum(e.emb[i] * c.c_emb[i]) AS dp,
+             sum(e.emb[i] * e.emb[i]) AS nv,
+             sum(c.c_emb[i] * c.c_emb[i]) AS nc
+           FROM e, cents1 c, UNNEST(range(1, 65)) AS u(i)
+           GROUP BY 1, 2, 3),
+         scored AS (
+           SELECT vec_id, label, cell,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY dp/(sqrt(nv)*sqrt(nc)) DESC, cell) AS rk
+           FROM sdots1),
+         assign1 AS (SELECT vec_id AS m_id, cell FROM scored WHERE rk = 1),
+         probes AS (SELECT vec_id AS q_id, cell FROM scored WHERE label = 0 AND rk <= 2),
+         cand AS (
+           SELECT DISTINCT p.q_id, a.m_id AS c_id
+           FROM probes p JOIN assign1 a ON a.cell = p.cell AND a.m_id <> p.q_id),
          dots AS (
            SELECT c.q_id, c.c_id,
              sum(qe.emb[i] * ce.emb[i]) AS dp,

@@ -1,7 +1,7 @@
 package graft.validation
 
 import graft.sketch.TDigest
-import org.apache.spark.sql.{DataFrame, Encoders, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
@@ -89,10 +89,11 @@ object Drift {
     * is the baseline. Returns (verdicts, violations).
     */
   /** One narrow pass over `images` building mergeable per-(part, colname)
-    * partials (t-digest + bucket histogram), reduced per key (a KB-scale
-    * shuffle) and collected — the only data that ever reaches the driver.
+    * partials (t-digest + bucket histogram), reduced per key — a KB-scale
+    * shuffle. Stays DISTRIBUTED (a Dataset): only callers that persist the
+    * partials or finalize driver-side ever collect it.
     */
-  def collectPartials(images: DataFrame): Array[DriftPartial] = {
+  def partials(images: DataFrame): Dataset[DriftPartial] = {
     val spark = images.sparkSession
     import spark.implicits._
     images.select(col("part"), col("w").cast("double"), col("h").cast("double"))
@@ -114,8 +115,11 @@ object Drift {
       .groupByKey(x => (x.part, x.colname))
       .reduceGroups((a, b) => a.merge(b))
       .map(_._2)
-      .collect()
   }
+
+  /** Driver-side partial collection (resume side-store + small-table path). */
+  def collectPartials(images: DataFrame): Array[DriftPartial] =
+    partials(images).collect()
 
   /** Persist partials (ST2 resume: done partitions are never re-scanned for
     * drift — their sketches merge from this table instead). Dynamic
@@ -140,70 +144,128 @@ object Drift {
     }
   }
 
-  def check(images: DataFrame, runId: String,
-            baselineDir: Option[String] = None): (DataFrame, DataFrame) =
-    verdictsFrom(images.sparkSession, collectPartials(images), runId, baselineDir)
+  /** Above this many (part, colname) partials the final chi²/KS math moves
+    * into executors (broadcast baseline, distributed finalize): one ~KB
+    * partial per key is harmless to collect up to ~10^5 keys, but a
+    * 10^6-partition table must not funnel through the driver.
+    */
+  val DriverFinalizeMaxPartials = 100000
 
-  /** Drift verdicts from already-merged partials (fresh, persisted, or a
-    * mix): chi-square vs baseline histogram + KS vs baseline digest.
+  def check(images: DataFrame, runId: String,
+            baselineDir: Option[String] = None,
+            driverFinalizeMax: Int = DriverFinalizeMaxPartials): (DataFrame, DataFrame) = {
+    val spark = images.sparkSession
+    val cached = partials(images).persist()
+    if (cached.count() <= driverFinalizeMax) {
+      val r = verdictsFrom(spark, cached.collect(), runId, baselineDir)
+      cached.unpersist()
+      r
+    } else {
+      // stays persisted: the returned frames read it lazily (documented;
+      // at this scale the partial set is the cheapest thing in the job)
+      verdictsDistributed(spark, cached, runId, baselineDir)
+    }
+  }
+
+  /** The per-partial finalize math — shared verbatim by the driver-side and
+    * distributed paths: with a persisted baseline both produce bit-identical
+    * verdicts; with a DERIVED global baseline the t-digest reduce order
+    * differs between paths, so KS agrees to sketch tolerance while chi²
+    * (integer histograms) stays exact (DriftDistributedSpec asserts both).
+    *
+    * Normalized chi-square: raw statistic over the FULL union of baseline
+    * and partition buckets, divided by the partition row count — a
+    * scale-invariant effect size (see ImageSuite.DriftChi2Max). Buckets
+    * observed outside the baseline's support get a half-count smoothed
+    * expected value, so mass that drifted into novel buckets contributes
+    * to the statistic instead of being silently dropped. `pTot.toDouble`
+    * BEFORE the multiply: two large Longs would overflow at design scale.
+    */
+  private[validation] def finalizeOne(p: DriftPartial,
+      globalHist: Map[String, Map[Long, Long]],
+      globalDig: Map[String, Array[Byte]], runId: String): Seq[Verdict] = {
+    val g = globalHist(p.colname)
+    val gTot = g.values.sum.toDouble
+    val pTot = p.buckets.values.sum
+    val chi2 = (g.keySet ++ p.buckets.keySet).toSeq.map { b =>
+      val gCnt = g.getOrElse(b, 0L)
+      val o = p.buckets.getOrElse(b, 0L).toDouble
+      val e = if (gCnt > 0) pTot.toDouble * gCnt / gTot
+              else pTot.toDouble * 0.5 / gTot // smoothed: novel support
+      if (e > 0) (o - e) * (o - e) / e else 0.0
+    }.sum / math.max(1L, pTot)
+    val ks = TDigest.ks(TDigest.fromBytes(p.sketch), TDigest.fromBytes(globalDig(p.colname)))
+    Seq(
+      Verdict(p.part, s"drift_chi2_${p.colname}", chi2 <= ImageSuite.DriftChi2Max,
+        chi2, ImageSuite.DriftChi2Max, pTot,
+        if (chi2 <= ImageSuite.DriftChi2Max) 0L else 1L, runId),
+      Verdict(p.part, s"drift_ks_${p.colname}", ks <= ImageSuite.DriftKsMax,
+        ks, ImageSuite.DriftKsMax, pTot,
+        if (ks <= ImageSuite.DriftKsMax) 0L else 1L, runId))
+  }
+
+  /** Baseline maps from a persisted snapshot dir. */
+  private def readBaselineMaps(spark: SparkSession, d: String)
+      : (Map[String, Map[Long, Long]], Map[String, Array[Byte]]) = {
+    import spark.implicits._
+    val h = spark.read.parquet(s"$d/histogram")
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(x => x._2 -> x._3).toMap }
+    val g = spark.read.parquet(s"$d/digests").as[(String, Array[Byte])].collect().toMap
+    (h, g)
+  }
+
+  /** Global (per-colname) baseline from the partials themselves: a 2-row
+    * reduce — the only data the distributed path ever collects.
+    */
+  private def globalFromPartials(merged: Seq[DriftPartial])
+      : (Map[String, Map[Long, Long]], Map[String, Array[Byte]]) = {
+    val byCol = merged.groupBy(_.colname)
+      .map { case (c, xs) => xs.reduce(_ merge _) }
+    (byCol.map(g => g.colname -> g.buckets).toMap,
+      byCol.map(g => g.colname -> g.sketch).toMap)
+  }
+
+  private def violationsOf(verdicts: DataFrame): DataFrame =
+    verdicts.filter(!col("pass"))
+      .select(col("part"), lit("-").as("image_id"), col("check"),
+        concat(lit("stat="), round(col("metric"), 4)).as("observed"),
+        concat(lit("<= "), col("threshold")).as("expected"))
+
+  /** Drift verdicts from already-merged driver-side partials (fresh,
+    * persisted, or a mix): chi-square vs baseline histogram + KS vs
+    * baseline digest.
     */
   def verdictsFrom(spark: SparkSession, merged: Array[DriftPartial], runId: String,
                    baselineDir: Option[String] = None): (DataFrame, DataFrame) = {
     import spark.implicits._
-    // reference distribution: persisted snapshot, else merged global
-    val (globalHist, globalDig): (Map[String, Map[Long, Long]], Map[String, TDigest]) =
-      baselineDir.map { d =>
-        val h = spark.read.parquet(s"$d/histogram")
-          .as[(String, Long, Long)].collect()
-          .groupBy(_._1).map { case (c, xs) => c -> xs.map(x => x._2 -> x._3).toMap }
-        val g = spark.read.parquet(s"$d/digests").as[(String, Array[Byte])].collect()
-          .map { case (c, b) => c -> TDigest.fromBytes(b) }.toMap
-        (h, g)
-      }.getOrElse {
-        val byCol = merged.groupBy(_.colname)
-        val h = byCol.map { case (c, xs) =>
-          c -> xs.flatMap(_.buckets.toSeq).groupBy(_._1)
-            .map { case (b, ys) => b -> ys.map(_._2).sum }
-        }
-        val g = byCol.map { case (c, xs) =>
-          c -> xs.map(x => TDigest.fromBytes(x.sketch)).reduce(_ merge _)
-        }
-        (h, g)
+    val (globalHist, globalDig) = baselineDir.map(readBaselineMaps(spark, _))
+      .getOrElse(globalFromPartials(merged.toSeq))
+    val verdicts = spark.createDataset(
+      merged.toSeq.flatMap(finalizeOne(_, globalHist, globalDig, runId))).toDF()
+    (verdicts, violationsOf(verdicts))
+  }
+
+  /** Distributed finalize: the baseline (a few KB per colname) is broadcast
+    * and each partial's chi²/KS math runs in executors — verdicts never
+    * materialize on the driver. Math is [[finalizeOne]], identical to the
+    * driver path.
+    */
+  def verdictsDistributed(spark: SparkSession, pds: Dataset[DriftPartial],
+                          runId: String, baselineDir: Option[String] = None)
+      : (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val (gHist, gDig) = baselineDir.map(readBaselineMaps(spark, _))
+      .getOrElse {
+        // per-colname global reduce: collects exactly one row per column
+        val globals = pds.groupByKey(_.colname).reduceGroups((a, b) => a.merge(b))
+          .map(_._2).collect()
+        (globals.map(g => g.colname -> g.buckets).toMap,
+          globals.map(g => g.colname -> g.sketch).toMap)
       }
-
-    val verdictRows = merged.toSeq.flatMap { p =>
-      val g = globalHist(p.colname)
-      val gTot = g.values.sum.toDouble
-      val pTot = p.buckets.values.sum
-      // normalized chi-square: raw statistic over the FULL union of baseline
-      // and partition buckets, divided by the partition row count — a
-      // scale-invariant effect size (see ImageSuite.DriftChi2Max). Buckets
-      // observed outside the baseline's support get a half-count smoothed
-      // expected value, so mass that drifted into novel buckets contributes
-      // to the statistic instead of being silently dropped. `pTot.toDouble`
-      // BEFORE the multiply: two large Longs would overflow at design scale.
-      val chi2 = (g.keySet ++ p.buckets.keySet).toSeq.map { b =>
-        val gCnt = g.getOrElse(b, 0L)
-        val o = p.buckets.getOrElse(b, 0L).toDouble
-        val e = if (gCnt > 0) pTot.toDouble * gCnt / gTot
-                else pTot.toDouble * 0.5 / gTot // smoothed: novel support
-        if (e > 0) (o - e) * (o - e) / e else 0.0
-      }.sum / math.max(1L, pTot)
-      val ks = TDigest.ks(TDigest.fromBytes(p.sketch), globalDig(p.colname))
-      Seq(
-        Verdict(p.part, s"drift_chi2_${p.colname}", chi2 <= ImageSuite.DriftChi2Max,
-          chi2, ImageSuite.DriftChi2Max, pTot,
-          if (chi2 <= ImageSuite.DriftChi2Max) 0L else 1L, runId),
-        Verdict(p.part, s"drift_ks_${p.colname}", ks <= ImageSuite.DriftKsMax,
-          ks, ImageSuite.DriftKsMax, pTot,
-          if (ks <= ImageSuite.DriftKsMax) 0L else 1L, runId))
-    }
-    val verdicts = spark.createDataset(verdictRows).toDF()
-
-    val violations = verdicts.filter(!col("pass"))
-      .select(col("part"), lit("-").as("image_id"), col("check"),
-        concat(lit("stat="), round(col("metric"), 4)).as("observed"),
-        concat(lit("<= "), col("threshold")).as("expected"))
-    (verdicts, violations)
+    val bcH = spark.sparkContext.broadcast(gHist)
+    val bcD = spark.sparkContext.broadcast(gDig)
+    val verdicts = pds.flatMap(p => finalizeOne(p, bcH.value, bcD.value, runId)).toDF()
+    (verdicts, violationsOf(verdicts))
   }
 }

@@ -397,11 +397,18 @@ object ImageSuite {
         lightNew("image_id") === caps("cap_id"), "left_anti")
       .select(col("part"), col("image_id"), lit("referential_caption_exists").as("check"),
         lit("no caption row").as("observed"), lit("caption row exists").as("expected"))
-    // orphan captions: no image row anywhere validated so far — shrinks
-    // monotonically as more partitions complete
+    // orphan captions: no image row anywhere validated so far. Evaluated
+    // ONLY for captions in PENDING partitions — each caption is checked
+    // exactly once, when its partition is validated (the same resume
+    // discipline as every other family). Re-evaluating all captions every
+    // resumed run would append duplicate orphan rows for long-done
+    // partitions on every run, on partitions that receive no verdict row.
+    val pendingParts = lightNew.select(col("part").as("cap_part")).distinct()
     val allIds = oldKeys.select("image_id")
       .unionByName(lightNew.select("image_id"))
-    val orphanCap = caps.join(allIds, caps("cap_id") === allIds("image_id"), "left_anti")
+    val orphanCap = caps
+      .join(broadcast(pendingParts), Seq("cap_part"), "left_semi")
+      .join(allIds, caps("cap_id") === allIds("image_id"), "left_anti")
       .select(col("cap_part").as("part"), col("cap_id").as("image_id"),
         lit("referential_image_exists").as("check"),
         lit("caption without image").as("observed"), lit("image row exists").as("expected"))
@@ -437,6 +444,40 @@ object ImageSuite {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
+
+  /** One-time, crash-safe migration of a violations store written before
+    * the `run_id` column existed: appending the new schema into such a
+    * directory would leave a mixed-schema parquet dir where plain reads
+    * nondeterministically pick a file schema. Same rename-aside discipline
+    * as [[PartitionedStore]]: the original is only deleted after the
+    * rewrite completes, so a crash anywhere leaves a recoverable copy.
+    */
+  private def ensureViolationsRunId(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacy = new org.apache.hadoop.fs.Path(dir + ".legacy")
+    if (fs.exists(legacy)) {
+      fs.delete(p, true) // crashed mid-migration: replay from the legacy copy
+    } else {
+      if (!fs.exists(p)) return
+      if (spark.read.parquet(dir).columns.contains("run_id")) return
+      require(fs.rename(p, legacy), s"rename $p aside for migration failed")
+    }
+    spark.read.parquet(legacy.toString)
+      .withColumn("run_id", lit(null).cast("string"))
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+    fs.delete(legacy, true)
+    spark.catalog.refreshByPath(dir)
+  }
+
+  /** Read the per-partition HLL-sketch store (mergeable image_id NDV). */
+  private def readHll(spark: SparkSession, dir: String): DataFrame =
+    if (pathExists(spark, dir)) spark.read.parquet(dir).select("sketch", "part")
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("sketch", org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.types.StructField("part", org.apache.spark.sql.types.StringType))))
 
   private def readKeys(spark: SparkSession, dir: String): DataFrame =
     if (pathExists(spark, dir)) spark.read.parquet(dir).select("image_id", "part")
@@ -508,10 +549,28 @@ object ImageSuite {
         Scoring.verdictScore(col("check"), col("metric"), col("threshold")))
     val violations = rv.unionByName(kViol).unionByName(dViol)
 
+    // Cross-run NDV(image_id) from mergeable HLL sketches (DataSketches HLL
+    // via the builtin hll_* functions): one sketch per pending partition is
+    // merged with the persisted sketches of DONE partitions — resumed runs
+    // get the sketch-accuracy estimate without re-reading a single done
+    // partition (the same resume pattern as the drift t-digest partials).
+    // Estimated EAGERLY (collect) before the store below is overwritten.
+    val freshHll = lightNew.groupBy("part")
+      .agg(hll_sketch_agg(col("image_id")).as("sketch"))
+    val storedHll = readHll(spark, s"$outDir/hll")
+      .join(broadcast(doneDf), Seq("part"), "left_semi")
+    val ndvImageId: Long = freshHll.select("sketch", "part").unionByName(storedHll)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("ndv"))
+      .collect()(0).getLong(0)
+
+    ensureViolationsRunId(spark, s"$outDir/violations")
     verdicts.write.mode(SaveMode.Append).parquet(s"$outDir/verdicts")
     violations.withColumn("run_id", lit(runId))
       .write.mode(SaveMode.Append).parquet(s"$outDir/violations")
-    metricsOf(facts, runId).write.mode(SaveMode.Append).parquet(s"$outDir/metrics")
+    metricsOf(facts, runId)
+      .unionByName(spark.createDataset(Seq(
+        MetricRow("_global", "ndv_image_id_hll", ndvImageId.toDouble, runId))).toDF())
+      .write.mode(SaveMode.Append).parquet(s"$outDir/metrics")
     // state: only partitions processed THIS run become done. Materialized
     // to the driver NOW (one row per pending partition) because its
     // lineage re-scans the keys store, whose files the overwrite below
@@ -535,6 +594,7 @@ object ImageSuite {
     // state table below is the commit point).
     PartitionedStore.write(lightNew.select("image_id", "part"), s"$outDir/keys")
     Drift.writePartials(spark, freshPartials.toSeq, s"$outDir/drift_partials")
+    PartitionedStore.write(freshHll, s"$outDir/hll")
     // the state write is the COMMIT POINT — last, from pre-materialized rows
     spark.createDataset(stateRows).toDF()
       .coalesce(1).write.mode(SaveMode.Append).parquet(stateDir)

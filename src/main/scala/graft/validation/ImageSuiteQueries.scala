@@ -33,7 +33,73 @@ object ImageSuiteQueries {
       })
     }
 
+  /** Fixed absolute location of the persisted decoded-facts table: decode
+    * cannot run in DuckDB, but its OUTPUT can — persisting `decodeFactsExpr`
+    * (already bytes-free) lets the entire downstream verdict / score /
+    * overall aggregation be oracle-checked from the same parquet both
+    * engines read (reference verdict assembly validation_agent.py:600-650).
+    * The path is a compile-time constant because `oracleSql` is static SQL.
+    */
+  val FactsPath = "/root/repo/data/image_facts"
+
+  private val factsWritten = scala.collection.mutable.Set[(SparkSession, String)]()
+
+  /** Persist decoded facts for the tier once per (session, sfDir); both the
+    * Spark q_i_* queries and their DuckDB oracles read this table back, so
+    * the compared aggregations run over bit-identical input.
+    */
+  def ensureFacts(s: SparkSession, sfDir: String): DataFrame = {
+    factsWritten.synchronized {
+      factsWritten.filterInPlace { case (sess, _) => !sess.sparkContext.isStopped }
+      if (!factsWritten.contains((s, sfDir))) {
+        val dir = ImageGen.ensure(s, rowsFor(sfDir))
+        ImageSuite.decodeFactsExpr(ImageGen.images(s, dir))
+          .coalesce(4).write.mode("overwrite").parquet(FactsPath)
+        factsWritten += ((s, sfDir))
+      }
+    }
+    s.read.parquet(FactsPath)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Oracle-backed verdict math (the q_i_* family): every aggregation the
+    // suite derives from decoded facts, recomputed by DuckDB from the same
+    // persisted facts parquet. Violation rates are exact integer ratios and
+    // ladder means use the integer-count form (Scoring.qualityVerdicts), so
+    // values hash-match bit-for-bit.
+    "q_i_row_verdicts" -> ((s, dir) => {
+      val f = ensureFacts(s, dir)
+      ImageSuite.rowVerdicts(f, ImageSuite.rowViolations(f), "verify")
+        .orderBy("part", "check")
+    }),
+    "q_i_coverage" -> ((s, dir) => {
+      val f = ensureFacts(s, dir)
+      ImageSuite.coverageVerdicts(f, "verify").orderBy("part", "check")
+    }),
+    "q_i_quality_scores" -> ((s, dir) => {
+      val f = ensureFacts(s, dir)
+      Scoring.qualityVerdicts(f, "verify").orderBy("part", "check")
+    }),
+    // V8 composition over the oracle-able families (row + coverage +
+    // quality): mean/min/failing-count of graded scores per partition.
+    // Drift and key checks keep their sketch/index paths (not DuckDB-
+    // expressible); their composition is covered by qi_overall_scores.
+    "q_i_overall" -> ((s, dir) => {
+      val f = ensureFacts(s, dir)
+      val verdicts = ImageSuite.rowVerdicts(f, ImageSuite.rowViolations(f), "verify")
+        .unionByName(ImageSuite.coverageVerdicts(f, "verify"))
+        .unionByName(Scoring.qualityVerdicts(f, "verify"))
+        .withColumn("score",
+          Scoring.verdictScore(col("check"), col("metric"), col("threshold")))
+      Scoring.overallScores(verdicts)
+        // the mean over ~13 scores is the one FP-order-sensitive value —
+        // round to 6 (error is ~1e-15, half-ulp at 1e-6)
+        .select(col("part"), round(col("overall_score"), 6).as("overall_score"),
+          col("n_checks"), col("n_failing"), col("min_score"))
+        .orderBy("part")
+    }),
+
     // Full verdict table: one row per (partition, check), always emitted.
     "qi_verdicts" -> ((s, dir) => {
       val (v, _, _) = suite(s, dir)
@@ -94,5 +160,144 @@ object ImageSuiteQueries {
     })
   )
 
-  def oracleSql: Map[String, String] = Map.empty
+  /** Facts CTE shared by every q_i_* oracle. */
+  private val factsCte =
+    s"WITH f AS (SELECT * FROM read_parquet('$FactsPath/*.parquet'))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_i_row_verdicts" ->
+      s"""$factsCte,
+         p AS (
+           SELECT part, count(*) AS n_rows,
+             CAST(sum(CASE WHEN NOT has_bytes THEN 1 ELSE 0 END) AS BIGINT) AS v_bytes_present,
+             CAST(sum(CASE WHEN has_bytes AND NOT decode_ok THEN 1 ELSE 0 END) AS BIGINT) AS v_decodable,
+             CAST(sum(CASE WHEN w <= 0 OR h <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_dims_positive,
+             CAST(sum(CASE WHEN decode_ok AND (w <> dec_w OR h <> dec_h) THEN 1 ELSE 0 END) AS BIGINT) AS v_dims_match_decoded,
+             CAST(sum(CASE WHEN w = 0 AND h = 0 AND NOT has_bytes THEN 1 ELSE 0 END) AS BIGINT) AS v_sentinel_row,
+             CAST(sum(CASE WHEN decode_ok AND NOT isnan(psnr_db) AND psnr_db < 40.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_psnr_allclose,
+             CAST(sum(CASE WHEN decode_ok AND phash_hamming > 10 THEN 1 ELSE 0 END) AS BIGINT) AS v_phash_consistent,
+             CAST(sum(CASE WHEN fmt_sniffed <> 'none' AND fmt <> fmt_sniffed THEN 1 ELSE 0 END) AS BIGINT) AS v_fmt_matches_magic,
+             CAST(sum(CASE WHEN caption IS NOT NULL AND caption <> caption_expected THEN 1 ELSE 0 END) AS BIGINT) AS v_caption_equality
+           FROM f GROUP BY 1),
+         u AS (
+           SELECT part, 'bytes_present' AS check, n_rows, v_bytes_present AS n_violations FROM p
+           UNION ALL SELECT part, 'decodable', n_rows, v_decodable FROM p
+           UNION ALL SELECT part, 'dims_positive', n_rows, v_dims_positive FROM p
+           UNION ALL SELECT part, 'dims_match_decoded', n_rows, v_dims_match_decoded FROM p
+           UNION ALL SELECT part, 'sentinel_row', n_rows, v_sentinel_row FROM p
+           UNION ALL SELECT part, 'psnr_allclose', n_rows, v_psnr_allclose FROM p
+           UNION ALL SELECT part, 'phash_consistent', n_rows, v_phash_consistent FROM p
+           UNION ALL SELECT part, 'fmt_matches_magic', n_rows, v_fmt_matches_magic FROM p
+           UNION ALL SELECT part, 'caption_equality', n_rows, v_caption_equality FROM p)
+         SELECT part, "check", n_violations = 0 AS pass,
+           CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE) AS metric,
+           CAST(0.0 AS DOUBLE) AS threshold, n_rows, n_violations,
+           'verify' AS run_id
+         FROM u""",
+    "q_i_coverage" ->
+      s"""$factsCte,
+         p AS (
+           SELECT part, count(*) AS n_rows,
+             CAST(sum(CASE WHEN caption IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_caption,
+             CAST(sum(CASE WHEN NOT has_bytes THEN 1 ELSE 0 END) AS BIGINT) AS null_bytes
+           FROM f GROUP BY 1),
+         u AS (
+           SELECT part, 'null_rate_caption' AS check, n_rows, null_caption AS n_violations FROM p
+           UNION ALL SELECT part, 'null_rate_bytes', n_rows, null_bytes FROM p)
+         SELECT part, "check",
+           CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE) <= 0.02 AS pass,
+           CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE) AS metric,
+           CAST(0.02 AS DOUBLE) AS threshold, n_rows, n_violations,
+           'verify' AS run_id
+         FROM u""",
+    "q_i_quality_scores" -> qualityScoresSql,
+    "q_i_overall" ->
+      s"""$factsCte,
+         $verdictUnionSql
+         SELECT part, round(avg(score), 6) AS overall_score,
+           count(*) AS n_checks,
+           CAST(sum(CASE WHEN NOT pass THEN 1 ELSE 0 END) AS BIGINT) AS n_failing,
+           min(score) AS min_score
+         FROM scored GROUP BY part"""
+  )
+
+  /** Quality ladder means from integer bucket counts — the exact form
+    * Scoring.qualityVerdicts computes (single division of exact integers).
+    */
+  private def qualityScoresSql: String =
+    s"""$factsCte,
+       $qualityAggSql
+       SELECT part, "check", metric >= 0.6 AS pass, metric,
+         CAST(0.6 AS DOUBLE) AS threshold, n_rows, n_violations,
+         'verify' AS run_id
+       FROM q"""
+
+  /** Shared CTE body: per-part ladder counts → long-form quality verdicts. */
+  private val qualityAggSql =
+    """a AS (
+         SELECT part, count(*) AS n_rows,
+           CAST(sum(CASE WHEN decode_ok THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+           CAST(sum(CASE WHEN decode_ok AND psnr_db >= 45.0 THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+           CAST(sum(CASE WHEN decode_ok AND psnr_db >= 40.0 AND psnr_db < 45.0 THEN 1 ELSE 0 END) AS BIGINT) AS p08,
+           CAST(sum(CASE WHEN decode_ok AND psnr_db >= 30.0 AND psnr_db < 40.0 THEN 1 ELSE 0 END) AS BIGINT) AS p06,
+           CAST(sum(CASE WHEN decode_ok AND phash_hamming >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nh,
+           CAST(sum(CASE WHEN decode_ok AND phash_hamming = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+           CAST(sum(CASE WHEN decode_ok AND phash_hamming BETWEEN 1 AND 4 THEN 1 ELSE 0 END) AS BIGINT) AS h08,
+           CAST(sum(CASE WHEN decode_ok AND phash_hamming BETWEEN 5 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS h06
+         FROM f GROUP BY 1),
+       q AS (
+         SELECT part, 'psnr_quality' AS check, n_rows,
+           CASE WHEN nd > 0
+             THEN CAST(p1*10 + p08*8 + p06*6 + (nd-p1-p08-p06)*2 AS DOUBLE) / CAST(nd*10 AS DOUBLE)
+             ELSE CAST(0.5 AS DOUBLE) END AS metric,
+           nd - p1 - p08 - p06 AS n_violations
+         FROM a
+         UNION ALL
+         SELECT part, 'phash_quality', n_rows,
+           CASE WHEN nh > 0
+             THEN CAST(h1*10 + h08*8 + h06*6 + (nh-h1-h08-h06)*2 AS DOUBLE) / CAST(nh*10 AS DOUBLE)
+             ELSE CAST(0.5 AS DOUBLE) END,
+           nh - h1 - h08 - h06
+         FROM a)"""
+
+  /** Row + coverage + quality verdicts with graded scores, as one CTE chain
+    * (the q_i_overall input — mirrors Scoring.verdictScore).
+    */
+  private val verdictUnionSql =
+    s"""p AS (
+         SELECT part, count(*) AS n_rows,
+           CAST(sum(CASE WHEN NOT has_bytes THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+           CAST(sum(CASE WHEN has_bytes AND NOT decode_ok THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+           CAST(sum(CASE WHEN w <= 0 OR h <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+           CAST(sum(CASE WHEN decode_ok AND (w <> dec_w OR h <> dec_h) THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+           CAST(sum(CASE WHEN w = 0 AND h = 0 AND NOT has_bytes THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+           CAST(sum(CASE WHEN decode_ok AND NOT isnan(psnr_db) AND psnr_db < 40.0 THEN 1 ELSE 0 END) AS BIGINT) AS v6,
+           CAST(sum(CASE WHEN decode_ok AND phash_hamming > 10 THEN 1 ELSE 0 END) AS BIGINT) AS v7,
+           CAST(sum(CASE WHEN fmt_sniffed <> 'none' AND fmt <> fmt_sniffed THEN 1 ELSE 0 END) AS BIGINT) AS v8,
+           CAST(sum(CASE WHEN caption IS NOT NULL AND caption <> caption_expected THEN 1 ELSE 0 END) AS BIGINT) AS v9,
+           CAST(sum(CASE WHEN caption IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(sum(CASE WHEN NOT has_bytes THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         FROM f GROUP BY 1),
+       $qualityAggSql,
+       rates AS (
+         SELECT part, v, 'row' AS kind FROM (
+           SELECT part, unnest([v1, v2, v3, v4, v5, v6, v7, v8, v9]) AS v FROM p)
+         UNION ALL SELECT part, c1, 'cov' FROM p
+         UNION ALL SELECT part, c2, 'cov' FROM p),
+       rateScored AS (
+         SELECT part,
+           CASE WHEN rate = 0 THEN CAST(1.0 AS DOUBLE)
+                WHEN rate <= 0.01 THEN CAST(0.8 AS DOUBLE)
+                WHEN rate <= 0.05 THEN CAST(0.6 AS DOUBLE)
+                ELSE CAST(0.2 AS DOUBLE) END AS score,
+           pass
+         FROM (SELECT r.part, CAST(v AS DOUBLE)/CAST(p.n_rows AS DOUBLE) AS rate,
+                 CASE WHEN kind = 'row' THEN v = 0
+                      ELSE CAST(v AS DOUBLE)/CAST(p.n_rows AS DOUBLE) <= 0.02 END AS pass
+               FROM rates r JOIN p ON p.part = r.part)),
+       qualScored AS (
+         SELECT part, metric AS score, metric >= 0.6 AS pass FROM q),
+       scored AS (
+         SELECT part, score, pass FROM rateScored
+         UNION ALL SELECT part, score, pass FROM qualScored)"""
 }

@@ -23,22 +23,38 @@ object PartitionedStore {
     df.sparkSession.catalog.refreshByPath(dir)
   }
 
-  /** Rewrite a legacy flat store into the partitioned layout via a
-    * temp-dir swap. No-op when the dir is missing or already partitioned.
+  /** Rewrite a legacy flat store into the partitioned layout, crash-safe:
+    * the flat store is first RENAMED aside (atomic) to `dir + ".legacy"`,
+    * the partitioned layout is written to `dir` from that copy, and the
+    * legacy copy is deleted LAST. A crash anywhere in between leaves the
+    * authoritative `.legacy` copy on disk, and the recovery branch below
+    * (runs at the top of every write) discards the possibly-partial `dir`
+    * and replays the rewrite — the side store is never lost. The previous
+    * scheme (delete live dir, then rename a temp in) had a window where a
+    * crash dropped the store permanently and the next run silently started
+    * from empty keys/partials.
     */
   private def migrateLegacy(spark: SparkSession, dir: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return
-    val rootFiles = fs.listStatus(p).filter(s =>
-      s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (rootFiles.isEmpty) return // already partitioned (or empty)
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".migrating")
-    fs.delete(tmp, true)
-    spark.read.parquet(dir)
-      .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    val legacy = new org.apache.hadoop.fs.Path(dir + ".legacy")
+    // temp dir of the pre-fix migration scheme: never authoritative
+    fs.delete(new org.apache.hadoop.fs.Path(dir + ".migrating"), true)
+    if (fs.exists(legacy)) {
+      // a previous migration crashed after the rename: the legacy copy is
+      // authoritative (it is only deleted after a complete rewrite), so
+      // whatever is at `dir` is partial — discard and replay
+      fs.delete(p, true)
+    } else {
+      if (!fs.exists(p)) return
+      val rootFiles = fs.listStatus(p).filter(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (rootFiles.isEmpty) return // already partitioned (or empty)
+      require(fs.rename(p, legacy), s"rename $p aside for migration failed")
+    }
+    spark.read.parquet(legacy.toString)
+      .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(dir)
+    fs.delete(legacy, true) // commit point: rewrite is complete
     spark.catalog.refreshByPath(dir)
   }
 }

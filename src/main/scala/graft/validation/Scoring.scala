@@ -56,6 +56,8 @@ object Scoring {
   /** The minimum graded score counted as acceptable quality. */
   val QualityPassMin = 0.6
 
+  private val PsnrThr = ImageSuite.PsnrThresholdDb
+
   /** Score column for a unified verdict frame: quality checks carry their
     * mean graded score as the metric; drift checks grade vs threshold; all
     * rate-style checks grade the violation rate.
@@ -72,15 +74,34 @@ object Scoring {
     */
   def qualityVerdicts(facts: DataFrame, runId: String): DataFrame = {
     val decodable = col("decode_ok")
-    val psnrRow = psnrScore(col("psnr_db"))
-    val hamRow = hammingScore(col("phash_hamming"))
+    // The mean ladder score is computed from INTEGER bucket counts — mean =
+    // (10·n₁.₀ + 8·n₀.₈ + 6·n₀.₆ + 2·n₀.₂) / (10·n) — algebraically equal to
+    // avg(per-row score) but with a single exact division: the result is
+    // bit-identical at any partition count / merge order (a float `avg`
+    // re-associates across partitions), which makes the verdict both
+    // rerun-deterministic at cluster scale and DuckDB-oracle-reproducible.
+    def cnt(cond: Column) = sum(when(cond, 1L).otherwise(0L))
+    def ladderMean(n: Column, c1: Column, c08: Column, c06: Column) =
+      when(n > 0,
+        (c1 * 10 + c08 * 8 + c06 * 6 + (n - c1 - c08 - c06) * 2).cast("double") /
+          (n * 10).cast("double"))
+        .otherwise(lit(0.5)) // reference's "unavailable" score
+    val psnr = col("psnr_db"); val ham = col("phash_hamming")
     val agg = facts.groupBy("part").agg(
       count(lit(1)).as("n_rows"),
-      coalesce(avg(when(decodable, psnrRow)), lit(0.5)).as("psnr_q"),
-      sum(when(decodable && psnrRow < QualityPassMin, 1L).otherwise(0L)).as("psnr_bad"),
-      coalesce(avg(when(decodable && col("phash_hamming") >= 0, hamRow)), lit(0.5)).as("phash_q"),
-      sum(when(decodable && col("phash_hamming") >= 0 && hamRow < QualityPassMin, 1L)
-        .otherwise(0L)).as("phash_bad"))
+      cnt(decodable).as("nd"),
+      cnt(decodable && psnr >= 45.0).as("p1"),
+      cnt(decodable && psnr >= PsnrThr && psnr < 45.0).as("p08"),
+      cnt(decodable && psnr >= 30.0 && psnr < PsnrThr).as("p06"),
+      cnt(decodable && ham >= 0).as("nh"),
+      cnt(decodable && ham === 0).as("h1"),
+      cnt(decodable && ham >= 1 && ham <= 4).as("h08"),
+      cnt(decodable && ham >= 5 && ham <= ImageSuite.PhashHammingMax).as("h06"))
+      .select(col("part"), col("n_rows"),
+        ladderMean(col("nd"), col("p1"), col("p08"), col("p06")).as("psnr_q"),
+        (col("nd") - col("p1") - col("p08") - col("p06")).as("psnr_bad"),
+        ladderMean(col("nh"), col("h1"), col("h08"), col("h06")).as("phash_q"),
+        (col("nh") - col("h1") - col("h08") - col("h06")).as("phash_bad"))
     def verdict(q: String, bad: String, check: String) =
       agg.select(col("part"), lit(check).as("check"),
         (col(q) >= QualityPassMin).as("pass"),

@@ -146,19 +146,26 @@ object ValidationQueries {
     }),
 
     // Distribution drift, KS statistic: max |CDF_a − CDF_b| over the bucket
-    // grid; CDFs are exact integer ratios so the max is exact.
+    // grid; CDFs are exact integer ratios so the max is exact. The cumsum
+    // is a triangular theta-join over the POST-AGGREGATION bucket grid (a
+    // bounded few-dozen rows — value/10 buckets), NOT a global window: an
+    // unpartitioned window funnels its input through one task, and even a
+    // harmless one on tiny input spams `WindowExec: No Partition Defined`.
+    // For unbounded grids the production path is Drift.check's mergeable
+    // sketches with driver/executor CDF finalize.
     "q_v_drift_ks" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val ev = t(s, dir, "events")
       val b = ev.filter(col("event_type").isin("purchase", "view"))
         .groupBy(floor(col("value") / 10.0).as("bucket"))
         .agg(sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("c_p"),
              sum(when(col("event_type") === "view", 1).otherwise(0)).as("c_v"))
-      val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = b.as("x").join(b.select(col("bucket").as("y_bucket"),
+            col("c_p").as("y_c_p"), col("c_v").as("y_c_v")),
+          col("y_bucket") <= col("x.bucket"))
+        .groupBy(col("x.bucket").as("bucket"))
+        .agg(sum("y_c_p").as("cum_p"), sum("y_c_v").as("cum_v"))
       val tot = b.agg(sum("c_p").as("tot_p"), sum("c_v").as("tot_v"))
-      b.withColumn("cum_p", sum("c_p").over(w))
-        .withColumn("cum_v", sum("c_v").over(w))
-        .crossJoin(tot)
+      cum.crossJoin(tot)
         .withColumn("diff", abs(col("cum_p").cast("double") / col("tot_p").cast("double") -
           col("cum_v").cast("double") / col("tot_v").cast("double")))
         .agg(round(max(col("diff")), 6).as("ks"), count(lit(1)).as("n_buckets"))

@@ -31,6 +31,38 @@ class PipelineSpec extends SparkTestBase {
       col("stopword_ratio") > 0.8).count() == 0)
   }
 
+  test("lineage rides the gate's single scan: exactly 3 count actions per curate") {
+    // ingest/enrich counts come from observe() metrics fired by the gate's
+    // cache-building count — the only count actions are quality_gate,
+    // dedup_exact, dedup_near (the pre-fix code paid 5, two of them full
+    // re-scans of the corpus). Counted via QueryExecutionListener, scoped
+    // to plans carrying this pipeline's CollectMetrics("ingest") node.
+    import org.apache.spark.sql.util.QueryExecutionListener
+    import org.apache.spark.sql.execution.QueryExecution
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, ns: Long): Unit = {
+        val isOurs = qe.analyzed.collect {
+          case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+            if c.name == "ingest" => c
+        }.nonEmpty
+        if (funcName == "count" && isOurs) counter.incrementAndGet()
+      }
+      override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      Pipeline.curate(spark, sfDir)
+      // listener events are delivered asynchronously
+      val deadline = System.currentTimeMillis() + 15000
+      while (counter.get() < 3 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      Thread.sleep(500) // let any EXTRA count actions surface
+      assert(counter.get() == 3,
+        s"expected 3 count actions (gate, dedup_exact, dedup_near), got ${counter.get()}")
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("pipeline is deterministic across runs") {
     val (c2, s2) = Pipeline.curate(spark, sfDir)
     assert(s2.map(s => s.stage -> s.n_rows).toMap == counts)

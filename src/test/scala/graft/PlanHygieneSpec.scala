@@ -49,6 +49,16 @@ class PlanHygieneSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cartesian in MinHash plan:\n$p")
   }
 
+  test("SimHash banded pairing joins on (band, key), never all-pairs") {
+    val p = planOf(SparkEntry.queries("q_dedup_simhash64_banded")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian in banded SimHash plan:\n$p")
+  }
+
+  test("trained IVF retrieval plans equi-joins on the cell id, never a cartesian") {
+    val p = planOf(SparkEntry.queries("q_ann_topk_ivf_trained")(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian in trained-IVF plan:\n$p")
+  }
+
   test("suite light projection never reads bytes") {
     val d = graft.images.ImageGen.ensure(spark, 2000L, "target/test-images")
     val images = graft.images.ImageGen.images(spark, d)

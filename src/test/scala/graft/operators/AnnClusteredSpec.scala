@@ -63,6 +63,35 @@ class AnnClusteredSpec extends SparkTestBase {
       s"candidates=${candidatePairs.size} vs allPairs=$allPairs")
   }
 
+  test("trained IVF achieves recall@3 >= 0.9 vs brute force on clustered data") {
+    // member-major ids so the 16 seed cells (vec_id < 16) span 16 distinct
+    // clusters — the regime the coarse quantizer is for. label = cluster id;
+    // cluster-0 members are the label-0 query set.
+    val rows = for (m <- 0 until PerCluster; c <- 0 until Clusters)
+      yield ((m * Clusters + c).toLong, c, vec(c, m).map(_.toFloat))
+    val df = spark.createDataFrame(rows).toDF("vec_id", "label", "embedding")
+    val got = SimilarityQueries.ivfTrainedTopK(df, probeCells = 2, k = 3)
+      .collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("c_id")).toSet }
+    val byId = rows.map(r => r._1 -> r._3.map(_.toDouble)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dp = (0 until Dims).map(d => a(d) * b(d)).sum
+      dp / math.sqrt((0 until Dims).map(d => a(d) * a(d)).sum *
+        (0 until Dims).map(d => b(d) * b(d)).sum)
+    }
+    val queries = rows.filter(_._2 == 0).map(_._1)
+    var totalRecall = 0.0
+    queries.foreach { q =>
+      val bf = byId.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (cos(byId(q), v), id) }
+        .sortBy { case (c, id) => (-c, id) }.take(3).map(_._2).toSet
+      totalRecall += (bf intersect got.getOrElse(q, Set.empty)).size / 3.0
+    }
+    val recall = totalRecall / queries.size
+    assert(recall >= 0.9, s"trained IVF clustered recall@3 = $recall")
+  }
+
   test("within-cluster nearest neighbors survive the pruning (recall >= 0.9)") {
     // true top-1 per vector is (by construction) a same-cluster member;
     // compute it exactly, then check the candidate set contains the pair
