@@ -201,9 +201,12 @@ object DedupQueries {
     // 64-bit SimHash, PRODUCTION shape: the whole signature from ONE narrow
     // projection — per-doc HOF fold over the token array builds all 64 bit
     // weights (no 64× row explosion, no shuffle at all: scan → project).
-    // Output ≡ q_dedup_simhash64, so it shares that query's oracle SQL; at
-    // 10^12 docs this is the path (cost linear in tokens, embarrassingly
-    // parallel).
+    // Output ≡ q_dedup_simhash64, so it shares that query's oracle SQL.
+    // NOTE: production should PREFER the native-expression rung
+    // (q_dedup_simhash64_expr / SimHash64Expr.simhash64 — same signature,
+    // ~13× faster: the HOF fold allocates a 64-element array per token);
+    // this rung is the builtins-only fallback. Both are linear in tokens
+    // and embarrassingly parallel.
     "q_dedup_simhash64_prod" -> ((s, dir) => {
       // Per token: ONE md5 + two hex→int convs, then the 64 bit values are
       // pure integer shifts of the two 32-bit halves (bit b lives in hex

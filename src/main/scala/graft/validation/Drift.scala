@@ -133,16 +133,30 @@ object Drift {
         spark.createDataset(partials)(org.apache.spark.sql.Encoders.product[DriftPartial]).toDF(),
         dir)
 
-  def readPartials(spark: SparkSession, dir: String): Array[DriftPartial] = {
+  /** Persisted partials as a DATASET — the resume path unions these with
+    * fresh partials and finalizes via [[verdictsAuto]], so a 10^6-partition
+    * table's stored sketches never funnel through the driver either.
+    */
+  def readPartialsDS(spark: SparkSession, dir: String): Dataset[DriftPartial] = {
+    import spark.implicits._
     // missing dir = first run; a genuine read error must propagate, not
     // silently drop the baseline contribution of done partitions
     val p = new org.apache.hadoop.fs.Path(dir)
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) Array.empty
-    else {
-      import spark.implicits._
-      spark.read.parquet(dir).as[DriftPartial].collect()
-    }
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      spark.emptyDataset[DriftPartial]
+    else
+      // canonical column order: the partitioned layout lists `part` last,
+      // and Dataset.union is positional
+      spark.read.parquet(dir)
+        .select("part", "colname", "sketch", "buckets").as[DriftPartial]
   }
+
+  def readPartials(spark: SparkSession, dir: String): Array[DriftPartial] =
+    readPartialsDS(spark, dir).collect()
+
+  /** Dataset twin of [[writePartials]]. */
+  def writePartialsDS(partials: Dataset[DriftPartial], dir: String): Unit =
+    PartitionedStore.write(partials.toDF(), dir)
 
   /** Above this many (part, colname) partials the final chi²/KS math moves
     * into executors (broadcast baseline, distributed finalize): one ~KB
@@ -153,9 +167,18 @@ object Drift {
 
   def check(images: DataFrame, runId: String,
             baselineDir: Option[String] = None,
-            driverFinalizeMax: Int = DriverFinalizeMaxPartials): (DataFrame, DataFrame) = {
-    val spark = images.sparkSession
-    val cached = partials(images).persist()
+            driverFinalizeMax: Int = DriverFinalizeMaxPartials): (DataFrame, DataFrame) =
+    verdictsAuto(images.sparkSession, partials(images), runId, baselineDir,
+      driverFinalizeMax)
+
+  /** Route a partial set through the driver-side or distributed finalize
+    * depending on its size (shared by [[check]] and the resume path).
+    */
+  def verdictsAuto(spark: SparkSession, pds: Dataset[DriftPartial], runId: String,
+                   baselineDir: Option[String] = None,
+                   driverFinalizeMax: Int = DriverFinalizeMaxPartials)
+      : (DataFrame, DataFrame) = {
+    val cached = pds.persist()
     if (cached.count() <= driverFinalizeMax) {
       val r = verdictsFrom(spark, cached.collect(), runId, baselineDir)
       cached.unpersist()

@@ -537,11 +537,18 @@ object ImageSuite {
     val oldKeys = readKeys(spark, s"$outDir/keys")
       .join(broadcast(doneDf), Seq("part"), "left_semi")
     val (kVerd, kViol) = incrementalKeyChecks(lightNew, oldKeys, captions, runId)
-    val freshPartials = Drift.collectPartials(lightNew)
-    val storedPartials = Drift.readPartials(spark, s"$outDir/drift_partials")
-      .filter(p => done.contains(p.part))
-    val (dVerd, dViol) =
-      Drift.verdictsFrom(spark, storedPartials ++ freshPartials, runId)
+    // Drift partials stay DISTRIBUTED end-to-end: fresh partials from the
+    // pending scan union the persisted partials of done partitions (parts
+    // are disjoint, both sides pre-reduced per key), and verdictsAuto
+    // finalizes driver-side below 10^5 partials, in executors beyond —
+    // nothing funnels through the driver at 10^6-partition scale. The
+    // `done` membership filter is a closure over the done-set (fine to
+    // ~10^5 parts; beyond that, broadcast-semi-join like oldKeys above).
+    val doneSet = done
+    val freshPds = Drift.partials(lightNew).persist()
+    val storedPds = Drift.readPartialsDS(spark, s"$outDir/drift_partials")
+      .filter(p => doneSet.contains(p.part))
+    val (dVerd, dViol) = Drift.verdictsAuto(spark, storedPds.union(freshPds), runId)
 
     val verdicts = rVerd.unionByName(cVerd).unionByName(qVerd)
       .unionByName(kVerd).unionByName(dVerd)
@@ -593,8 +600,9 @@ object ImageSuite {
     // (at-least-once on crash, exactly-once per successful run — the
     // state table below is the commit point).
     PartitionedStore.write(lightNew.select("image_id", "part"), s"$outDir/keys")
-    Drift.writePartials(spark, freshPartials.toSeq, s"$outDir/drift_partials")
+    Drift.writePartialsDS(freshPds, s"$outDir/drift_partials")
     PartitionedStore.write(freshHll, s"$outDir/hll")
+    freshPds.unpersist()
     // the state write is the COMMIT POINT — last, from pre-materialized rows
     spark.createDataset(stateRows).toDF()
       .coalesce(1).write.mode(SaveMode.Append).parquet(stateDir)
