@@ -161,6 +161,12 @@ object Bench {
     val tLow = lowRuns.result().min
     val tHigh = highRuns.result().min
     val tPeak = if (cpus == hiN) tHigh else peakRuns.sorted.apply(1)
+    // the emitted protocol string must describe the estimator actually
+    // used: on hosts where peak aliases the 4N leg there were no dedicated
+    // peak runs (suite_sec_peak_runs is empty)
+    val peakProtocol =
+      if (cpus == hiN) s"aliased to the local[$hiN] scaling leg (min of 2 interleaved fresh-JVM runs)"
+      else "median of 3 fresh-JVM runs, before the scaling pair"
 
     // ---- phase 3: headline operator queries (relative numbers) ----
     spark = session(cpus)
@@ -200,7 +206,7 @@ object Bench {
       s"""{"metric":"validated images/sec (full constraint suite)","value":${f"$thrPeak%.1f"},"unit":"images/sec",""" +
       s""""queries":$qs,"query_errors":$errs,"sf":"$sfDir","total_sec":${f"$total%.1f"},""" +
       s""""n_images":$nImages,"peak_cpus":$cpus,"suite_sec_peak":${f"$tPeak%.2f"},""" +
-      s""""suite_sec_peak_runs":$peakRunsJson,"peak_protocol":"median of 3 fresh-JVM runs, before the scaling pair",""" +
+      s""""suite_sec_peak_runs":$peakRunsJson,"peak_protocol":"$peakProtocol",""" +
       s""""suite_sec_local$hiN":${f"$tHigh%.2f"},"suite_sec_local$loN":${f"$tLow%.2f"},""" +
       s""""suite_sec_local${hiN}_runs":${runsJson(highRuns.result())},""" +
       s""""suite_sec_local${loN}_runs":${runsJson(lowRuns.result())},""" +

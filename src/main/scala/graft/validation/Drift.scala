@@ -121,18 +121,6 @@ object Drift {
   def collectPartials(images: DataFrame): Array[DriftPartial] =
     partials(images).collect()
 
-  /** Persist partials (ST2 resume: done partitions are never re-scanned for
-    * drift — their sketches merge from this table instead). Dynamic
-    * partition overwrite keyed by `part` so a crash-retry replaces the
-    * crashed run's partials instead of duplicating them (a duplicate
-    * partial would double that partition's histogram on merge).
-    */
-  def writePartials(spark: SparkSession, partials: Seq[DriftPartial], dir: String): Unit =
-    if (partials.nonEmpty)
-      PartitionedStore.write(
-        spark.createDataset(partials)(org.apache.spark.sql.Encoders.product[DriftPartial]).toDF(),
-        dir)
-
   /** Persisted partials as a DATASET — the resume path unions these with
     * fresh partials and finalizes via [[verdictsAuto]], so a 10^6-partition
     * table's stored sketches never funnel through the driver either.
@@ -151,10 +139,12 @@ object Drift {
         .select("part", "colname", "sketch", "buckets").as[DriftPartial]
   }
 
-  def readPartials(spark: SparkSession, dir: String): Array[DriftPartial] =
-    readPartialsDS(spark, dir).collect()
-
-  /** Dataset twin of [[writePartials]]. */
+  /** Persist partials (ST2 resume: done partitions are never re-scanned
+    * for drift — their sketches merge from [[readPartialsDS]] instead).
+    * Dynamic partition overwrite keyed by `part` so a crash-retry replaces
+    * the crashed run's partials instead of duplicating them (a duplicate
+    * partial would double that partition's histogram on merge).
+    */
   def writePartialsDS(partials: Dataset[DriftPartial], dir: String): Unit =
     PartitionedStore.write(partials.toDF(), dir)
 

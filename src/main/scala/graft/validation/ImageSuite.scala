@@ -380,7 +380,9 @@ object ImageSuite {
     * the Iceberg layout so the join is storage-partitioned).
     */
   def incrementalKeyChecks(lightNew: DataFrame, oldKeys: DataFrame,
-                           captions: DataFrame, runId: String): (DataFrame, DataFrame) = {
+                           captions: DataFrame, runId: String,
+                           doneParts: DataFrame = null,
+                           priorOrphans: DataFrame = null): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val caps = captions.select(col("image_id").as("cap_id"),
       col("part").as("cap_part"), col("caption").as("cap_caption"))
@@ -397,21 +399,47 @@ object ImageSuite {
         lightNew("image_id") === caps("cap_id"), "left_anti")
       .select(col("part"), col("image_id"), lit("referential_caption_exists").as("check"),
         lit("no caption row").as("observed"), lit("caption row exists").as("expected"))
-    // orphan captions: no image row anywhere validated so far. Evaluated
-    // ONLY for captions in PENDING partitions — each caption is checked
-    // exactly once, when its partition is validated (the same resume
-    // discipline as every other family). Re-evaluating all captions every
-    // resumed run would append duplicate orphan rows for long-done
-    // partitions on every run, on partitions that receive no verdict row.
-    val pendingParts = lightNew.select(col("part").as("cap_part")).distinct()
+    // Orphan captions: no image row anywhere in the table validated so
+    // far. SEMANTICS (deliberate, spec-pinned, twin-consistent): every run
+    // assesses every caption in a NOT-DONE partition against the full
+    // current key index (old ∪ new) — exactly what the full-outer twin
+    // (`keyChecks`) reports over the data present at that moment. The
+    // violations table is append-only, run_id-stamped provenance, so an
+    // image id that ARRIVES in a later run does not retract an earlier
+    // run's recorded orphan (the record was true of the table its run
+    // saw); conversely a caption partition whose images never arrive —
+    // one that would otherwise never be validated — is still checked
+    // (these partitions never produce a state row, so they stay not-done
+    // and are re-assessed each run). The `priorOrphans` anti-join keeps
+    // that re-assessment from appending one duplicate copy per run; the
+    // VERDICT counts below use the PRE-dedup candidates, so a partition's
+    // verdict row reflects all of its orphans as of its validation run,
+    // not just the newly discovered ones. Done partitions are never
+    // re-checked (their captions were assessed when they were validated).
+    val donePartsDf = Option(doneParts).getOrElse(
+      lightNew.sparkSession.createDataFrame(
+        lightNew.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("part",
+            org.apache.spark.sql.types.StringType)))))
+    val notDoneCapParts = caps.select("cap_part").distinct()
+      .join(broadcast(donePartsDf.withColumnRenamed("part", "cap_part")),
+        Seq("cap_part"), "left_anti")
     val allIds = oldKeys.select("image_id")
       .unionByName(lightNew.select("image_id"))
-    val orphanCap = caps
-      .join(broadcast(pendingParts), Seq("cap_part"), "left_semi")
-      .join(allIds, caps("cap_id") === allIds("image_id"), "left_anti")
+    def asOrphanRows(df: DataFrame): DataFrame = df
       .select(col("cap_part").as("part"), col("cap_id").as("image_id"),
         lit("referential_image_exists").as("check"),
         lit("caption without image").as("observed"), lit("image row exists").as("expected"))
+    val orphanAll = caps
+      .join(broadcast(notDoneCapParts), Seq("cap_part"), "left_semi")
+      .join(allIds, caps("cap_id") === allIds("image_id"), "left_anti")
+    val orphanNew = Option(priorOrphans).map(po =>
+      orphanAll.join(po,
+        orphanAll("cap_part") === po("part") &&
+          orphanAll("cap_id") === po("image_id"), "left_anti")
+    ).getOrElse(orphanAll)
+    val orphanCap = asOrphanRows(orphanNew)
     val mismatch = lightNew.join(caps, lightNew("image_id") === caps("cap_id"))
       .filter(col("caption").isNotNull && col("cap_caption").isNotNull &&
         col("caption") =!= col("cap_caption"))
@@ -419,6 +447,12 @@ object ImageSuite {
         col("cap_caption").as("observed"), col("caption").as("expected"))
     val violations = dupViol.unionByName(missingCap)
       .unionByName(orphanCap).unionByName(mismatch)
+    // verdict counts come from the PRE-dedup orphan candidates (see the
+    // orphan comment above): a partition validated this run must count
+    // orphans an earlier run already stored, or its verdict would read
+    // cleaner than the uninterrupted twin's
+    val violationsForVerdicts = dupViol.unionByName(missingCap)
+      .unionByName(asOrphanRows(orphanAll)).unionByName(mismatch)
 
     val checks = Seq("uniqueness_image_id", "referential_caption_exists",
       "referential_image_exists", "caption_consistent")
@@ -426,7 +460,8 @@ object ImageSuite {
     val checksDf = broadcast(lightNew.sparkSession.createDataFrame(
       checks.map(Tuple1(_))).toDF("check"))
     val verdicts = nImgs.crossJoin(checksDf)
-      .join(violations.groupBy("part", "check").agg(count(lit(1)).as("n_violations")),
+      .join(violationsForVerdicts.groupBy("part", "check")
+          .agg(count(lit(1)).as("n_violations")),
         Seq("part", "check"), "left")
       .na.fill(0L, Seq("n_violations"))
       .select(col("part"), col("check"), (col("n_violations") === 0).as("pass"),
@@ -445,29 +480,48 @@ object ImageSuite {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** One-time, crash-safe migration of a violations store written before
-    * the `run_id` column existed: appending the new schema into such a
-    * directory would leave a mixed-schema parquet dir where plain reads
-    * nondeterministically pick a file schema. Same rename-aside discipline
-    * as [[PartitionedStore]]: the original is only deleted after the
-    * rewrite completes, so a crash anywhere leaves a recoverable copy.
+  /** Marker file recording that a violations store has uniform per-file
+    * schema (every file carries `run_id`). Underscore prefix: parquet
+    * readers ignore it as a non-data file.
     */
-  private def ensureViolationsRunId(spark: SparkSession, dir: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val legacy = new org.apache.hadoop.fs.Path(dir + ".legacy")
-    if (fs.exists(legacy)) {
-      fs.delete(p, true) // crashed mid-migration: replay from the legacy copy
-    } else {
-      if (!fs.exists(p)) return
-      if (spark.read.parquet(dir).columns.contains("run_id")) return
-      require(fs.rename(p, legacy), s"rename $p aside for migration failed")
+  private val RunIdMarker = "_runid_uniform"
+
+  /** One-time, crash-safe migration of a violations store with files
+    * written before the `run_id` column existed: such a dir is (or will
+    * become, on the next append) MIXED-schema, and plain reads sample one
+    * file's footer — they nondeterministically drop `run_id` or null it
+    * for every row. The rewrite reads with mergeSchema (real `run_id`
+    * values in newer files are preserved, legacy rows get null) and lands
+    * a uniform-schema copy via [[PartitionedStore.rewriteAside]] (original
+    * deleted only after the rewrite completes). Gated on a marker file
+    * rather than a sampled-footer column check: the sampled check cannot
+    * see a mixed dir reliably. The marker is (re)created after every
+    * successful append, so the rewrite runs at most once per pre-marker
+    * store.
+    */
+  private[validation] def ensureViolationsRunId(spark: SparkSession, dir: String): Unit = {
+    PartitionedStore.rewriteAside(spark, dir)({
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      !fs.exists(new org.apache.hadoop.fs.Path(p, RunIdMarker))
+    }) { legacyPath =>
+      val merged = spark.read.option("mergeSchema", "true").parquet(legacyPath)
+      val uniform =
+        if (merged.columns.contains("run_id")) merged
+        else merged.withColumn("run_id", lit(null).cast("string"))
+      uniform.write.mode(SaveMode.Overwrite).parquet(dir)
     }
-    spark.read.parquet(legacy.toString)
-      .withColumn("run_id", lit(null).cast("string"))
-      .write.mode(SaveMode.Overwrite).parquet(dir)
-    fs.delete(legacy, true)
-    spark.catalog.refreshByPath(dir)
+    markRunIdUniform(spark, dir)
+  }
+
+  /** Create the uniform-schema marker (idempotent). Called after the
+    * migration above and after every successful append — every file the
+    * engine writes carries `run_id`, so a marked store stays uniform.
+    */
+  private def markRunIdUniform(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, RunIdMarker)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p.getParent) && !fs.exists(p)) fs.create(p, true).close()
   }
 
   /** Read the per-partition HLL-sketch store (mergeable image_id NDV). */
@@ -536,7 +590,26 @@ object ImageSuite {
     val doneDf = done.toSeq.toDF("part")
     val oldKeys = readKeys(spark, s"$outDir/keys")
       .join(broadcast(doneDf), Seq("part"), "left_semi")
-    val (kVerd, kViol) = incrementalKeyChecks(lightNew, oldKeys, captions, runId)
+    // Migrate the violations store to a uniform schema BEFORE any frame
+    // reads it (the prior-orphan dedup below scans it; its file listing is
+    // snapshotted at construction, so the later same-run append is not
+    // seen mid-scan).
+    ensureViolationsRunId(spark, s"$outDir/violations")
+    // (part, image_id) pairs already reported as orphan captions: caption-
+    // only partitions never turn done, so they are re-checked every run —
+    // this anti-join set keeps the append-only store duplicate-free (and
+    // also absorbs a crashed attempt's at-least-once re-append).
+    val priorOrphans =
+      if (pathExists(spark, s"$outDir/violations"))
+        spark.read.parquet(s"$outDir/violations")
+          .filter(col("check") === "referential_image_exists")
+          .select("part", "image_id").distinct()
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("part", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("image_id", org.apache.spark.sql.types.StringType))))
+    val (kVerd, kViol) =
+      incrementalKeyChecks(lightNew, oldKeys, captions, runId, doneDf, priorOrphans)
     // Drift partials stay DISTRIBUTED end-to-end: fresh partials from the
     // pending scan union the persisted partials of done partitions (parts
     // are disjoint, both sides pre-reduced per key), and verdictsAuto
@@ -562,18 +635,21 @@ object ImageSuite {
     // get the sketch-accuracy estimate without re-reading a single done
     // partition (the same resume pattern as the drift t-digest partials).
     // Estimated EAGERLY (collect) before the store below is overwritten.
+    // Persisted: the estimate here and the sketch-store write below would
+    // otherwise each run the full groupBy+sketch pass over the pending
+    // rows (and persist also makes the stored bytes the estimated bytes).
     val freshHll = lightNew.groupBy("part")
-      .agg(hll_sketch_agg(col("image_id")).as("sketch"))
+      .agg(hll_sketch_agg(col("image_id")).as("sketch")).persist()
     val storedHll = readHll(spark, s"$outDir/hll")
       .join(broadcast(doneDf), Seq("part"), "left_semi")
     val ndvImageId: Long = freshHll.select("sketch", "part").unionByName(storedHll)
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("ndv"))
       .collect()(0).getLong(0)
 
-    ensureViolationsRunId(spark, s"$outDir/violations")
     verdicts.write.mode(SaveMode.Append).parquet(s"$outDir/verdicts")
     violations.withColumn("run_id", lit(runId))
       .write.mode(SaveMode.Append).parquet(s"$outDir/violations")
+    markRunIdUniform(spark, s"$outDir/violations")
     metricsOf(facts, runId)
       .unionByName(spark.createDataset(Seq(
         MetricRow("_global", "ndv_image_id_hll", ndvImageId.toDouble, runId))).toDF())
@@ -602,7 +678,7 @@ object ImageSuite {
     PartitionedStore.write(lightNew.select("image_id", "part"), s"$outDir/keys")
     Drift.writePartialsDS(freshPds, s"$outDir/drift_partials")
     PartitionedStore.write(freshHll, s"$outDir/hll")
-    freshPds.unpersist()
+    freshPds.unpersist(); freshHll.unpersist()
     // the state write is the COMMIT POINT — last, from pre-materialized rows
     spark.createDataset(stateRows).toDF()
       .coalesce(1).write.mode(SaveMode.Append).parquet(stateDir)

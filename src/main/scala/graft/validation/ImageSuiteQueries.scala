@@ -42,21 +42,28 @@ object ImageSuiteQueries {
     */
   val FactsPath = "/root/repo/data/image_facts"
 
-  private val factsWritten = scala.collection.mutable.Set[(SparkSession, String)]()
+  // Which TIER the single FactsPath currently holds. Keyed by tier alone
+  // (the write is a pure function of the tier — deterministic generator),
+  // and a VAR, not a written-set: a set keyed by (session, tier) kept its
+  // mark after ANOTHER tier overwrote the parquet, so revisiting the first
+  // tier in the same JVM silently served the other tier's facts (and the
+  // oracle, reading the same file, could not catch it). None on process
+  // start = one redundant (bit-identical) rewrite per JVM. Single-process
+  // discipline: the driver runs one Verify at a time; two concurrent JVMs
+  // would race the overwrite.
+  private var factsTier: Option[String] = None
 
-  /** Persist decoded facts for the tier once per (session, sfDir); both the
+  /** Persist decoded facts for the tier (once per tier switch); both the
     * Spark q_i_* queries and their DuckDB oracles read this table back, so
     * the compared aggregations run over bit-identical input.
     */
-  def ensureFacts(s: SparkSession, sfDir: String): DataFrame = {
-    factsWritten.synchronized {
-      factsWritten.filterInPlace { case (sess, _) => !sess.sparkContext.isStopped }
-      if (!factsWritten.contains((s, sfDir))) {
-        val dir = ImageGen.ensure(s, rowsFor(sfDir))
-        ImageSuite.decodeFactsExpr(ImageGen.images(s, dir))
-          .coalesce(4).write.mode("overwrite").parquet(FactsPath)
-        factsWritten += ((s, sfDir))
-      }
+  def ensureFacts(s: SparkSession, sfDir: String): DataFrame = synchronized {
+    if (!factsTier.contains(sfDir)) {
+      val dir = ImageGen.ensure(s, rowsFor(sfDir))
+      ImageSuite.decodeFactsExpr(ImageGen.images(s, dir))
+        .coalesce(4).write.mode("overwrite").parquet(FactsPath)
+      s.catalog.refreshByPath(FactsPath)
+      factsTier = Some(sfDir)
     }
     s.read.parquet(FactsPath)
   }

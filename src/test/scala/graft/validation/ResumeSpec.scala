@@ -97,31 +97,78 @@ class ResumeSpec extends SparkTestBase {
       violSet(fullKeyViol, "caption_consistent"))
   }
 
-  test("orphan captions are checked once, when their partition is validated") {
+  test("orphan captions: store is twin-consistent per run, duplicate-free") {
     val all = runViol("x")
-    // expected per the resume schedule, from the generator model: a caption
-    // is checked against the key index as of ITS partition's run — run 1
-    // sees first-half image ids only, run 2 sees all of them
+    // Twin-consistent semantics: each run reports what a full `keyChecks`
+    // over the data PRESENT AT THAT MOMENT would report for not-yet-done
+    // partitions, and never re-appends a (part, image_id) pair a prior run
+    // stored. Run 1's table has first-half images but ALL captions, so
+    // every caption whose id is not a first-half image id is an orphan as
+    // of run 1 (run_id provenance makes that honest); run 2's fresh check
+    // of the second half against the full index finds nothing new.
     val imageIds = (0L until N).map { i =>
       val r = ImageGen.genRow(i, np); (r.image_id, r.part)
     }
     val firstIds = imageIds.filter(t => firstHalf.contains(t._2)).map(_._1).toSet
-    val allIds = imageIds.map(_._1).toSet
     val capRows = (0L until N).flatMap(i => ImageGen.genCaption(i, np)) ++
       ImageGen.genOrphans(N, np)
-    val expected =
-      capRows.filter(c => firstHalf.contains(c.part) && !firstIds.contains(c.image_id))
-        .map(_.image_id).toSet ++
-      capRows.filter(c => secondHalf.contains(c.part) && !allIds.contains(c.image_id))
-        .map(_.image_id).toSet
+    val expected = capRows.filterNot(c => firstIds.contains(c.image_id))
+      .map(_.image_id).toSet
     val got = violSet(all, "referential_image_exists")
     assert(expected.nonEmpty && got == expected,
       s"missing=${expected diff got} extra=${got diff expected}")
-    // and never duplicated across resumed runs (the append-only store used
+    // never duplicated across resumed runs (the append-only store used
     // to accumulate one copy per run for long-done partitions)
     val dupRows = all.filter(col("check") === "referential_image_exists")
       .groupBy("image_id").count().filter(col("count") > 1).count()
     assert(dupRows == 0, s"$dupRows orphan captions reported more than once")
+    // VERDICT rows count PRE-dedup candidates: a second-half partition's
+    // run-2 verdict must match the uninterrupted twin's orphan count for
+    // that partition, even though those orphans were stored by run 1
+    val run2Verd = spark.read.parquet(s"$outDir/verdicts")
+      .filter(col("run_id") === "run2" && col("check") === "referential_image_exists")
+      .collect().map(r => r.getAs[String]("part") -> r.getAs[Long]("n_violations")).toMap
+    val twinCounts = fullKeyViol.filter(col("check") === "referential_image_exists")
+      .groupBy("part").count()
+      .collect().map(r => r.getAs[String]("part") -> r.getAs[Long]("count")).toMap
+    for (p <- secondHalf)
+      assert(run2Verd.getOrElse(p, 0L) == twinCounts.getOrElse(p, 0L),
+        s"$p: run2 verdict=${run2Verd.get(p)} twin=${twinCounts.get(p)}")
+  }
+
+  test("caption-only partitions (no image rows ever) are checked, exactly once") {
+    val w4 = "target/resume-cap-only-test"
+    val data4 = s"$w4/data"; val out4 = s"$w4/out"
+    FileUtils.deleteQuietly(new File(w4))
+    FileUtils.copyDirectory(new File(srcDir), new File(data4))
+    val stash = new File(s"$w4/stash"); stash.mkdirs()
+    secondHalf.foreach { p =>
+      FileUtils.moveDirectory(new File(s"$data4/images/part=$p"),
+        new File(s"$w4/stash/part=$p"))
+    }
+    // a partition that exists ONLY on the captions side: one caption
+    // referencing a nonexistent image (true orphan — the incremental path
+    // used to skip it forever because no image rows ever make the part
+    // pending), one referencing a first-half image id (never an orphan)
+    import spark.implicits._
+    val firstId = ImageGen.genRow(
+      (0L until N).find(i => firstHalf.contains(ImageGen.genRow(i, np).part)).get, np).image_id
+    Seq(("ghost-cap-1", "refers to nothing"), (firstId, "refers to a real image"))
+      .toDF("image_id", "caption")
+      .coalesce(1).write.parquet(s"$data4/captions/part=pz")
+    ImageSuite.runAndCheckpoint(spark, data4, out4, "run1")
+    secondHalf.foreach { p =>
+      FileUtils.moveDirectory(new File(s"$w4/stash/part=$p"),
+        new File(s"$data4/images/part=$p"))
+    }
+    ImageSuite.runAndCheckpoint(spark, data4, out4, "run2")
+    val orphans = spark.read.parquet(s"$out4/violations")
+      .filter(col("check") === "referential_image_exists" && col("part") === "pz")
+      .collect()
+    assert(orphans.length == 1, s"expected exactly one pz orphan row, got ${orphans.length}")
+    assert(orphans.head.getAs[String]("image_id") == "ghost-cap-1")
+    assert(orphans.head.getAs[String]("run_id") == "run1",
+      "caption-only partition was not checked on the first run")
   }
 
   test("cross-run NDV from persisted HLL sketches matches the uninterrupted run") {
