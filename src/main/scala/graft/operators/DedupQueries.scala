@@ -45,6 +45,56 @@ object DedupQueries {
       .distinct()
   }
 
+  /** Bit-block banded SimHash near-dup pairing, generalized (Manku/Jain/
+    * Das Sarma, "Detecting near-duplicates for web crawling", WWW 2007):
+    * split the 64-bit signature into `blocks` equal exact-match bands,
+    * bucket equi-join per band, hamming re-rank on the candidates.
+    * Pigeonhole guarantee: a pair at hamming ≤ blocks − 1 differs in at
+    * most blocks − 1 bands, so at least one band matches exactly — recall
+    * 1.0 up to that radius (probabilistic above it; pick `blocks` from the
+    * target radius). Never all-pairs: the only join is an equi-join on
+    * (band, key), shuffled on that key. Wider blocks (fewer bands) mean
+    * longer keys → smaller buckets → fewer candidates but a smaller
+    * guaranteed radius; `blocks = 4` (16-bit keys, radius 3) is the
+    * q_dedup_simhash64_banded production setting. At 10^12 rows the same
+    * paper's second level applies within buckets (sort by the remaining
+    * bits, pair within a bounded run) — the first-level plan shape here is
+    * what carries.
+    *
+    * `sh` must have (doc_id, simhash_lo, simhash_hi) — bits 0..31 in the
+    * low half of `simhash_lo`, bits 32..63 in `simhash_hi` (the layout all
+    * three signature rungs emit). `blocks` ∈ {2, 4, 8, 16, 32} so every
+    * band lies entirely inside one half.
+    */
+  def bandedSimhashPairs(sh: DataFrame, blocks: Int, maxHamming: Int): DataFrame = {
+    require(Set(2, 4, 8, 16, 32).contains(blocks), s"blocks=$blocks not in {2,4,8,16,32}")
+    val w = 64 / blocks
+    val mask = lit((1L << w) - 1) // w ≤ 32, no overflow
+    val bands = sh.select(col("doc_id"), col("simhash_lo"), col("simhash_hi"),
+        explode(array((0 until blocks).map { j =>
+          val src = if (j * w < 32) col("simhash_lo") else col("simhash_hi")
+          val shift = (j * w) % 32
+          struct(lit(j).as("band"),
+            shiftright(src, shift).bitwiseAND(mask).as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash_lo"), col("simhash_hi"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    // signatures ride the band rows through the join (functionally
+    // dependent on doc_id), so the re-rank needs no second join
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("x.simhash_lo").as("a_lo"),
+        col("x.simhash_hi").as("a_hi"), col("y.doc_id").as("b_id"),
+        col("y.simhash_lo").as("b_lo"), col("y.simhash_hi").as("b_hi"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("a_lo").bitwiseXOR(col("b_lo"))) +
+        bit_count(col("a_hi").bitwiseXOR(col("b_hi"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
   /** Largest prime below 2^32 — the MinHash modulus. */
   val MinhashP = 4294967291L
 
@@ -250,49 +300,17 @@ object DedupQueries {
     }),
 
     // 64-bit SimHash near-dup pairing, PRODUCTION shape (the 100 TB path
-    // the fenced all-pairs queries below are oracles for): bit-block
-    // banding over the signature — split the 64 bits into 4 exact-match
-    // blocks of 16 (lo/hi halves, low/high shorts), bucket equi-join per
-    // block, hamming re-rank on candidates. Pigeonhole guarantee: any pair
-    // at hamming ≤ 3 differs in at most 3 blocks, so at least one block
-    // matches exactly → recall 1.0 for hamming ≤ 3 (probabilistic above;
-    // spec-asserted superset). Never all-pairs: the only join is an
-    // equi-join on (block, key) — Manku/Jain/Das Sarma, "Detecting
-    // near-duplicates for web crawling", WWW 2007. At 10^12 rows a 16-bit
-    // key alone leaves big buckets; the production extension is the same
-    // paper's sorted-table scan within buckets (sort by the remaining 48
-    // bits, pair within a bounded run) — the first-level plan shape here
-    // (shuffle on the block key, no cartesian) is what carries.
-    // Signatures come from the native-expression rung (identical output to
-    // the HOF/bits-join rungs — all three share one oracle).
-    "q_dedup_simhash64_banded" -> ((s, dir) => {
-      val sh = queries("q_dedup_simhash64_expr")(s, dir)
-      val mask = lit(0xFFFFL)
-      val bands = sh.select(col("doc_id"), col("simhash_lo"), col("simhash_hi"),
-          explode(array(
-            struct(lit(0).as("band"), col("simhash_lo").bitwiseAND(mask).as("key")),
-            struct(lit(1).as("band"), shiftright(col("simhash_lo"), 16).bitwiseAND(mask).as("key")),
-            struct(lit(2).as("band"), col("simhash_hi").bitwiseAND(mask).as("key")),
-            struct(lit(3).as("band"), shiftright(col("simhash_hi"), 16).bitwiseAND(mask).as("key")))).as("bk"))
-        .select(col("doc_id"), col("simhash_lo"), col("simhash_hi"),
-          col("bk.band").as("band"), col("bk.key").as("key"))
-      // signatures ride the band rows through the join (functionally
-      // dependent on doc_id), so the re-rank needs no second join
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("x.simhash_lo").as("a_lo"),
-          col("x.simhash_hi").as("a_hi"), col("y.doc_id").as("b_id"),
-          col("y.simhash_lo").as("b_lo"), col("y.simhash_hi").as("b_hi"))
-        .distinct()
-      cand
-        .withColumn("hamming",
-          bit_count(col("a_lo").bitwiseXOR(col("b_lo"))) +
-          bit_count(col("a_hi").bitwiseXOR(col("b_hi"))))
-        .filter(col("hamming") <= 16)
-        .select("a_id", "b_id", "hamming")
-        .orderBy("a_id", "b_id")
-    }),
+    // the fenced all-pairs queries below are oracles for): the
+    // parameterized bit-block banding above at its production setting —
+    // 4 exact-match 16-bit blocks → pigeonhole recall 1.0 at hamming ≤ 3
+    // (probabilistic above; spec-asserted superset; see
+    // `bandedSimhashPairs` for the full scale story). Signatures come from
+    // the native-expression rung (identical output to the HOF/bits-join
+    // rungs — all three share one oracle).
+    "q_dedup_simhash64_banded" -> ((s, dir) =>
+      bandedSimhashPairs(queries("q_dedup_simhash64_expr")(s, dir),
+          blocks = 4, maxHamming = 16)
+        .orderBy("a_id", "b_id")),
 
     // 64-bit SimHash near-dup pairs: hamming over both halves.
     // Bounded all-pairs BY DESIGN — this is the small-range recall oracle

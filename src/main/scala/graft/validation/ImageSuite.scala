@@ -554,6 +554,17 @@ object ImageSuite {
     *     (`outDir/drift_partials`) with fresh partials from pending
     *     partitions only.
     */
+  /** Wall-clock a named phase when GRAFT_PHASE_TIMING is set (opt-in
+    * observability for tuning the checkpoint path; zero cost otherwise).
+    */
+  private def phase[A](name: String)(f: => A): A =
+    if (!sys.env.contains("GRAFT_PHASE_TIMING")) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PHASE $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
   def runAndCheckpoint(spark: SparkSession, dataDir: String, outDir: String,
                        runId: String): Unit = {
     import spark.implicits._
@@ -633,10 +644,16 @@ object ImageSuite {
       .filter(p => doneSet.contains(p.part))
     val (dVerd, dViol) = Drift.verdictsAuto(spark, storedPds.union(freshPds), runId)
 
+    // persisted: the frame is tiny (one row per partition × check) but its
+    // lineage is the whole engine — the verdicts write AND the state-row
+    // aggregation below both consume it, and without the persist the
+    // second action re-executes every check family (measured: ~10% of the
+    // run wall at 4 cores)
     val verdicts = rVerd.unionByName(cVerd).unionByName(qVerd)
       .unionByName(kVerd).unionByName(dVerd)
       .withColumn("score",
         Scoring.verdictScore(col("check"), col("metric"), col("threshold")))
+      .persist()
     val violations = rv.unionByName(kViol).unionByName(dViol)
 
     // Cross-run NDV(image_id) from mergeable HLL sketches (DataSketches HLL
@@ -652,30 +669,40 @@ object ImageSuite {
       .agg(hll_sketch_agg(col("image_id")).as("sketch")).persist()
     val storedHll = readHll(spark, s"$outDir/hll")
       .join(broadcast(doneDf), Seq("part"), "left_semi")
-    val ndvImageId: Long = freshHll.select("sketch", "part").unionByName(storedHll)
-      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("ndv"))
-      .collect()(0).getLong(0)
+    val ndvImageId: Long = phase("ndv_hll") {
+      freshHll.select("sketch", "part").unionByName(storedHll)
+        .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("ndv"))
+        .collect()(0).getLong(0)
+    }
 
-    verdicts.write.mode(SaveMode.Append).parquet(s"$outDir/verdicts")
-    violations.withColumn("run_id", lit(runId))
-      .write.mode(SaveMode.Append).parquet(s"$outDir/violations")
-    markRunIdUniform(spark, s"$outDir/violations")
-    metricsOf(facts, runId)
-      .unionByName(spark.createDataset(Seq(
-        MetricRow("_global", "ndv_image_id_hll", ndvImageId.toDouble, runId))).toDF())
-      .write.mode(SaveMode.Append).parquet(s"$outDir/metrics")
+    phase("write_verdicts") {
+      verdicts.write.mode(SaveMode.Append).parquet(s"$outDir/verdicts")
+    }
+    phase("write_violations") {
+      violations.withColumn("run_id", lit(runId))
+        .write.mode(SaveMode.Append).parquet(s"$outDir/violations")
+      markRunIdUniform(spark, s"$outDir/violations")
+    }
+    phase("write_metrics") {
+      metricsOf(facts, runId)
+        .unionByName(spark.createDataset(Seq(
+          MetricRow("_global", "ndv_image_id_hll", ndvImageId.toDouble, runId))).toDF())
+        .write.mode(SaveMode.Append).parquet(s"$outDir/metrics")
+    }
     // state: only partitions processed THIS run become done. Materialized
     // to the driver NOW (one row per pending partition) because its
     // lineage re-scans the keys store, whose files the overwrite below
     // replaces — a pre-built plan would hold the stale file listing.
-    val stateRows: Seq[StateRow] = verdicts
-      .join(lightNew.select("part").distinct(), Seq("part"), "left_semi")
-      .groupBy("part").agg(
-        sum(col("n_violations")).as("nv"), max(col("n_rows")).as("nr"))
-      .select(col("part"), lit("done").as("status"), col("nr").as("n_rows"),
-        col("nv").as("n_violations"), lit(runId).as("run_id"),
-        lit(System.currentTimeMillis()).as("finished_at"))
-      .as[StateRow].collect().toSeq
+    val stateRows: Seq[StateRow] = phase("state_rows") {
+      verdicts
+        .join(lightNew.select("part").distinct(), Seq("part"), "left_semi")
+        .groupBy("part").agg(
+          sum(col("n_violations")).as("nv"), max(col("n_rows")).as("nr"))
+        .select(col("part"), lit("done").as("status"), col("nr").as("n_rows"),
+          col("nv").as("n_violations"), lit(runId).as("run_id"),
+          lit(System.currentTimeMillis()).as("finished_at"))
+        .as[StateRow].collect().toSeq
+    }
     // Extend the key index + sketch store with this run's partitions via
     // DYNAMIC PARTITION OVERWRITE, not append: a crash-retry re-processes
     // the same partitions, and appending would leave duplicate key rows
@@ -685,14 +712,20 @@ object ImageSuite {
     // idempotent per partition; the output tables above stay append-only
     // (at-least-once on crash, exactly-once per successful run — the
     // state table below is the commit point).
-    PartitionedStore.write(lightNew.select("image_id", "part"), s"$outDir/keys")
-    Drift.writePartialsDS(freshPds, s"$outDir/drift_partials")
-    PartitionedStore.write(freshHll, s"$outDir/hll")
+    phase("write_keys") {
+      PartitionedStore.write(lightNew.select("image_id", "part"), s"$outDir/keys")
+    }
+    phase("write_drift") {
+      Drift.writePartialsDS(freshPds, s"$outDir/drift_partials")
+    }
+    phase("write_hll") { PartitionedStore.write(freshHll, s"$outDir/hll") }
     freshPds.unpersist(); freshHll.unpersist()
     // the state write is the COMMIT POINT — last, from pre-materialized rows
-    spark.createDataset(stateRows).toDF()
-      .coalesce(1).write.mode(SaveMode.Append).parquet(stateDir)
-    facts.unpersist(); lightNew.unpersist()
+    phase("write_state") {
+      spark.createDataset(stateRows).toDF()
+        .coalesce(1).write.mode(SaveMode.Append).parquet(stateDir)
+    }
+    facts.unpersist(); lightNew.unpersist(); verdicts.unpersist()
   }
 
   def readDoneParts(spark: SparkSession, stateDir: String): Set[String] =

@@ -37,6 +37,31 @@ class BandedSimHashSpec extends SparkTestBase {
     assert(extra.isEmpty, s"banded pairing fabricated pairs: $extra")
   }
 
+  test("generalized banding: blocks=b guarantees recall at hamming <= b-1") {
+    // the parameterized function must deliver the pigeonhole radius for
+    // every supported block count — compare against the all-pairs oracle
+    // on the bounded range, per radius
+    val sh = DedupQueries.queries("q_dedup_simhash64_expr")(spark, dir)
+      .filter(col("doc_id") < 150)
+    for (blocks <- Seq(2, 8, 16, 32)) {
+      val got = pairSet(
+        DedupQueries.bandedSimhashPairs(sh, blocks, maxHamming = 64))
+      val guaranteed = allPairs.filter(_._3 <= blocks - 1)
+      val missed = guaranteed.filterNot(p => got.contains(p))
+      assert(missed.isEmpty, s"blocks=$blocks missed guaranteed pairs: $missed")
+      // and never fabricates: every emitted pair is a true pair (hamming
+      // recomputed in plain Scala from the signatures)
+      val sigs = sh.collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("simhash_lo"), r.getAs[Long]("simhash_hi"))).toMap
+      got.foreach { case (a, b, h) =>
+        val ha = java.lang.Long.bitCount(sigs(a)._1 ^ sigs(b)._1) +
+          java.lang.Long.bitCount(sigs(a)._2 ^ sigs(b)._2)
+        assert(ha == h, s"blocks=$blocks pair ($a,$b): hamming $h != recomputed $ha")
+      }
+    }
+  }
+
   test("banded candidate generation prunes vs all-pairs on the full corpus") {
     val sh = DedupQueries.queries("q_dedup_simhash64_expr")(spark, dir)
     val n = sh.count()
