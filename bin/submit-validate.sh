@@ -14,6 +14,12 @@ LO="${2:-1}"
 HI="${3:-4}"
 JAR=$(ls target/scala-2.13/crawlfirstspark_2.13-*.jar | grep -v -- -tests | head -1)
 WORK=$(mktemp -d /tmp/graft-submit-validate.XXXXXX)
+# on failure surface the buried spark stderr, then always clean up the
+# multi-GB checkpoint dirs
+trap 'st=$?; if [ $st -ne 0 ]; then
+        echo "submit-validate FAILED (exit $st); last spark stderr:" >&2
+        tail -40 "$WORK/spark.log" >&2 || true
+      fi; rm -rf "$WORK"' EXIT
 
 run_level() { # cores outdir
   /opt/spark/bin/spark-submit \
@@ -27,12 +33,12 @@ run_level() { # cores outdir
     --conf spark.sql.files.openCostInBytes=1048576 \
     --driver-memory 8g \
     --class graft.ValidateMain \
-    "$JAR" "gen:$N_ROWS" "$2" "submit-local$1" "${WARM_N:-20000}" 2>/dev/null \
-    | grep '^VALIDATE_OK'
+    "$JAR" "gen:$N_ROWS" "$2" "submit-local$1" "${WARM_N:-20000}" 2>>"$WORK/spark.log" \
+    | grep -E '^(VALIDATE_OK|GEN_ONLY_OK)'
 }
 
-# generate the tier once (untimed) so neither level pays for it
-run_level "$HI" "$WORK/warmgen" > /dev/null
+# generate the tier once (untimed, gen-only — no validation pass)
+WARM_N=0 run_level "$HI" "-" > /dev/null
 
 # min of 2 INTERLEAVED fresh-JVM runs per level (same estimator as
 # graft.Bench): shared-host noise only ever adds time, and interleaving
@@ -46,12 +52,9 @@ for i in 1 2; do
   H=$(run_level "$HI" "$WORK/out-hi-$i"); echo "$H"
   LO_T="$LO_T $(wall_of "$L")"; HI_T="$HI_T $(wall_of "$H")"
 done
-EFF=$(python3 - <<PYEOF
+python3 - <<PYEOF
 lo = min(float(x) for x in "$LO_T".split())
 hi = min(float(x) for x in "$HI_T".split())
 print(f"SUBMIT_VALIDATE scaling_levels=[$LO,$HI] wall_lo={lo}s wall_hi={hi}s "
       f"lo_runs=[$LO_T ] hi_runs=[$HI_T ] efficiency={lo / (hi * ($HI/$LO)):.3f}")
 PYEOF
-)
-echo "$EFF"
-rm -rf "$WORK"

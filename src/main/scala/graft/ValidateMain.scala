@@ -20,7 +20,9 @@ import org.apache.spark.sql.functions._
   *             synthesize the deterministic n-row tier first (idempotent —
   *             an existing tier dir is reused)
   *   outDir    checkpoint root (verdicts/violations/metrics/state + side
-  *             stores); reuse it across invocations to resume
+  *             stores); reuse it across invocations to resume. `-` means
+  *             generate-only: ensure the tier exists and exit without
+  *             validating (the untimed generation step of a bench script)
   *   runId     stamped on verdict/violation/metric/state rows
   *   warmN     optional: run an UNTIMED warmN-row validation into a
   *             throwaway dir first, so the reported wall time measures the
@@ -31,13 +33,14 @@ import org.apache.spark.sql.functions._
   */
 object ValidateMain {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: graft.ValidateMain <dataDir|gen:n> <outDir> <runId> [warmN]")
+    require(args.length >= 3, "usage: graft.ValidateMain <dataDir|gen:n> <outDir|-> <runId> [warmN]")
     val Seq(dataArg, outDir, runId) = args.toSeq.take(3)
     val spark = SparkSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dataDir =
       if (dataArg.startsWith("gen:")) ImageGen.ensure(spark, dataArg.stripPrefix("gen:").toLong)
       else dataArg
+    if (outDir == "-") { println("GEN_ONLY_OK"); spark.stop(); return }
     args.drop(3).headOption.map(_.toLong).filter(_ > 0).foreach { warmN =>
       val warmDir = ImageGen.ensure(spark, warmN)
       val tmp = java.nio.file.Files.createTempDirectory("graft-warm").toString
@@ -46,14 +49,32 @@ object ValidateMain {
       spark.catalog.clearCache()
     }
 
+    // partitions ALREADY done before this invocation: a resumed (or no-op)
+    // rerun must report only what THIS run validated, not everything its
+    // runId ever touched — without the delta, rerunning with the same
+    // runId would claim the previous run's rows against this run's wall
+    // time (a false throughput claim from the line the harness parses)
+    val doneBefore = ImageSuite.readDoneParts(spark, s"$outDir/state")
+
     val t0 = System.nanoTime()
     ImageSuite.runAndCheckpoint(spark, dataDir, outDir, runId)
     val wallS = (System.nanoTime() - t0) / 1e9
 
-    // summary from the state table (the commit point): rows/partitions this
-    // run validated, and the run's violation count from the output table
-    val state = spark.read.parquet(s"$outDir/state").filter(col("status") === "done")
-    val thisRun = state.filter(col("run_id") === runId)
+    // summary from the state table (the commit point). An engine run over
+    // an empty pending set returns before creating any store, so a fresh
+    // outDir may still have no state dir — report an explicit no-op.
+    val statePath = s"$outDir/state"
+    val haveState = new org.apache.hadoop.fs.Path(statePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(statePath))
+    if (!haveState) {
+      println(f"VALIDATE_OK run=$runId rows=0 parts=0 parts_total=0 " +
+        f"violations=0 wall_s=$wallS%.2f rows_per_sec=0.0")
+      spark.stop(); return
+    }
+    val state = spark.read.parquet(statePath).filter(col("status") === "done")
+    val thisRun = state.filter(col("run_id") === runId &&
+        !col("part").isin(doneBefore.toSeq: _*))
       .agg(coalesce(sum("n_rows"), lit(0L)).as("rows"),
         count(lit(1)).as("parts"),
         coalesce(sum("n_violations"), lit(0L)).as("viols"))

@@ -541,6 +541,17 @@ object ImageSuite {
           org.apache.spark.sql.types.StructField("image_id", org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.types.StructField("part", org.apache.spark.sql.types.StringType))))
 
+  /** Wall-clock a named phase when GRAFT_PHASE_TIMING is set (opt-in
+    * observability for tuning the checkpoint path; zero cost otherwise).
+    */
+  private def phase[A](name: String)(f: => A): A =
+    if (!sys.env.contains("GRAFT_PHASE_TIMING")) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"PHASE $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
   /** Persist verdict/violation/metric/state tables; appends state rows so a
     * rerun skips completed partitions (exactly-once over partitions).
     *
@@ -554,17 +565,6 @@ object ImageSuite {
     *     (`outDir/drift_partials`) with fresh partials from pending
     *     partitions only.
     */
-  /** Wall-clock a named phase when GRAFT_PHASE_TIMING is set (opt-in
-    * observability for tuning the checkpoint path; zero cost otherwise).
-    */
-  private def phase[A](name: String)(f: => A): A =
-    if (!sys.env.contains("GRAFT_PHASE_TIMING")) f
-    else {
-      val t0 = System.nanoTime(); val r = f
-      println(f"PHASE $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-      r
-    }
-
   def runAndCheckpoint(spark: SparkSession, dataDir: String, outDir: String,
                        runId: String): Unit = {
     import spark.implicits._

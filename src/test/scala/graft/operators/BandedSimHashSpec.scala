@@ -40,10 +40,15 @@ class BandedSimHashSpec extends SparkTestBase {
   test("generalized banding: blocks=b guarantees recall at hamming <= b-1") {
     // the parameterized function must deliver the pigeonhole radius for
     // every supported block count — compare against the all-pairs oracle
-    // on the bounded range, per radius
+    // on the bounded range, per radius. The oracle only emits pairs with
+    // hamming <= 16, so for blocks > 16 this check is capped at radius 16;
+    // the synthetic test below covers the radii beyond the oracle's range.
     val sh = DedupQueries.queries("q_dedup_simhash64_expr")(spark, dir)
       .filter(col("doc_id") < 150)
-    for (blocks <- Seq(2, 8, 16, 32)) {
+    val sigs = sh.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("simhash_lo"), r.getAs[Long]("simhash_hi"))).toMap
+    for (blocks <- Seq(2, 4, 8, 16, 32)) {
       val got = pairSet(
         DedupQueries.bandedSimhashPairs(sh, blocks, maxHamming = 64))
       val guaranteed = allPairs.filter(_._3 <= blocks - 1)
@@ -51,14 +56,45 @@ class BandedSimHashSpec extends SparkTestBase {
       assert(missed.isEmpty, s"blocks=$blocks missed guaranteed pairs: $missed")
       // and never fabricates: every emitted pair is a true pair (hamming
       // recomputed in plain Scala from the signatures)
-      val sigs = sh.collect()
-        .map(r => r.getAs[Long]("doc_id") ->
-          (r.getAs[Long]("simhash_lo"), r.getAs[Long]("simhash_hi"))).toMap
       got.foreach { case (a, b, h) =>
         val ha = java.lang.Long.bitCount(sigs(a)._1 ^ sigs(b)._1) +
           java.lang.Long.bitCount(sigs(a)._2 ^ sigs(b)._2)
         assert(ha == h, s"blocks=$blocks pair ($a,$b): hamming $h != recomputed $ha")
       }
+    }
+  }
+
+  test("high-radius pigeonhole on adversarial synthetic signatures") {
+    // worst-case pairs the real-corpus oracle cannot reach (it caps at
+    // hamming 16): flip exactly blocks-1 bits spread over blocks-1
+    // DISTINCT bands, leaving exactly one band clean — the hardest input
+    // that still must be recalled. Built directly over the (lo, hi)
+    // signature layout (bits 0..31 / 32..63).
+    import spark.implicits._
+    def sig(bits: Set[Int]): (Long, Long) = (
+      bits.filter(_ < 32).map(b => 1L << b).fold(0L)(_ | _),
+      bits.filter(_ >= 32).map(b => 1L << (b - 32)).fold(0L)(_ | _))
+    for (blocks <- Seq(4, 8, 16, 32)) {
+      val w = 64 / blocks
+      // doc 0: all-zero signature; doc 1: one bit flipped in each of the
+      // first blocks-1 bands (hamming = blocks-1, exactly one clean band)
+      val flipped = (0 until blocks - 1).map(j => j * w).toSet
+      val (lo1, hi1) = sig(flipped)
+      val df = Seq((0L, 0L, 0L), (1L, lo1, hi1))
+        .toDF("doc_id", "simhash_lo", "simhash_hi")
+      val got = pairSet(DedupQueries.bandedSimhashPairs(df, blocks, maxHamming = 64))
+      assert(got == Set((0L, 1L, blocks - 1)),
+        s"blocks=$blocks: expected the hamming-${blocks - 1} pair, got $got")
+      // one more flip lands in the last clean band — the pigeonhole
+      // guarantee ends, and for THIS adversarial layout no band matches,
+      // so the pair must disappear (proves the test really exercises the
+      // band boundary, not some wider net)
+      val (lo2, hi2) = sig(flipped + ((blocks - 1) * w))
+      val df2 = Seq((0L, 0L, 0L), (1L, lo2, hi2))
+        .toDF("doc_id", "simhash_lo", "simhash_hi")
+      val got2 = pairSet(DedupQueries.bandedSimhashPairs(df2, blocks, maxHamming = 64))
+      assert(got2.isEmpty,
+        s"blocks=$blocks: pair with all $blocks bands dirty should not be a candidate, got $got2")
     }
   }
 
