@@ -133,16 +133,31 @@ object DedupQueries {
       .select(col("doc_id"), array((0 until k).map(i => col(s"mh$i")): _*).as("sigs"))
   }
 
+  /** Expression-rung twin of [[minhashSignatures]] (k = 16, the
+    * production setting): the whole signature from ONE narrow projection
+    * via [[graft.functions.MinHash16Expr]] — zero shuffle (the column
+    * rung shuffles every (doc, shingle) row through a distinct + 16-way
+    * min aggregation). Identical output (MinHashEquivalenceSpec), same
+    * oracle.
+    */
+  def minhashSignaturesExpr(d: DataFrame): DataFrame =
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.MinHash16Expr.minhash16(col("text")).as("sigs"))
+      .filter(col("sigs").isNotNull)
+
   /** MinHash+LSH near-dup candidate pairs with estimated Jaccard over ANY
     * (doc_id, text, …) frame — `q_dedup_minhash_lsh` runs it over the raw
     * documents table; `Pipeline.curate` over the gated+exact-deduped frame
     * (so a surviving doc is never dropped for near-duplicating a doc that
     * an earlier stage already removed). 16 hashes, 4 bands of 4 rows.
+    * Signatures come from the expression rung (zero-shuffle); the column
+    * rung [[minhashSignatures]] stays as the builtins-only fallback.
     */
   def minhashLshPairs(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     val k = 16; val bands = 4; val rowsPerBand = 4
-    val sigs = minhashSignatures(d, k)
+    val sigs = minhashSignaturesExpr(d)
     val bandIdx = s.range(bands).select(col("id").cast("int").as("band"))
     val buckets = sigs.join(broadcast(bandIdx))
       .select(col("doc_id"), col("band"),
