@@ -59,6 +59,22 @@ class PlanHygieneSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cartesian in trained-IVF plan:\n$p")
   }
 
+  test("signature expression rungs plan ZERO shuffles (scan -> project)") {
+    // the whole point of the native-expression rungs: the signature never
+    // costs an Exchange. A refactor that reintroduces a shuffle (e.g. a
+    // distinct or an aggregation) must fail here, not at 100 TB.
+    val d = Tables(spark, dir, "documents")
+    for ((name, df) <- Seq(
+        "minhash16" -> DedupQueries.minhashSignaturesExpr(d),
+        "simhash64" -> d.filter(org.apache.spark.sql.functions.col("text").isNotNull)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            graft.functions.SimHash64Expr.simhash64(
+              org.apache.spark.sql.functions.col("text")).as("sh")))) {
+      val p = planOf(df)
+      assert(!p.contains("Exchange"), s"$name signature plan shuffles:\n$p")
+    }
+  }
+
   test("suite light projection never reads bytes") {
     val d = graft.images.ImageGen.ensure(spark, 2000L, "target/test-images")
     val images = graft.images.ImageGen.images(spark, d)
