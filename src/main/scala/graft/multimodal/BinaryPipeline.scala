@@ -7,10 +7,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, processed in fixed-size batches inside partitions — the Scala
   * twin of a `mapInPandas` Arrow-batch pipeline (the shape a Python
-  * feature-extraction UDF would see). Image ops are real (ImageCodec);
-  * audio/video decode is STUBBED with deterministic fakes (no codec libs
-  * in this container) behind the same batch interface, so schema,
-  * partitioning and batch discipline are fully exercised and tested.
+  * feature-extraction UDF would see). Image ops are real (ImageCodec,
+  * ImageIO) and, since round 3, audio is REAL too (AudioCodec,
+  * javax.sound.sampled — RIFF/WAVE PCM16 encode/decode + RMS +
+  * band-energy fingerprint). Only video decode remains a deterministic
+  * STUB behind the same batch interface (the JDK ships no video codec),
+  * so its schema, partitioning and batch discipline are still exercised
+  * and tested.
   *
   * Scale design: payloads never cross a shuffle — every derived column is
   * computed in the scan stage, then `bytes` is dropped (SURVEY.md §7.4);
@@ -48,11 +51,21 @@ object BinaryPipeline {
                   MediaFeatures(r.media_id, r.kind, nb, sniff, 0, 0, 0, 0L, batch.size)
               }
             case "audio" =>
-              // STUB: no audio codec in-container; deterministic fake
-              // "sample-rate fingerprint" from the payload digest.
-              MediaFeatures(r.media_id, r.kind, nb, "pcm-stub", 0, 0,
-                n_frames = (nb / 2).toInt, phash = stubDigest(r.bytes),
-                batch.size)
+              // REAL decode (AudioCodec / javax.sound.sampled): for audio
+              // rows, feat_w = sample rate, feat_h = integer RMS,
+              // n_frames = sample count, phash = band-energy fingerprint.
+              // Corrupt payloads decode to None → zeroed row, never a
+              // task failure.
+              AudioCodec.decodeWav(r.bytes) match {
+                case Some((samples, rate)) =>
+                  MediaFeatures(r.media_id, r.kind, nb, "wav-pcm16", rate,
+                    AudioCodec.rmsInt(samples), samples.length,
+                    AudioCodec.fingerprint64(samples), batch.size)
+                case None =>
+                  MediaFeatures(r.media_id, r.kind, nb,
+                    if (AudioCodec.sniffWav(r.bytes)) "wav-corrupt" else "none",
+                    0, 0, 0, 0L, batch.size)
+              }
             case "video" =>
               // STUB: frame-sample every 1000 ms of asserted duration.
               val frames = math.max(1, r.duration_ms / 1000)
@@ -107,8 +120,12 @@ object BinaryPipeline {
           val px = ImageCodec.synthPixels(i, 32, 32)
           MediaRow(f"med-$i%08d", "image", ImageCodec.encode(px, 32, 32, "png"), 32, 32, 0)
         case 1 =>
-          val b = Array.tabulate[Byte](256)(k => (ImageCodec.mix64(i * 997 + k) & 0xff).toByte)
-          MediaRow(f"med-$i%08d", "audio", b, 0, 0, 2000)
+          // REAL WAV payload: a deterministic sine at an id-derived
+          // frequency, 0.25 s @ 8 kHz mono PCM16 (2000 samples)
+          val freq = 200.0 + (math.abs(m) % 20) * 50.0
+          val samples = Array.tabulate[Short](2000)(k =>
+            (math.sin(2 * math.Pi * freq * k / 8000.0) * 12000).toShort)
+          MediaRow(f"med-$i%08d", "audio", AudioCodec.encodeWav(samples, 8000), 0, 0, 250)
         case _ =>
           val b = Array.tabulate[Byte](512)(k => (ImageCodec.mix64(i * 31 + k) & 0xff).toByte)
           MediaRow(f"med-$i%08d", "video", b, 640, 480, 5000)

@@ -13,8 +13,36 @@ class BinaryPipelineSpec extends SparkTestBase {
     val byKind = feats.groupBy(_.kind)
     assert(byKind.keySet == Set("image", "audio", "video"))
     assert(byKind("image").forall(f => f.feat_w == 32 && f.n_frames == 1 && f.sniffed == "png"))
-    assert(byKind("audio").forall(f => f.n_frames == f.n_bytes / 2 && f.sniffed == "pcm-stub"))
+    // audio is a REAL decode now: 2000 PCM16 samples @ 8 kHz through
+    // javax.sound.sampled, nonzero RMS and fingerprint for a sine
+    assert(byKind("audio").forall(f => f.sniffed == "wav-pcm16" &&
+      f.n_frames == 2000 && f.feat_w == 8000 && f.feat_h > 0 && f.phash != 0L))
     assert(byKind("video").forall(f => f.n_frames == 5 && f.feat_w == 640))
+  }
+
+  test("WAV codec round-trips samples exactly; corrupt payloads never fail") {
+    val samples = Array.tabulate[Short](777)(k =>
+      (math.sin(k / 7.0) * 9000).toShort)
+    val bytes = AudioCodec.encodeWav(samples, 16000)
+    assert(AudioCodec.sniffWav(bytes))
+    val Some((back, rate)) = AudioCodec.decodeWav(bytes)
+    assert(rate == 16000 && back.toSeq == samples.toSeq)
+    // corruption classes: truncated header, garbage, valid-magic bad body
+    assert(AudioCodec.decodeWav(bytes.take(10)).isEmpty)
+    assert(AudioCodec.decodeWav(Array.fill[Byte](64)(0x5a)).isEmpty)
+    assert(AudioCodec.decodeWav(null).isEmpty)
+    val badBody = bytes.clone(); badBody(20) = 99 // format code != PCM
+    assert(AudioCodec.decodeWav(badBody).isEmpty)
+    // through the pipeline: a corrupt audio row yields a zeroed feature
+    // row (task must not fail)
+    import spark.implicits._
+    val rows = Seq(
+      BinaryPipeline.MediaRow("ok", "audio", bytes, 0, 0, 0),
+      BinaryPipeline.MediaRow("bad", "audio", badBody, 0, 0, 0)).toDS()
+    val feats = BinaryPipeline.extractFeatures(rows).collect().sortBy(_.media_id)
+    assert(feats.map(_.media_id).toSeq == Seq("bad", "ok"))
+    assert(feats(0).sniffed == "wav-corrupt" && feats(0).n_frames == 0)
+    assert(feats(1).sniffed == "wav-pcm16" && feats(1).n_frames == 777)
   }
 
   test("feature extraction is deterministic across reruns") {
