@@ -8,12 +8,13 @@ import org.apache.spark.sql.functions._
   * metadata, processed in fixed-size batches inside partitions — the Scala
   * twin of a `mapInPandas` Arrow-batch pipeline (the shape a Python
   * feature-extraction UDF would see). Image ops are real (ImageCodec,
-  * ImageIO) and, since round 3, audio is REAL too (AudioCodec,
+  * ImageIO); since round 3 audio is REAL too (AudioCodec,
   * javax.sound.sampled — RIFF/WAVE PCM16 encode/decode + RMS +
-  * band-energy fingerprint). Only video decode remains a deterministic
-  * STUB behind the same batch interface (the JDK ships no video codec),
-  * so its schema, partitioning and batch discipline are still exercised
-  * and tested.
+  * band-energy fingerprint), and video gets a REAL container-metadata
+  * parse (Mp4Meta, hand-rolled ISO BMFF boxes — dimensions/duration
+  * from moov, the no-decode pattern large video columns use). Only
+  * video FRAME decode remains a deterministic stub behind the same
+  * batch interface (the JDK ships no video codec).
   *
   * Scale design: payloads never cross a shuffle — every derived column is
   * computed in the scan stage, then `bytes` is dropped (SURVEY.md §7.4);
@@ -67,10 +68,21 @@ object BinaryPipeline {
                     0, 0, 0, 0L, batch.size)
               }
             case "video" =>
-              // STUB: frame-sample every 1000 ms of asserted duration.
-              val frames = math.max(1, r.duration_ms / 1000)
-              MediaFeatures(r.media_id, r.kind, nb, "h264-stub",
-                r.meta_w, r.meta_h, frames, stubDigest(r.bytes), batch.size)
+              // REAL container-metadata parse (Mp4Meta, hand-rolled ISO
+              // BMFF boxes — the cheap no-decode pattern a 100 TB video
+              // column actually uses): dimensions + duration from the
+              // moov header, frame-sample count = every 1000 ms of PARSED
+              // duration. Frame DECODE stays stubbed (no JDK video
+              // codec): phash is the payload digest stand-in.
+              Mp4Meta.parse(r.bytes) match {
+                case Some((w, h, durMs)) =>
+                  MediaFeatures(r.media_id, r.kind, nb, "mp4-meta", w, h,
+                    math.max(1, durMs / 1000), stubDigest(r.bytes), batch.size)
+                case None =>
+                  MediaFeatures(r.media_id, r.kind, nb,
+                    if (Mp4Meta.sniffMp4(r.bytes)) "mp4-corrupt" else "none",
+                    0, 0, 0, 0L, batch.size)
+              }
             case _ =>
               MediaFeatures(r.media_id, r.kind, nb, "none", 0, 0, 0, 0L, batch.size)
           }
@@ -127,8 +139,11 @@ object BinaryPipeline {
             (math.sin(2 * math.Pi * freq * k / 8000.0) * 12000).toShort)
           MediaRow(f"med-$i%08d", "audio", AudioCodec.encodeWav(samples, 8000), 0, 0, 250)
         case _ =>
-          val b = Array.tabulate[Byte](512)(k => (ImageCodec.mix64(i * 31 + k) & 0xff).toByte)
-          MediaRow(f"med-$i%08d", "video", b, 640, 480, 5000)
+          // REAL MP4 container skeleton (ftyp + moov(mvhd, trak(tkhd)) +
+          // mdat) with a deterministic fake payload — dimensions and
+          // duration are parsed back from the boxes, not trusted metadata
+          val mdat = Array.tabulate[Byte](512)(k => (ImageCodec.mix64(i * 31 + k) & 0xff).toByte)
+          MediaRow(f"med-$i%08d", "video", Mp4Meta.encode(640, 480, 5000, mdat), 640, 480, 5000)
       }
     }
   }

@@ -1,0 +1,100 @@
+package graft.multimodal
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal MP4 (ISO BMFF) container METADATA codec — hand-rolled box
+  * writer/parser, no codec library. This is the real 100 TB pattern for
+  * video columns: duration/dimensions come from a cheap container parse
+  * of the `moov` header (mvhd + tkhd boxes), while FRAME decode — which
+  * would need an H.264/AV1 codec the JDK does not ship — stays stubbed.
+  * Box layout per ISO/IEC 14496-12 (public spec): length-prefixed
+  * [size:u32][type:4cc] boxes, big-endian; mvhd v0 carries
+  * timescale/duration, tkhd v0 carries 16.16-fixed width/height.
+  *
+  * Parse failure returns None, never throws (corrupt payload → zeroed
+  * feature row, the suite's decode philosophy).
+  */
+object Mp4Meta {
+
+  /** Encode a structurally valid MP4 skeleton: ftyp + moov(mvhd,
+    * trak(tkhd)) + mdat with the given payload.
+    */
+  def encode(w: Int, h: Int, durationMs: Int, mdat: Array[Byte]): Array[Byte] = {
+    def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + body.length).order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(8 + body.length); bb.put(tpe.getBytes("US-ASCII")); bb.put(body)
+      bb.array()
+    }
+    val ftyp = box("ftyp", {
+      val bb = ByteBuffer.allocate(12)
+      bb.put("isom".getBytes); bb.putInt(0); bb.put("isom".getBytes); bb.array()
+    })
+    val mvhd = box("mvhd", {
+      val bb = ByteBuffer.allocate(100).order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(0)            // version 0 + flags
+      bb.putInt(0); bb.putInt(0) // ctime, mtime
+      bb.putInt(1000)         // timescale: ms
+      bb.putInt(durationMs)   // duration in timescale units
+      bb.putInt(0x00010000)   // rate 1.0
+      bb.putShort(0x0100.toShort) // volume 1.0
+      bb.position(bb.position() + 10) // reserved
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt) // identity matrix
+      bb.position(bb.position() + 24) // predefined
+      bb.putInt(2)            // next track id
+      bb.array()
+    })
+    val tkhd = box("tkhd", {
+      val bb = ByteBuffer.allocate(84).order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(7)            // version 0 + flags (enabled|in-movie|in-preview)
+      bb.putInt(0); bb.putInt(0) // ctime, mtime
+      bb.putInt(1)            // track id
+      bb.putInt(0)            // reserved
+      bb.putInt(durationMs)   // duration
+      bb.putLong(0L)          // reserved
+      bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0) // layer, group, volume, reserved
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+      bb.putInt(w << 16)      // 16.16 fixed width
+      bb.putInt(h << 16)      // 16.16 fixed height
+      bb.array()
+    })
+    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    ftyp ++ moov ++ box("mdat", mdat)
+  }
+
+  /** True when the payload opens with a well-formed ftyp box. */
+  def sniffMp4(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 8 &&
+      bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p'
+
+  /** Parse (width, height, durationMs) from the moov header. */
+  def parse(bytes: Array[Byte]): Option[(Int, Int, Int)] =
+    if (bytes == null || bytes.length < 8) None
+    else try {
+      val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+      var durationMs = -1
+      var w = -1; var h = -1
+
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        var p = start
+        while (p + 8 <= end) {
+          val size = bb.getInt(p)
+          if (size < 8 || p + size > end) return // malformed: stop cleanly
+          val tpe = new String(bytes, p + 4, 4, "US-ASCII")
+          tpe match {
+            case "moov" | "trak" if depth < 4 => walk(p + 8, p + size, depth + 1)
+            case "mvhd" if size >= 32 && bytes(p + 8) == 0 =>
+              val timescale = bb.getInt(p + 20)
+              val duration = bb.getInt(p + 24)
+              if (timescale > 0) durationMs = (duration.toLong * 1000 / timescale).toInt
+            case "tkhd" if size >= 92 && bytes(p + 8) == 0 =>
+              w = bb.getInt(p + 84) >>> 16
+              h = bb.getInt(p + 88) >>> 16
+            case _ => ()
+          }
+          p += size
+        }
+      }
+      walk(0, bytes.length, 0)
+      if (durationMs >= 0 && w >= 0 && h >= 0) Some((w, h, durationMs)) else None
+    } catch { case _: Exception => None }
+}

@@ -17,7 +17,30 @@ class BinaryPipelineSpec extends SparkTestBase {
     // javax.sound.sampled, nonzero RMS and fingerprint for a sine
     assert(byKind("audio").forall(f => f.sniffed == "wav-pcm16" &&
       f.n_frames == 2000 && f.feat_w == 8000 && f.feat_h > 0 && f.phash != 0L))
-    assert(byKind("video").forall(f => f.n_frames == 5 && f.feat_w == 640))
+    // video dims/duration come from a REAL container parse of the moov
+    // boxes, not from trusted row metadata
+    assert(byKind("video").forall(f => f.sniffed == "mp4-meta" &&
+      f.n_frames == 5 && f.feat_w == 640 && f.feat_h == 480))
+  }
+
+  test("MP4 metadata round-trips; corrupt containers never fail") {
+    val bytes = Mp4Meta.encode(1920, 1080, 123456, Array.fill[Byte](64)(7))
+    assert(Mp4Meta.sniffMp4(bytes))
+    assert(Mp4Meta.parse(bytes).contains((1920, 1080, 123456)))
+    // corruption classes: truncation, garbage, bad box size
+    assert(Mp4Meta.parse(bytes.take(30)).isEmpty)
+    assert(Mp4Meta.parse(Array.fill[Byte](64)(0x33)).isEmpty)
+    assert(Mp4Meta.parse(null).isEmpty)
+    val badSize = bytes.clone(); badSize(0) = -1 // first box size becomes huge/negative
+    assert(Mp4Meta.parse(badSize).isEmpty)
+    import spark.implicits._
+    val rows = Seq(
+      BinaryPipeline.MediaRow("ok", "video", bytes, 0, 0, 0),
+      BinaryPipeline.MediaRow("bad", "video", bytes.take(30), 0, 0, 0)).toDS()
+    val feats = BinaryPipeline.extractFeatures(rows).collect().sortBy(_.media_id)
+    assert(feats(0).media_id == "bad" && feats(0).sniffed == "mp4-corrupt" && feats(0).feat_w == 0)
+    assert(feats(1).media_id == "ok" && feats(1).sniffed == "mp4-meta" &&
+      feats(1).feat_w == 1920 && feats(1).feat_h == 1080 && feats(1).n_frames == 123)
   }
 
   test("WAV codec round-trips samples exactly; corrupt payloads never fail") {
