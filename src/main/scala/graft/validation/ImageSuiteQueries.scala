@@ -141,8 +141,9 @@ object ImageSuiteQueries {
         .orderBy("part")
     }),
     // Multimodal binary pipeline surfaced to the driver: batched feature
-    // extraction over the synthetic media table (images real, audio/video
-    // deterministic stubs) — per-kind feature roll-up.
+    // extraction over the synthetic media table (image decode, WAV audio
+    // decode, and MP4 container-metadata parse are all REAL; only video
+    // frame decode is a deterministic stub) — per-kind feature roll-up.
     "qi_media_features" -> ((s, dir) => {
       val media = graft.multimodal.BinaryPipeline.synthMedia(s, 3000)
       val feats = graft.multimodal.BinaryPipeline.extractFeatures(media)
