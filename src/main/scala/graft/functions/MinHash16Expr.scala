@@ -35,7 +35,7 @@ case class MinHash16Expr(child: Expression)
   override protected def nullSafeEval(input: Any): Any = {
     val toks = input.toString.split(" ", -1)
     if (toks.length < 3) return null
-    val md = MinHash16Expr.digests.get()
+    val md = Md5Local.get()
     val mins = Array.fill(16)(Long.MaxValue)
     val seen = new java.util.HashSet[String]()
     var i = 0
@@ -68,11 +68,6 @@ object MinHash16Expr {
   // DuckDB oracle use (bounded under 2^30: a·h < 2^62 never overflows)
   val A: Array[Long] = Array.tabulate(16)(i => graft.DedupQueries.mhCoeff("a", i))
   val B: Array[Long] = Array.tabulate(16)(i => graft.DedupQueries.mhCoeff("b", i))
-
-  private val digests = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
 
   def minhash16(text: Column): Column =
     GraftColumnBridge.column(MinHash16Expr(GraftColumnBridge.expression(text)))

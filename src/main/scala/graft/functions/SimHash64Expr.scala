@@ -32,7 +32,7 @@ case class SimHash64Expr(child: Expression)
 
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.toString
-    val md = SimHash64Expr.digests.get()
+    val md = Md5Local.get()
     val w = new Array[Int](64)
     var any = false
     var start = 0
@@ -75,11 +75,18 @@ object SimHash64Expr {
     StructField("simhash_lo", LongType, nullable = false),
     StructField("simhash_hi", LongType, nullable = false)))
 
+  def simhash64(text: Column): Column =
+    GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(text)))
+}
+
+/** Per-thread reusable MD5 instance, shared by the native signature
+  * expressions (MessageDigest is stateful and not thread-safe; one
+  * instance per executor thread, reset per value).
+  */
+private[functions] object Md5Local {
   private val digests = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
-
-  def simhash64(text: Column): Column =
-    GraftColumnBridge.column(SimHash64Expr(GraftColumnBridge.expression(text)))
+  def get(): java.security.MessageDigest = digests.get()
 }

@@ -133,17 +133,22 @@ object BinaryPipeline {
           MediaRow(f"med-$i%08d", "image", ImageCodec.encode(px, 32, 32, "png"), 32, 32, 0)
         case 1 =>
           // REAL WAV payload: a deterministic sine at an id-derived
-          // frequency, 0.25 s @ 8 kHz mono PCM16 (2000 samples)
+          // frequency, 0.25 s @ 8 kHz mono PCM16 (2000 samples).
+          // StrictMath, not Math: Math.sin is 1-ulp and platform-
+          // dependent (x86 intrinsics vs fdlibm), and a boundary sample
+          // would flip RMS/fingerprint bits across hosts — StrictMath is
+          // bit-identical everywhere (the repo's determinism discipline).
           val freq = 200.0 + (math.abs(m) % 20) * 50.0
           val samples = Array.tabulate[Short](2000)(k =>
-            (math.sin(2 * math.Pi * freq * k / 8000.0) * 12000).toShort)
+            (StrictMath.sin(2 * StrictMath.PI * freq * k / 8000.0) * 12000).toShort)
           MediaRow(f"med-$i%08d", "audio", AudioCodec.encodeWav(samples, 8000), 0, 0, 250)
         case _ =>
           // REAL MP4 container skeleton (ftyp + moov(mvhd, trak(tkhd)) +
           // mdat) with a deterministic fake payload — dimensions and
           // duration are parsed back from the boxes, not trusted metadata
           val mdat = Array.tabulate[Byte](512)(k => (ImageCodec.mix64(i * 31 + k) & 0xff).toByte)
-          MediaRow(f"med-$i%08d", "video", Mp4Meta.encode(640, 480, 5000, mdat), 640, 480, 5000)
+          MediaRow(f"med-$i%08d", "video",
+            Mp4Meta.encode(640, 480, 5000, mdat, withAudioTrack = true), 640, 480, 5000)
       }
     }
   }

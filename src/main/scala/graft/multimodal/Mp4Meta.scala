@@ -17,9 +17,13 @@ import java.nio.{ByteBuffer, ByteOrder}
 object Mp4Meta {
 
   /** Encode a structurally valid MP4 skeleton: ftyp + moov(mvhd,
-    * trak(tkhd)) + mdat with the given payload.
+    * trak(tkhd)[, trak(tkhd 0×0 soundtrack)]) + mdat with the given
+    * payload. `withAudioTrack` appends the 0×0 audio trak real MP4s
+    * carry after the video trak (exercises first-nonzero-track
+    * selection in [[parse]]).
     */
-  def encode(w: Int, h: Int, durationMs: Int, mdat: Array[Byte]): Array[Byte] = {
+  def encode(w: Int, h: Int, durationMs: Int, mdat: Array[Byte],
+             withAudioTrack: Boolean = false): Array[Byte] = {
     def box(tpe: String, body: Array[Byte]): Array[Byte] = {
       val bb = ByteBuffer.allocate(8 + body.length).order(ByteOrder.BIG_ENDIAN)
       bb.putInt(8 + body.length); bb.put(tpe.getBytes("US-ASCII")); bb.put(body)
@@ -43,21 +47,23 @@ object Mp4Meta {
       bb.putInt(2)            // next track id
       bb.array()
     })
-    val tkhd = box("tkhd", {
+    def tkhd(trackId: Int, tw: Int, th: Int) = box("tkhd", {
       val bb = ByteBuffer.allocate(84).order(ByteOrder.BIG_ENDIAN)
       bb.putInt(7)            // version 0 + flags (enabled|in-movie|in-preview)
       bb.putInt(0); bb.putInt(0) // ctime, mtime
-      bb.putInt(1)            // track id
+      bb.putInt(trackId)
       bb.putInt(0)            // reserved
       bb.putInt(durationMs)   // duration
       bb.putLong(0L)          // reserved
       bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0) // layer, group, volume, reserved
       Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
-      bb.putInt(w << 16)      // 16.16 fixed width
-      bb.putInt(h << 16)      // 16.16 fixed height
+      bb.putInt(tw << 16)     // 16.16 fixed width
+      bb.putInt(th << 16)     // 16.16 fixed height
       bb.array()
     })
-    val moov = box("moov", mvhd ++ box("trak", tkhd))
+    val traks = box("trak", tkhd(1, w, h)) ++
+      (if (withAudioTrack) box("trak", tkhd(2, 0, 0)) else Array.empty[Byte])
+    val moov = box("moov", mvhd ++ traks)
     ftyp ++ moov ++ box("mdat", mdat)
   }
 
@@ -87,8 +93,12 @@ object Mp4Meta {
               val duration = bb.getInt(p + 24)
               if (timescale > 0) durationMs = (duration.toLong * 1000 / timescale).toInt
             case "tkhd" if size >= 92 && bytes(p + 8) == 0 =>
-              w = bb.getInt(p + 84) >>> 16
-              h = bb.getInt(p + 88) >>> 16
+              // real MP4s carry several traks (video first, then audio
+              // whose tkhd is 0×0): keep the FIRST track with nonzero
+              // dimensions, never overwrite it with a later soundtrack
+              val tw = bb.getInt(p + 84) >>> 16
+              val th = bb.getInt(p + 88) >>> 16
+              if (w <= 0 || h <= 0) { w = tw; h = th }
             case _ => ()
           }
           p += size

@@ -157,7 +157,16 @@ object DedupQueries {
   def minhashLshPairs(d: DataFrame): DataFrame = {
     val s = d.sparkSession
     val k = 16; val bands = 4; val rowsPerBand = 4
-    val sigs = minhashSignaturesExpr(d)
+    // The signature subtree is referenced FOUR times below (both sides of
+    // the bucket self-join + the two est-jaccard joins). The zero-shuffle
+    // expression rung has no Exchange for the planner to deduplicate, so
+    // without a barrier every reference would recompute the per-doc md5
+    // pass (measured: the 13× signature win shrank to 3.4× end-to-end —
+    // almost exactly 13/4). One explicit repartition of the NARROW
+    // signature frame (doc_id + 16 longs) restores exchange/stage reuse:
+    // one signature computation + one small shuffle, which the banding
+    // join needs anyway.
+    val sigs = minhashSignaturesExpr(d).repartition(col("doc_id"))
     val bandIdx = s.range(bands).select(col("id").cast("int").as("band"))
     val buckets = sigs.join(broadcast(bandIdx))
       .select(col("doc_id"), col("band"),

@@ -27,6 +27,10 @@ class BinaryPipelineSpec extends SparkTestBase {
     val bytes = Mp4Meta.encode(1920, 1080, 123456, Array.fill[Byte](64)(7))
     assert(Mp4Meta.sniffMp4(bytes))
     assert(Mp4Meta.parse(bytes).contains((1920, 1080, 123456)))
+    // multi-track: the 0x0 audio trak after the video trak (the layout of
+    // virtually every real MP4) must not clobber the video dimensions
+    val multi = Mp4Meta.encode(1280, 720, 9000, Array.fill[Byte](8)(1), withAudioTrack = true)
+    assert(Mp4Meta.parse(multi).contains((1280, 720, 9000)))
     // corruption classes: truncation, garbage, bad box size
     assert(Mp4Meta.parse(bytes.take(30)).isEmpty)
     assert(Mp4Meta.parse(Array.fill[Byte](64)(0x33)).isEmpty)
