@@ -75,19 +75,45 @@ object Pipeline {
     // 4b. near-dup: MinHash+LSH candidates over the SURVIVING frame (not
     // the raw corpus — pairing against already-removed docs would delete a
     // survivor because it near-duplicates a doc the gate or exact dedup
-    // dropped), est. Jaccard >= 0.5, drop the larger id of each pair
+    // dropped), est. Jaccard >= 0.5, then TRANSITIVE keep-one-per-component
+    // (see nearDupDrops — the round-3 greedy drop-b_id rule is replaced by
+    // connected components, pinning the chain semantics explicitly)
     val nearPairs = DedupQueries.minhashLshPairs(exactDeduped)
       .filter(col("est_jaccard") >= 0.5)
-      .select(col("b_id").as("doc_id")).distinct()
-    // cached: the lineage count and the caller's write would otherwise each
-    // re-execute the whole MinHash+LSH banding chain
-    val curated = exactDeduped.join(nearPairs, Seq("doc_id"), "left_anti").cache()
-    stages += StageCount("dedup_near", curated.count(), "minhash-lsh est_jaccard>=0.5")
+    val curated = exactDeduped
+      .join(nearDupDrops(nearPairs), Seq("doc_id"), "left_anti").cache()
+    stages += StageCount("dedup_near", curated.count(),
+      "minhash-lsh est_jaccard>=0.5, keep min per component")
+    // the count above materialized `curated`, so the two upstream caches
+    // are no longer needed — release them here (repeated curate() calls in
+    // a long session must not accumulate cached blocks; `curated` stays
+    // cached because the CALLER owns its lifecycle: lineage count done,
+    // write still pending)
+    gated.unpersist(); exactDeduped.unpersist()
 
     // deterministic presentation order (observe() reordered the appends)
     val order = Seq("ingest", "enrich", "quality_gate", "dedup_exact", "dedup_near")
     (curated, stages.result().sortBy(s => order.indexOf(s.stage)))
   }
+
+  /** Docs to DROP under transitive near-dup semantics: connected
+    * components over the pair graph, keep exactly the min doc_id per
+    * component (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", ACL 2022 — cluster near-dups, keep one per cluster).
+    * CONTRACT, pinned by PipelineSpec's planted A~B~C chain: in a chain
+    * the middle AND far docs are both dropped even though the far doc's
+    * only near-dup is itself removed — a component is treated as one
+    * content cluster, not a pairwise constraint set. This over-deletes
+    * relative to a maximal-independent-set rule and is the standard
+    * training-data trade (deleting a borderline member is cheap; keeping
+    * two near-dups is not). The round-3 greedy drop-every-b_id rule kept
+    * every component min PLUS any non-min doc that never appeared on a
+    * pair's right side — an accident of id ordering, now gone.
+    */
+  def nearDupDrops(pairs: DataFrame): DataFrame =
+    DedupQueries.connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("comp_id"))
+      .select("doc_id")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

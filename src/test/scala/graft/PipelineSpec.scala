@@ -63,6 +63,29 @@ class PipelineSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(l)
   }
 
+  test("near-dup contract: planted A~B~C chain keeps exactly the component min") {
+    // A~B and B~C but A!~C: one component {A,B,C} — keep-one-per-component
+    // drops B AND C (C goes even though its only near-dup B is itself
+    // gone; a component is one content cluster — the documented contract,
+    // Pipeline.nearDupDrops). Second component {7,9} checks independence.
+    import spark.implicits._
+    val pairs = Seq((10L, 20L, 0.9), (20L, 30L, 0.8), (7L, 9L, 0.7))
+      .toDF("a_id", "b_id", "est_jaccard")
+    val drops = Pipeline.nearDupDrops(pairs).as[Long].collect().toSet
+    assert(drops == Set(20L, 30L, 9L),
+      s"expected chain to keep {10} and pair to keep {7}, drops were $drops")
+  }
+
+  test("near-dup drops follow component structure, not pair-side accidents") {
+    // pairs (1,3) and (2,3): component {1,2,3} → keep only 1. The round-3
+    // greedy rule (drop every b_id) would have kept {1,2} — doc 2 survived
+    // only because it never appeared on a pair's right side.
+    import spark.implicits._
+    val pairs = Seq((1L, 3L, 0.9), (2L, 3L, 0.9)).toDF("a_id", "b_id", "est_jaccard")
+    val drops = Pipeline.nearDupDrops(pairs).as[Long].collect().toSet
+    assert(drops == Set(2L, 3L))
+  }
+
   test("pipeline is deterministic across runs") {
     val (c2, s2) = Pipeline.curate(spark, sfDir)
     assert(s2.map(s => s.stage -> s.n_rows).toMap == counts)
