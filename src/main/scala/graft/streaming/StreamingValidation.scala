@@ -88,6 +88,32 @@ object StreamingValidation {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** Streaming twin of the batch resume engine's key-check + drift
+    * families (the VERDICT-r3 ST1 extension): each micro-batch of light
+    * image rows runs one full [[graft.validation.ImageSuite.lightIncrement]]
+    * cycle via `foreachBatch` — uniqueness / referential / caption
+    * consistency against the persisted key index, drift against the
+    * merged partial store, verdict/state appended under `outDir`. The
+    * side stores already being idempotent per partition is exactly what
+    * foreachBatch's at-least-once contract needs: a redelivered batch
+    * overwrites its own partitions and re-commits the same state rows,
+    * so streamed verdicts ≡ the batch resume twin run batch-by-batch
+    * (StreamingValidationSpec proves the equivalence on a two-batch
+    * split). At 10^12 scale this is continuous validation: new table
+    * partitions arrive as micro-batches and are checked against
+    * everything validated so far without re-reading done partitions.
+    */
+  def keyCheckDriftStream(lightStream: DataFrame, captions: DataFrame,
+                          outDir: String, ckptDir: String,
+                          runId: String): org.apache.spark.sql.streaming.StreamingQuery =
+    lightStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.validation.ImageSuite.lightIncrement(
+          batch.sparkSession, batch, captions, outDir, s"$runId-b$batchId")
+      }
+      .option("checkpointLocation", ckptDir)
+      .start()
+
   /** Run [[windowedCounts]] from a parquet-backed file stream to an
     * in-memory sink once (availableNow), returning the sink table —
     * incremental emission end-to-end with checkpointing to `ckptDir`.

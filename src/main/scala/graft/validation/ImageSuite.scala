@@ -552,6 +552,120 @@ object ImageSuite {
       r
     }
 
+  /** Incremental key-check + drift verdicts for a pending light frame
+    * against the side stores under `outDir` — the shared core of the batch
+    * resume path ([[runAndCheckpoint]]) and the streaming twin
+    * ([[graft.streaming.StreamingValidation]]). Returns (keyVerdicts,
+    * keyViolations, driftVerdicts, driftViolations, freshPartials); the
+    * CALLER owns the store writes (ordering is the caller's commit
+    * protocol) and unpersists freshPartials after persisting them.
+    */
+  private[graft] def keyDriftIncrement(spark: SparkSession, lightNew: DataFrame,
+      captions: DataFrame, outDir: String, runId: String, done: Set[String])
+      : (DataFrame, DataFrame, DataFrame, DataFrame,
+         org.apache.spark.sql.Dataset[Drift.DriftPartial]) = {
+    import spark.implicits._
+    // Restrict the key index to DONE partitions (exactly like the drift
+    // partials below): a crash between the keys append and the state
+    // append would otherwise leave keys for partitions that are pending
+    // again, and the retry would flag every one of their rows as a
+    // cross-run duplicate. State is the commit point; anything in the
+    // side stores beyond it is ignored. Broadcast semi-join rather than
+    // an isin literal list: at 10^5+ partitions the literal would bloat
+    // the plan (the scan filter keeps isin because partition pruning
+    // needs compile-time literals).
+    val doneDf = done.toSeq.toDF("part")
+    val oldKeys = readKeys(spark, s"$outDir/keys")
+      .join(broadcast(doneDf), Seq("part"), "left_semi")
+    // Migrate the violations store to a uniform schema BEFORE any frame
+    // reads it (the prior-orphan dedup below scans it; its file listing is
+    // snapshotted at construction, so the later same-run append is not
+    // seen mid-scan).
+    ensureViolationsRunId(spark, s"$outDir/violations")
+    // (part, image_id) pairs already reported as orphan captions: caption-
+    // only partitions never turn done, so they are re-checked every run —
+    // this anti-join set keeps the append-only store duplicate-free (and
+    // also absorbs a crashed attempt's at-least-once re-append).
+    // localCheckpoint PINS the snapshot eagerly: the same run APPENDS to
+    // the violations dir this frame reads, and relying on the eager
+    // file-listing of spark.read would leave the dedup input lineage-
+    // dependent — a stage retry re-executing this anti-join input after
+    // the append (or a future lazily-listed source) could change the set
+    // mid-run. Checkpointing truncates the lineage to the materialized
+    // blocks, so the read happens exactly once, now. Executor-local
+    // storage (not the driver): the orphan set is O(orphan captions),
+    // which at 10^12 rows is too large to collect.
+    val priorOrphans =
+      if (pathExists(spark, s"$outDir/violations"))
+        spark.read.parquet(s"$outDir/violations")
+          .filter(col("check") === "referential_image_exists")
+          .select("part", "image_id").distinct()
+          .localCheckpoint()
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("part", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("image_id", org.apache.spark.sql.types.StringType))))
+    val (kVerd, kViol) =
+      incrementalKeyChecks(lightNew, oldKeys, captions, runId, doneDf, priorOrphans)
+    // Drift partials stay DISTRIBUTED end-to-end: fresh partials from the
+    // pending scan union the persisted partials of done partitions (parts
+    // are disjoint, both sides pre-reduced per key), and verdictsAuto
+    // finalizes driver-side below 10^5 partials, in executors beyond —
+    // nothing funnels through the driver at 10^6-partition scale. The
+    // `done` membership filter is a closure over the done-set (fine to
+    // ~10^5 parts; beyond that, broadcast-semi-join like oldKeys above).
+    val doneSet = done
+    val freshPds = Drift.partials(lightNew).persist()
+    val storedPds = Drift.readPartialsDS(spark, s"$outDir/drift_partials")
+      .filter(p => doneSet.contains(p.part))
+    val (dVerd, dViol) = Drift.verdictsAuto(spark, storedPds.union(freshPds), runId)
+    (kVerd, kViol, dVerd, dViol, freshPds)
+  }
+
+  /** Light-projection increment — the full resumable key-check + drift
+    * cycle (verdict/violation/state writes included) for one pending
+    * light frame, WITHOUT the decode families: this is the unit of work a
+    * streaming micro-batch performs. Same commit protocol as
+    * [[runAndCheckpoint]]: side stores are idempotent per partition
+    * (dynamic partition overwrite), output tables append, the state write
+    * commits last — so foreachBatch's at-least-once redelivery re-runs a
+    * crashed batch without duplicating store rows.
+    */
+  def lightIncrement(spark: SparkSession, lightNew0: DataFrame,
+                     captions: DataFrame, outDir: String, runId: String): Unit = {
+    import spark.implicits._
+    val stateDir = s"$outDir/state"
+    val done: Set[String] = readDoneParts(spark, stateDir)
+    val lightNew = (if (done.isEmpty) lightNew0
+      else lightNew0.filter(!col("part").isin(done.toSeq: _*))).cache()
+    if (lightNew.isEmpty) { lightNew.unpersist(); return }
+    val (kVerd, kViol, dVerd, dViol, freshPds) =
+      keyDriftIncrement(spark, lightNew, captions, outDir, runId, done)
+    val verdicts = kVerd.unionByName(dVerd)
+      .withColumn("score",
+        Scoring.verdictScore(col("check"), col("metric"), col("threshold")))
+      .persist()
+    val violations = kViol.unionByName(dViol)
+    verdicts.write.mode(SaveMode.Append).parquet(s"$outDir/verdicts")
+    violations.withColumn("run_id", lit(runId))
+      .write.mode(SaveMode.Append).parquet(s"$outDir/violations")
+    markRunIdUniform(spark, s"$outDir/violations")
+    val stateRows: Seq[StateRow] = verdicts
+      .join(lightNew.select("part").distinct(), Seq("part"), "left_semi")
+      .groupBy("part").agg(
+        sum(col("n_violations")).as("nv"), max(col("n_rows")).as("nr"))
+      .select(col("part"), lit("done").as("status"), col("nr").as("n_rows"),
+        col("nv").as("n_violations"), lit(runId).as("run_id"),
+        lit(System.currentTimeMillis()).as("finished_at"))
+      .as[StateRow].collect().toSeq
+    PartitionedStore.write(lightNew.select("image_id", "part"), s"$outDir/keys")
+    Drift.writePartialsDS(freshPds, s"$outDir/drift_partials")
+    freshPds.unpersist()
+    spark.createDataset(stateRows).toDF()
+      .coalesce(1).write.mode(SaveMode.Append).parquet(stateDir)
+    lightNew.unpersist(); verdicts.unpersist()
+  }
+
   /** Persist verdict/violation/metric/state tables; appends state rows so a
     * rerun skips completed partitions (exactly-once over partitions).
     *
@@ -599,50 +713,9 @@ object ImageSuite {
     val rVerd = rowVerdicts(facts, rv, runId)
     val cVerd = coverageVerdicts(facts, runId)
     val qVerd = Scoring.qualityVerdicts(facts, runId)
-    // Restrict the key index to DONE partitions (exactly like the drift
-    // partials below): a crash between the keys append and the state
-    // append would otherwise leave keys for partitions that are pending
-    // again, and the retry would flag every one of their rows as a
-    // cross-run duplicate. State is the commit point; anything in the
-    // side stores beyond it is ignored. Broadcast semi-join rather than
-    // an isin literal list: at 10^5+ partitions the literal would bloat
-    // the plan (the scan filter above keeps isin because partition
-    // pruning needs compile-time literals).
-    val doneDf = done.toSeq.toDF("part")
-    val oldKeys = readKeys(spark, s"$outDir/keys")
-      .join(broadcast(doneDf), Seq("part"), "left_semi")
-    // Migrate the violations store to a uniform schema BEFORE any frame
-    // reads it (the prior-orphan dedup below scans it; its file listing is
-    // snapshotted at construction, so the later same-run append is not
-    // seen mid-scan).
-    ensureViolationsRunId(spark, s"$outDir/violations")
-    // (part, image_id) pairs already reported as orphan captions: caption-
-    // only partitions never turn done, so they are re-checked every run —
-    // this anti-join set keeps the append-only store duplicate-free (and
-    // also absorbs a crashed attempt's at-least-once re-append).
-    val priorOrphans =
-      if (pathExists(spark, s"$outDir/violations"))
-        spark.read.parquet(s"$outDir/violations")
-          .filter(col("check") === "referential_image_exists")
-          .select("part", "image_id").distinct()
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("part", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("image_id", org.apache.spark.sql.types.StringType))))
-    val (kVerd, kViol) =
-      incrementalKeyChecks(lightNew, oldKeys, captions, runId, doneDf, priorOrphans)
-    // Drift partials stay DISTRIBUTED end-to-end: fresh partials from the
-    // pending scan union the persisted partials of done partitions (parts
-    // are disjoint, both sides pre-reduced per key), and verdictsAuto
-    // finalizes driver-side below 10^5 partials, in executors beyond —
-    // nothing funnels through the driver at 10^6-partition scale. The
-    // `done` membership filter is a closure over the done-set (fine to
-    // ~10^5 parts; beyond that, broadcast-semi-join like oldKeys above).
-    val doneSet = done
-    val freshPds = Drift.partials(lightNew).persist()
-    val storedPds = Drift.readPartialsDS(spark, s"$outDir/drift_partials")
-      .filter(p => doneSet.contains(p.part))
-    val (dVerd, dViol) = Drift.verdictsAuto(spark, storedPds.union(freshPds), runId)
+    val (kVerd, kViol, dVerd, dViol, freshPds) =
+      keyDriftIncrement(spark, lightNew, captions, outDir, runId, done)
+    val doneDf = done.toSeq.toDF("part") // HLL store filter below
 
     // persisted: the frame is tiny (one row per partition × check) but its
     // lineage is the whole engine — the verdicts write AND the state-row

@@ -38,9 +38,16 @@ object ImageSuiteQueries {
     * (already bytes-free) lets the entire downstream verdict / score /
     * overall aggregation be oracle-checked from the same parquet both
     * engines read (reference verdict assembly validation_agent.py:600-650).
-    * The path is a compile-time constant because `oracleSql` is static SQL.
+    * The path must be a process-lifetime constant because `oracleSql`
+    * embeds it as literal SQL text — but the CONSTANT is resolved once at
+    * class-init from `-Dgraft.facts.dir` / `$GRAFT_FACTS_DIR`, so a
+    * checkout at any other location (or a run that shouldn't write into
+    * the source tree) can redirect it; the default keeps the driver
+    * contract unchanged.
     */
-  val FactsPath = "/root/repo/data/image_facts"
+  val FactsPath: String = sys.props.get("graft.facts.dir")
+    .orElse(sys.env.get("GRAFT_FACTS_DIR"))
+    .getOrElse("/root/repo/data/image_facts")
 
   // Which TIER the single FactsPath currently holds. Keyed by tier alone
   // (the write is a pure function of the tier — deterministic generator),
@@ -68,7 +75,46 @@ object ImageSuiteQueries {
     s.read.parquet(FactsPath)
   }
 
+  /** Root for the persisted key-check inputs (same bridge pattern as
+    * [[FactsPath]]): the LIGHT image projection (id/part/w/h/caption — no
+    * bytes) and the captions table, written once per tier so the
+    * uniqueness / referential / caption-consistency verdict math can be
+    * recomputed by DuckDB from bit-identical input. Closes the VERDICT r3
+    * gap: these four checks were the last verdict family verified only by
+    * spec (reference resume/orphan semantics validation_agent.py:787-812).
+    */
+  val KeysPath: String = sys.props.get("graft.keys.dir")
+    .orElse(sys.env.get("GRAFT_KEYS_DIR"))
+    .getOrElse("/root/repo/data/image_keycheck")
+
+  private var keysTier: Option[String] = None
+
+  /** Persist (once per tier switch) and read back (light, captions). */
+  def ensureKeyTables(s: SparkSession, sfDir: String): (DataFrame, DataFrame) = synchronized {
+    if (!keysTier.contains(sfDir)) {
+      val dir = ImageGen.ensure(s, rowsFor(sfDir))
+      ImageGen.images(s, dir).select("image_id", "part", "w", "h", "caption")
+        .coalesce(4).write.mode("overwrite").parquet(s"$KeysPath/light")
+      ImageGen.captions(s, dir).select("image_id", "part", "caption")
+        .coalesce(4).write.mode("overwrite").parquet(s"$KeysPath/captions")
+      s.catalog.refreshByPath(s"$KeysPath/light")
+      s.catalog.refreshByPath(s"$KeysPath/captions")
+      keysTier = Some(sfDir)
+    }
+    (s.read.parquet(s"$KeysPath/light"), s.read.parquet(s"$KeysPath/captions"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Key-check verdict family (uniqueness, referential both ways,
+    // caption consistency) over the persisted light+captions bridge —
+    // the production fused full-outer-join path (ImageSuite.keyChecks),
+    // DuckDB recomputing the same four verdicts from the same parquet.
+    "q_i_keychecks" -> ((s, dir) => {
+      val (light, caps) = ensureKeyTables(s, dir)
+      ImageSuite.keyChecks(light, caps, "verify")._1.orderBy("part", "check")
+    }),
+
 
     // Oracle-backed verdict math (the q_i_* family): every aggregation the
     // suite derives from decoded facts, recomputed by DuckDB from the same
@@ -173,6 +219,48 @@ object ImageSuiteQueries {
     s"WITH f AS (SELECT * FROM read_parquet('$FactsPath/*.parquet'))"
 
   def oracleSql: Map[String, String] = Map(
+    "q_i_keychecks" ->
+      s"""WITH l AS (SELECT * FROM read_parquet('$KeysPath/light/*.parquet')),
+         c AS (SELECT image_id AS cap_id, part AS cap_part, caption AS cap_caption
+               FROM read_parquet('$KeysPath/captions/*.parquet')),
+         n AS (SELECT part, count(*) AS n_rows FROM l GROUP BY 1),
+         idc AS (SELECT image_id, count(*) AS n_img FROM l GROUP BY 1),
+         uniq AS (
+           SELECT l.part, CAST(count(*) AS BIGINT) AS v
+           FROM l JOIN idc USING (image_id) WHERE idc.n_img > 1 GROUP BY 1),
+         misscap AS (
+           SELECT part, CAST(count(*) AS BIGINT) AS v FROM l
+           WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.cap_id = l.image_id)
+           GROUP BY 1),
+         orphan AS (
+           SELECT cap_part AS part, CAST(count(*) AS BIGINT) AS v FROM c
+           WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.image_id = c.cap_id)
+           GROUP BY 1),
+         mismatch AS (
+           SELECT l.part, CAST(count(*) AS BIGINT) AS v
+           FROM l JOIN c ON c.cap_id = l.image_id
+           WHERE l.caption IS NOT NULL AND c.cap_caption IS NOT NULL
+             AND l.caption <> c.cap_caption
+           GROUP BY 1),
+         u AS (
+           SELECT n.part, 'uniqueness_image_id' AS check, n.n_rows,
+             coalesce(uniq.v, 0) AS n_violations
+           FROM n LEFT JOIN uniq ON uniq.part = n.part
+           UNION ALL
+           SELECT n.part, 'referential_caption_exists', n.n_rows, coalesce(m.v, 0)
+           FROM n LEFT JOIN misscap m ON m.part = n.part
+           UNION ALL
+           SELECT n.part, 'referential_image_exists', n.n_rows, coalesce(o.v, 0)
+           FROM n LEFT JOIN orphan o ON o.part = n.part
+           UNION ALL
+           SELECT n.part, 'caption_consistent', n.n_rows, coalesce(mm.v, 0)
+           FROM n LEFT JOIN mismatch mm ON mm.part = n.part)
+         SELECT part, "check", n_violations = 0 AS pass,
+           CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE) AS metric,
+           CAST(0.0 AS DOUBLE) AS threshold, n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           'verify' AS run_id
+         FROM u""",
     "q_i_row_verdicts" ->
       s"""$factsCte,
          p AS (

@@ -65,6 +65,73 @@ class StreamingValidationSpec extends SparkTestBase {
     assert(kept == Set(1L, 2L, 4L), s"kept=$kept")
   }
 
+  test("streamed key-check + drift verdicts equal the batch resume twin") {
+    // the same two-batch partition split driven once through the batch
+    // lightIncrement path and once through foreachBatch streaming — every
+    // verdict row (including the per-batch run_id attribution) must match.
+    import graft.images.ImageGen
+    import graft.validation.ImageSuite
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dataDir = ImageGen.ensure(spark, 5000)
+    val light = ImageGen.images(spark, dataDir)
+      .select("image_id", "part", "w", "h", "caption")
+    val captions = ImageGen.captions(spark, dataDir)
+    val parts = light.select("part").distinct().as[String].collect().sorted
+    val (half1, half2) = parts.splitAt(parts.length / 2)
+    val cols = Seq("image_id", "part", "w", "h", "caption")
+    val rows = light.as[(String, String, Int, Int, String)].collect()
+    val b1 = rows.filter(r => half1.contains(r._2)).toSeq
+    val b2 = rows.filter(r => half2.contains(r._2)).toSeq
+
+    // batch twin: two explicit increments with the streaming runId scheme
+    val outBatch = s"target/kcd-batch-${System.nanoTime()}"
+    ImageSuite.lightIncrement(spark,
+      spark.createDataset(b1).toDF(cols: _*), captions, outBatch, "kcd-b0")
+    ImageSuite.lightIncrement(spark,
+      spark.createDataset(b2).toDF(cols: _*), captions, outBatch, "kcd-b1")
+
+    // streaming twin: MemoryStream, one addData per micro-batch
+    val outStream = s"target/kcd-stream-${System.nanoTime()}"
+    val ckpt = s"target/kcd-ckpt-${System.nanoTime()}"
+    val input = MemoryStream[(String, String, Int, Int, String)]
+    val q = StreamingValidation.keyCheckDriftStream(
+      input.toDS().toDF(cols: _*), captions, outStream, ckpt, "kcd")
+    input.addData(b1.toSeq)
+    q.processAllAvailable()
+    input.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    // every verdict row identical — except the drift_ks metric, which is
+    // t-digest-derived and thus sensitive to the sketch fold order (the
+    // micro-batch rows arrive in a different partition order than the
+    // batch dataset; same documented tolerance as DriftDistributedSpec).
+    // chi², counts, passes, scores and run_id attribution are exact.
+    def verdicts(dir: String): Map[(String, String, String), (Boolean, Double, Long, Double)] =
+      spark.read.parquet(s"$dir/verdicts").collect().map { r =>
+        (r.getAs[String]("run_id"), r.getAs[String]("part"), r.getAs[String]("check")) ->
+          ((r.getAs[Boolean]("pass"), r.getAs[Double]("metric"),
+            r.getAs[Long]("n_violations"), r.getAs[Double]("score")))
+      }.toMap
+    val vb = verdicts(outBatch); val vs = verdicts(outStream)
+    assert(vb.nonEmpty && vb.keySet == vs.keySet,
+      s"verdict key sets diverge: batch=${vb.size} stream=${vs.size}")
+    vb.foreach { case (k @ (_, _, check), (pass, metric, nv, score)) =>
+      val (sPass, sMetric, sNv, sScore) = vs(k)
+      assert(pass == sPass && nv == sNv && score == sScore, s"row $k diverges")
+      if (check.startsWith("drift_ks_"))
+        assert(math.abs(metric - sMetric) < 0.02, s"KS beyond sketch tolerance at $k")
+      else assert(metric == sMetric, s"metric diverges at $k: $metric vs $sMetric")
+    }
+    // second-batch rows were checked against the first batch's key index:
+    // the batch-1 partitions must carry drift + key verdicts of their own
+    val checks = spark.read.parquet(s"$outStream/verdicts")
+      .filter(col("run_id") === "kcd-b1").select("check").distinct()
+      .as[String].collect().toSet
+    assert(checks.contains("uniqueness_image_id") && checks.exists(_.startsWith("drift_")))
+  }
+
   test("late rows beyond the watermark are dropped (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
