@@ -105,11 +105,18 @@ object SimilarityQueries {
       .select(col("q_id"), col("rk"), col("c_id"), round(col("cos"), 4).as("cos"))
   }
 
-  /** Trained-IVF retrieval over any (vec_id, label, embedding) frame: one
-    * integer-exact Lloyd's iteration from the 16 seed cells, then the
-    * standard inverted-file probe (see the q_ann_topk_ivf_trained entry).
+  /** Trained-IVF retrieval over any (vec_id, label, embedding) frame:
+    * `steps` integer-exact Lloyd's iterations from the 16 seed cells
+    * (every iteration re-quantizes member vectors as floor(x·1024) and
+    * takes BIGINT per-(cell, dim) sums — bit-identical in Spark and the
+    * DuckDB oracle at ANY step count, see q_ann_topk_ivf_trained), then
+    * the standard inverted-file probe. Centroid frames are 16 rows —
+    * each extra step costs one more broadcast-assignment pass over the
+    * vectors, the expected k-means training shape (at 10^9 vectors one
+    * trains on a sample; the assignment pass shape is identical).
     */
-  def ivfTrainedTopK(raw: DataFrame, probeCells: Int = 2, k: Int = 3): DataFrame = {
+  def ivfTrainedTopK(raw: DataFrame, probeCells: Int = 2, k: Int = 3,
+                     steps: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = raw.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
     val seeds = e.filter(col("vec_id") < 16)
@@ -119,18 +126,20 @@ object SimilarityQueries {
       e.crossJoin(broadcast(cents))
         .withColumn("csim", cosine(col("emb"), col("c_emb")))
         .withColumn("rk", row_number().over(wAssign))
-    // Lloyd's step: argmax-cosine assignment to seeds, then per-(cell, dim)
-    // BIGINT sums of floor(x·1024) collected into the refined centroid
-    val assign0 = assignTo(seeds).filter(col("rk") === 1)
-      .select(col("vec_id"), col("cell"), col("emb"))
-    val cents1 = assign0
-      .select(col("cell"), posexplode(col("emb")).as(Seq("d", "x")))
-      .withColumn("q", floor(col("x") * 1024))
-      .groupBy("cell", "d").agg(sum("q").as("cq"))
-      .groupBy("cell")
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("cq")))),
-        s => s.getField("cq").cast("double")).as("c_emb"))
-    val scored = assignTo(cents1)
+    // Lloyd's step: argmax-cosine assignment, then per-(cell, dim) BIGINT
+    // sums of floor(x·1024) collected into the refined centroid (cosine is
+    // scale-invariant, so the un-normalized quantized sum IS the mean
+    // direction — no FP-order-sensitive division anywhere)
+    def lloydStep(cents: DataFrame): DataFrame =
+      assignTo(cents).filter(col("rk") === 1)
+        .select(col("cell"), posexplode(col("emb")).as(Seq("d", "x")))
+        .withColumn("q", floor(col("x") * 1024))
+        .groupBy("cell", "d").agg(sum("q").as("cq"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("cq")))),
+          s => s.getField("cq").cast("double")).as("c_emb"))
+    val trained = (1 to steps).foldLeft(seeds)((c, _) => lloydStep(c))
+    val scored = assignTo(trained)
     val assign1 = scored.filter(col("rk") === 1)
       .select(col("vec_id").as("m_id"), col("cell"))
     val probes = scored.filter(col("label") === 0 && col("rk") <= probeCells)
@@ -268,8 +277,8 @@ object SimilarityQueries {
         .orderBy("q_id", "rk")
     }),
 
-    // IVF with a TRAINED coarse quantizer: one deterministic Lloyd's
-    // iteration over the 16 seed cells. The refined centroid is the
+    // IVF with a TRAINED coarse quantizer: THREE deterministic Lloyd's
+    // iterations over the 16 seed cells. The refined centroid is the
     // per-cell element-wise SUM of assigned vectors, integer-quantized as
     // floor(x·1024) — exact everywhere: ·1024 is a power-of-two scale of a
     // float-derived double (no rounding), floor is tie-free, and BIGINT
@@ -303,6 +312,77 @@ object SimilarityQueries {
         .orderBy("bucket")
     })
   )
+
+  /** DuckDB twin of [[ivfTrainedTopK]] for any Lloyd's step count: the
+    * training blocks are generated per step (assign to cents_i → quantized
+    * BIGINT sums → cents_{i+1}) so the oracle replays EXACTLY the
+    * iteration the Spark path runs — every step bit-exact (see the
+    * q_ann_topk_ivf_trained query comment for why floor(x·1024) + BIGINT
+    * sums are engine-independent).
+    */
+  private def ivfTrainedSql(steps: Int): String = {
+    val stepBlocks = (0 until steps).map { i =>
+      s""",
+         sd$i AS (
+           SELECT e.vec_id, c.cell,
+             sum(e.emb[i] * c.c_emb[i]) AS dp,
+             sum(e.emb[i] * e.emb[i]) AS nv,
+             sum(c.c_emb[i] * c.c_emb[i]) AS nc
+           FROM e, cents$i c, UNNEST(range(1, 65)) AS u(i)
+           GROUP BY 1, 2),
+         a$i AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY dp/(sqrt(nv)*sqrt(nc)) DESC, cell) AS rk
+             FROM sd$i) WHERE rk = 1),
+         qs$i AS (
+           SELECT a.cell, d,
+             CAST(sum(CAST(floor(e.emb[d] * 1024) AS BIGINT)) AS BIGINT) AS cq
+           FROM a$i a JOIN e ON e.vec_id = a.vec_id, UNNEST(range(1, 65)) AS u(d)
+           GROUP BY 1, 2),
+         cents${i + 1} AS (
+           SELECT cell, list(CAST(cq AS DOUBLE) ORDER BY d) AS c_emb
+           FROM qs$i GROUP BY 1)"""
+    }.mkString
+    s"""WITH e AS (
+         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       cents0 AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id < 16)$stepBlocks,
+       sdF AS (
+         SELECT e.vec_id, e.label, c.cell,
+           sum(e.emb[i] * c.c_emb[i]) AS dp,
+           sum(e.emb[i] * e.emb[i]) AS nv,
+           sum(c.c_emb[i] * c.c_emb[i]) AS nc
+         FROM e, cents$steps c, UNNEST(range(1, 65)) AS u(i)
+         GROUP BY 1, 2, 3),
+       scored AS (
+         SELECT vec_id, label, cell,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY dp/(sqrt(nv)*sqrt(nc)) DESC, cell) AS rk
+         FROM sdF),
+       assignF AS (SELECT vec_id AS m_id, cell FROM scored WHERE rk = 1),
+       probes AS (SELECT vec_id AS q_id, cell FROM scored WHERE label = 0 AND rk <= 2),
+       cand AS (
+         SELECT DISTINCT p.q_id, a.m_id AS c_id
+         FROM probes p JOIN assignF a ON a.cell = p.cell AND a.m_id <> p.q_id),
+       dots AS (
+         SELECT c.q_id, c.c_id,
+           sum(qe.emb[i] * ce.emb[i]) AS dp,
+           sum(qe.emb[i] * qe.emb[i]) AS nq,
+           sum(ce.emb[i] * ce.emb[i]) AS nc
+         FROM cand c
+         JOIN e qe ON qe.vec_id = c.q_id
+         JOIN e ce ON ce.vec_id = c.c_id,
+         UNNEST(range(1, 65)) AS u(i)
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT q_id, c_id, dp/(sqrt(nq)*sqrt(nc)) AS cos,
+           row_number() OVER (PARTITION BY q_id
+             ORDER BY dp/(sqrt(nq)*sqrt(nc)) DESC, c_id) AS rk
+         FROM dots)
+       SELECT q_id, rk, c_id, round(cos, 4) AS cos
+       FROM ranked WHERE rk <= 3"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_sim_pairs_cos" ->
@@ -416,65 +496,7 @@ object SimilarityQueries {
            FROM dots)
          SELECT q_id, rk, c_id, round(cos, 4) AS cos
          FROM ranked WHERE rk <= 3""",
-    "q_ann_topk_ivf_trained" ->
-      """WITH e AS (
-           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         cents0 AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id < 16),
-         sdots0 AS (
-           SELECT e.vec_id, c.cell,
-             sum(e.emb[i] * c.c_emb[i]) AS dp,
-             sum(e.emb[i] * e.emb[i]) AS nv,
-             sum(c.c_emb[i] * c.c_emb[i]) AS nc
-           FROM e, cents0 c, UNNEST(range(1, 65)) AS u(i)
-           GROUP BY 1, 2),
-         assign0 AS (
-           SELECT vec_id, cell FROM (
-             SELECT vec_id, cell,
-               row_number() OVER (PARTITION BY vec_id
-                 ORDER BY dp/(sqrt(nv)*sqrt(nc)) DESC, cell) AS rk
-             FROM sdots0) WHERE rk = 1),
-         qsum AS (
-           SELECT a.cell, d,
-             CAST(sum(CAST(floor(e.emb[d] * 1024) AS BIGINT)) AS BIGINT) AS cq
-           FROM assign0 a JOIN e ON e.vec_id = a.vec_id, UNNEST(range(1, 65)) AS u(d)
-           GROUP BY 1, 2),
-         cents1 AS (
-           SELECT cell, list(CAST(cq AS DOUBLE) ORDER BY d) AS c_emb
-           FROM qsum GROUP BY 1),
-         sdots1 AS (
-           SELECT e.vec_id, e.label, c.cell,
-             sum(e.emb[i] * c.c_emb[i]) AS dp,
-             sum(e.emb[i] * e.emb[i]) AS nv,
-             sum(c.c_emb[i] * c.c_emb[i]) AS nc
-           FROM e, cents1 c, UNNEST(range(1, 65)) AS u(i)
-           GROUP BY 1, 2, 3),
-         scored AS (
-           SELECT vec_id, label, cell,
-             row_number() OVER (PARTITION BY vec_id
-               ORDER BY dp/(sqrt(nv)*sqrt(nc)) DESC, cell) AS rk
-           FROM sdots1),
-         assign1 AS (SELECT vec_id AS m_id, cell FROM scored WHERE rk = 1),
-         probes AS (SELECT vec_id AS q_id, cell FROM scored WHERE label = 0 AND rk <= 2),
-         cand AS (
-           SELECT DISTINCT p.q_id, a.m_id AS c_id
-           FROM probes p JOIN assign1 a ON a.cell = p.cell AND a.m_id <> p.q_id),
-         dots AS (
-           SELECT c.q_id, c.c_id,
-             sum(qe.emb[i] * ce.emb[i]) AS dp,
-             sum(qe.emb[i] * qe.emb[i]) AS nq,
-             sum(ce.emb[i] * ce.emb[i]) AS nc
-           FROM cand c
-           JOIN e qe ON qe.vec_id = c.q_id
-           JOIN e ce ON ce.vec_id = c.c_id,
-           UNNEST(range(1, 65)) AS u(i)
-           GROUP BY 1, 2),
-         ranked AS (
-           SELECT q_id, c_id, dp/(sqrt(nq)*sqrt(nc)) AS cos,
-             row_number() OVER (PARTITION BY q_id
-               ORDER BY dp/(sqrt(nq)*sqrt(nc)) DESC, c_id) AS rk
-           FROM dots)
-         SELECT q_id, rk, c_id, round(cos, 4) AS cos
-         FROM ranked WHERE rk <= 3""",
+    "q_ann_topk_ivf_trained" -> ivfTrainedSql(3),
     "q_ann_topk_lsh" ->
       """WITH e AS (
            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
