@@ -73,8 +73,17 @@ object ValidateMain {
       spark.stop(); return
     }
     val state = spark.read.parquet(statePath).filter(col("status") === "done")
-    val thisRun = state.filter(col("run_id") === runId &&
-        !col("part").isin(doneBefore.toSeq: _*))
+    // Exclude partitions done BEFORE this invocation via a broadcast
+    // anti-join, not an isin literal: the summary runs over the state
+    // TABLE (no partition pruning to buy), and at 10^5+ done partitions a
+    // literal list bloats the plan for nothing — the same ceiling note as
+    // the scan-side filter (ImageSuite.scala runAndCheckpoint), where isin
+    // is kept ONLY because partition discovery needs compile-time
+    // literals; beyond ~10^6 parts both move to Iceberg metadata pruning.
+    import spark.implicits._
+    val doneBeforeDf = doneBefore.toSeq.toDF("part")
+    val thisRun = state.filter(col("run_id") === runId)
+      .join(broadcast(doneBeforeDf), Seq("part"), "left_anti")
       .agg(coalesce(sum("n_rows"), lit(0L)).as("rows"),
         count(lit(1)).as("parts"),
         coalesce(sum("n_violations"), lit(0L)).as("viols"))

@@ -174,9 +174,17 @@ object Drift {
       cached.unpersist()
       r
     } else {
-      // stays persisted: the returned frames read it lazily (documented;
-      // at this scale the partial set is the cheapest thing in the job)
-      verdictsDistributed(spark, cached, runId, baselineDir)
+      // Persist the RESULT frames (one row per part×check — tiny even at
+      // 10^6 partitions), materialize them, then release the partials:
+      // leaving the partial set cached for the caller to maybe-release
+      // leaked executor storage across repeated large checks in one
+      // session. The verdict frames stay valid after the source unpersist
+      // because every partition is already computed and cached.
+      val (verd, viol) = verdictsDistributed(spark, cached, runId, baselineDir)
+      val vp = verd.persist(); val wp = viol.persist()
+      vp.count(); wp.count()
+      cached.unpersist()
+      (vp, wp)
     }
   }
 
