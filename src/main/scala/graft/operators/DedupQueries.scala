@@ -149,10 +149,17 @@ object DedupQueries {
     val ranked = bands
       .withColumn("bn", count(lit(1)).over(bucket))
       .withColumn("rn", row_number().over(run))
+    // bn is identical on both sides of a bucket; referencing BOTH sides'
+    // bn keeps the two join branches column-identical, so the planner's
+    // ReuseExchange collapses them into ONE signature+banding computation
+    // and one shuffle (asymmetric pruning — x keeping bn, y dropping it —
+    // made the subtrees canonically different and the whole scan ran
+    // twice; PlanHygieneSpec pins the exchange count)
     ranked.as("x").join(ranked.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.rn") < col("y.rn") &&
-          (col("x.bn") <= maxBucket || col("y.rn") - col("x.rn") <= runWidth))
+          (col("x.bn") <= maxBucket || col("y.bn") <= maxBucket ||
+            col("y.rn") - col("x.rn") <= runWidth))
       // rank order ≠ id order, so canonicalize the pair before distinct
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"),
@@ -251,6 +258,20 @@ object DedupQueries {
       .select(col("doc_id"),
         graft.functions.MinHash16Expr.minhash16(col("text")).as("sigs"))
       .filter(col("sigs").isNotNull)
+
+  /** Un-ordered expression-rung 64-bit SimHash signatures — the pairing /
+    * component query input (the presentation orderBy the standalone
+    * signature query carries would cost a pointless range exchange under
+    * every downstream join).
+    */
+  def simhash64Signatures(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        graft.functions.SimHash64Expr.simhash64(col("text")).as("sh"))
+      .filter(col("sh").isNotNull)
+      .select(col("doc_id"),
+        col("sh.simhash_lo").as("simhash_lo"),
+        col("sh.simhash_hi").as("simhash_hi"))
 
   /** MinHash+LSH near-dup candidate pairs with estimated Jaccard over ANY
     * (doc_id, text, …) frame — `q_dedup_minhash_lsh` runs it over the raw
@@ -438,7 +459,7 @@ object DedupQueries {
     // the native-expression rung (identical output to the HOF/bits-join
     // rungs — all three share one oracle).
     "q_dedup_simhash64_banded" -> ((s, dir) =>
-      bandedSimhashPairs(queries("q_dedup_simhash64_expr")(s, dir),
+      bandedSimhashPairs(simhash64Signatures(s, dir),
           blocks = 4, maxHamming = 16)
         .orderBy("a_id", "b_id")),
 
@@ -451,7 +472,7 @@ object DedupQueries {
     // would set maxBucket to a few hundred (below that, quadratic is
     // cheaper than the window sort).
     "q_dedup_simhash64_banded_l2" -> ((s, dir) =>
-      bandedSimhashPairsL2(queries("q_dedup_simhash64_expr")(s, dir),
+      bandedSimhashPairsL2(simhash64Signatures(s, dir),
           blocks = 4, maxHamming = 16, maxBucket = 4, runWidth = 4)
         .orderBy("a_id", "b_id")),
 
@@ -462,7 +483,7 @@ object DedupQueries {
     // applies (Lee et al., "Deduplicating Training Data Makes Language
     // Models Better", ACL 2022 use exactly this cluster-then-keep-one).
     "q_dedup_cc" -> ((s, dir) => {
-      val sh = queries("q_dedup_simhash64_expr")(s, dir).filter(col("doc_id") < 150)
+      val sh = simhash64Signatures(s, dir).filter(col("doc_id") < 150)
       connectedComponents(bandedSimhashPairs(sh, blocks = 4, maxHamming = 16))
         .orderBy("doc_id")
     }),

@@ -54,6 +54,24 @@ class PlanHygieneSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cartesian in banded SimHash plan:\n$p")
   }
 
+  test("level-2 banded pairing reuses ONE band shuffle at runtime, no cartesian") {
+    val df = SparkEntry.queries("q_dedup_simhash64_banded_l2")(spark, dir)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in L2 banded plan:\n$p")
+    // The self-join's two references to the ranked band rows must resolve
+    // to ONE shuffle: the join condition references bn/rn SYMMETRICALLY
+    // so both branches stay column-identical and AQE's stage reuse
+    // collapses them (asymmetric pruning made the subtrees canonically
+    // different and the whole signature scan ran twice). Static explain
+    // always shows both exchanges — reuse is a RUNTIME property of the
+    // adaptive plan, so execute and inspect the final plan (same lesson
+    // as SkewJoinSpec: the collected frame's own QueryExecution).
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("ReusedExchange"),
+      s"band shuffle not reused — signature scan runs twice:\n$fin")
+  }
+
   test("trained IVF retrieval plans equi-joins on the cell id, never a cartesian") {
     val p = planOf(SparkEntry.queries("q_ann_topk_ivf_trained")(spark, dir))
     assert(!p.contains("CartesianProduct"), s"cartesian in trained-IVF plan:\n$p")
