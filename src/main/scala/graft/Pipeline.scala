@@ -111,7 +111,10 @@ object Pipeline {
     * pair's right side — an accident of id ordering, now gone.
     */
   def nearDupDrops(pairs: DataFrame): DataFrame =
-    DedupQueries.connectedComponents(pairs)
+    // strict=false: a >50-diameter chain degrades to split components
+    // (keeps a few extra docs) instead of crashing the curation run after
+    // it already paid the corpus scan — see connectedComponents
+    DedupQueries.connectedComponents(pairs, strict = false)
       .filter(col("doc_id") =!= col("comp_id"))
       .select("doc_id")
 

@@ -174,12 +174,15 @@ object Drift {
       cached.unpersist()
       r
     } else {
-      // Persist the RESULT frames (one row per part×check — tiny even at
-      // 10^6 partitions), materialize them, then release the partials:
+      // Persist the RESULT frames (one row per part×check — far smaller
+      // than the partials), materialize them, then release the partials:
       // leaving the partial set cached for the caller to maybe-release
       // leaked executor storage across repeated large checks in one
       // session. The verdict frames stay valid after the source unpersist
-      // because every partition is already computed and cached.
+      // because every partition is already computed and cached. CALLERS
+      // unpersist the returned frames once written (ImageSuite's
+      // increment paths do; unpersist is a no-op for the driver-side
+      // branch's unpersisted frames, so callers need not branch).
       val (verd, viol) = verdictsDistributed(spark, cached, runId, baselineDir)
       val vp = verd.persist(); val wp = viol.persist()
       vp.count(); wp.count()

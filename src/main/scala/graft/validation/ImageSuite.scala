@@ -265,16 +265,25 @@ object ImageSuite {
     import org.apache.spark.sql.expressions.Window
     val caps = captions.select(col("image_id").as("cap_id"),
       col("part").as("cap_part"), col("caption").as("cap_caption"))
-    val j = light.join(caps, col("image_id") === col("cap_id"), "full_outer")
-    val w = Window.partitionBy(coalesce(col("image_id"), col("cap_id")))
-    // cache: four violation branches re-read the joined frame; the cached
+    // n_img counts LIGHT rows per key, computed BEFORE the caption join:
+    // counting joined rows would multiply by caption multiplicity — an id
+    // with one image row but two caption rows would read as a uniqueness
+    // violation (and diverge from both the DuckDB oracle and the
+    // incremental twin, which count image rows only; KeyCheckDupSpec pins
+    // the duplicate-caption case). The window shuffles on image_id — the
+    // same key the join needs, so the partitioning is reused.
+    val lightN = light.withColumn("n_img",
+      count(lit(1)).over(Window.partitionBy("image_id")))
+    val j = lightN.join(caps, col("image_id") === col("cap_id"), "full_outer")
+    // cache: violation branches re-read the joined frame; the cached
     // width is a handful of scalar columns (bytes never enter this path)
     // and MEMORY_AND_DISK spills gracefully when a partition outgrows the
     // executor's storage fraction at scale.
-    val jj = j.withColumn("n_img",
-      sum(when(col("part").isNotNull, 1).otherwise(0)).over(w)).cache()
+    val jj = j.cache()
 
-    val uniqViol = jj.filter(col("part").isNotNull && col("n_img") > 1)
+    // uniqueness violations come from the PRE-join frame (one row per
+    // offending image row, never multiplied by matching caption rows)
+    val uniqViol = lightN.filter(col("n_img") > 1)
       .select(col("part"), col("image_id"), lit("uniqueness_image_id").as("check"),
         concat(lit("key seen "), col("n_img"), lit(" times")).as("observed"),
         lit("unique image_id").as("expected"))
@@ -622,47 +631,95 @@ object ImageSuite {
     (kVerd, kViol, dVerd, dViol, freshPds)
   }
 
+  /** Shared commit-protocol tail of [[runAndCheckpoint]] and
+    * [[lightIncrement]] — the crash-ordering invariant lives HERE only:
+    * output tables append first (at-least-once on crash-retry), state
+    * rows are materialized to the driver BEFORE the keys overwrite
+    * replaces the files their lineage scans, side stores extend via
+    * dynamic partition overwrite (idempotent per partition), and the
+    * state write — the commit point — runs LAST. `afterViolations` /
+    * `beforeState` are the slots where the full engine inserts its
+    * metrics and HLL-store legs at the protocol positions they require
+    * (metrics before the state-row collect; the HLL overwrite before the
+    * commit, after the partials it mirrors).
+    */
+  private def commitIncrement(spark: SparkSession, outDir: String, runId: String,
+      verdicts: DataFrame, violations: DataFrame, lightNew: DataFrame,
+      freshPds: Dataset[Drift.DriftPartial])(
+      afterViolations: => Unit, beforeState: => Unit): Unit = {
+    import spark.implicits._
+    phase("write_verdicts") {
+      verdicts.write.mode(SaveMode.Append).parquet(s"$outDir/verdicts")
+    }
+    phase("write_violations") {
+      violations.withColumn("run_id", lit(runId))
+        .write.mode(SaveMode.Append).parquet(s"$outDir/violations")
+      markRunIdUniform(spark, s"$outDir/violations")
+    }
+    afterViolations
+    val stateRows: Seq[StateRow] = phase("state_rows") {
+      verdicts
+        .join(lightNew.select("part").distinct(), Seq("part"), "left_semi")
+        .groupBy("part").agg(
+          sum(col("n_violations")).as("nv"), max(col("n_rows")).as("nr"))
+        .select(col("part"), lit("done").as("status"), col("nr").as("n_rows"),
+          col("nv").as("n_violations"), lit(runId).as("run_id"),
+          lit(System.currentTimeMillis()).as("finished_at"))
+        .as[StateRow].collect().toSeq
+    }
+    phase("write_keys") {
+      PartitionedStore.write(lightNew.select("image_id", "part"), s"$outDir/keys")
+    }
+    phase("write_drift") {
+      Drift.writePartialsDS(freshPds, s"$outDir/drift_partials")
+    }
+    freshPds.unpersist()
+    beforeState
+    phase("write_state") {
+      spark.createDataset(stateRows).toDF()
+        .coalesce(1).write.mode(SaveMode.Append).parquet(s"$outDir/state")
+    }
+  }
+
   /** Light-projection increment — the full resumable key-check + drift
     * cycle (verdict/violation/state writes included) for one pending
     * light frame, WITHOUT the decode families: this is the unit of work a
-    * streaming micro-batch performs. Same commit protocol as
-    * [[runAndCheckpoint]]: side stores are idempotent per partition
-    * (dynamic partition overwrite), output tables append, the state write
-    * commits last — so foreachBatch's at-least-once redelivery re-runs a
-    * crashed batch without duplicating store rows.
+    * streaming micro-batch performs, committed through the same
+    * [[commitIncrement]] protocol as the full engine — so foreachBatch's
+    * at-least-once redelivery re-runs a crashed batch without duplicating
+    * store rows. Drift verdicts/violations are FILTERED to this batch's
+    * partitions: the global check internally re-evaluates done partitions
+    * against the updated baseline, but re-APPENDING their rows every
+    * micro-batch would grow the output tables O(batches × partitions)
+    * (the batch engine reports them per resumed RUN, which is rare; a
+    * micro-batch is not).
     */
   def lightIncrement(spark: SparkSession, lightNew0: DataFrame,
                      captions: DataFrame, outDir: String, runId: String): Unit = {
     import spark.implicits._
-    val stateDir = s"$outDir/state"
-    val done: Set[String] = readDoneParts(spark, stateDir)
+    val done: Set[String] = readDoneParts(spark, s"$outDir/state")
+    // broadcast anti-join, not an isin literal: this frame is a micro-
+    // batch (no partition discovery to feed compile-time literals — the
+    // only reason the batch scan keeps isin), and a 10^5-element INSET
+    // per batch would bloat every micro-batch plan
+    val doneDf = done.toSeq.toDF("part")
     val lightNew = (if (done.isEmpty) lightNew0
-      else lightNew0.filter(!col("part").isin(done.toSeq: _*))).cache()
+      else lightNew0.join(broadcast(doneDf), Seq("part"), "left_anti")).cache()
     if (lightNew.isEmpty) { lightNew.unpersist(); return }
     val (kVerd, kViol, dVerd, dViol, freshPds) =
       keyDriftIncrement(spark, lightNew, captions, outDir, runId, done)
-    val verdicts = kVerd.unionByName(dVerd)
+    val batchParts = lightNew.select("part").distinct()
+    val verdicts = kVerd
+      .unionByName(dVerd.join(batchParts, Seq("part"), "left_semi"))
       .withColumn("score",
         Scoring.verdictScore(col("check"), col("metric"), col("threshold")))
       .persist()
-    val violations = kViol.unionByName(dViol)
-    verdicts.write.mode(SaveMode.Append).parquet(s"$outDir/verdicts")
-    violations.withColumn("run_id", lit(runId))
-      .write.mode(SaveMode.Append).parquet(s"$outDir/violations")
-    markRunIdUniform(spark, s"$outDir/violations")
-    val stateRows: Seq[StateRow] = verdicts
-      .join(lightNew.select("part").distinct(), Seq("part"), "left_semi")
-      .groupBy("part").agg(
-        sum(col("n_violations")).as("nv"), max(col("n_rows")).as("nr"))
-      .select(col("part"), lit("done").as("status"), col("nr").as("n_rows"),
-        col("nv").as("n_violations"), lit(runId).as("run_id"),
-        lit(System.currentTimeMillis()).as("finished_at"))
-      .as[StateRow].collect().toSeq
-    PartitionedStore.write(lightNew.select("image_id", "part"), s"$outDir/keys")
-    Drift.writePartialsDS(freshPds, s"$outDir/drift_partials")
-    freshPds.unpersist()
-    spark.createDataset(stateRows).toDF()
-      .coalesce(1).write.mode(SaveMode.Append).parquet(stateDir)
+    val violations = kViol
+      .unionByName(dViol.join(batchParts, Seq("part"), "left_semi"))
+    commitIncrement(spark, outDir, runId, verdicts, violations, lightNew, freshPds)((), ())
+    // release the drift frames the distributed finalize may have cached
+    // (no-op when the driver-side path built them)
+    dVerd.unpersist(); dViol.unpersist()
     lightNew.unpersist(); verdicts.unpersist()
   }
 
@@ -748,56 +805,29 @@ object ImageSuite {
         .collect()(0).getLong(0)
     }
 
-    phase("write_verdicts") {
-      verdicts.write.mode(SaveMode.Append).parquet(s"$outDir/verdicts")
-    }
-    phase("write_violations") {
-      violations.withColumn("run_id", lit(runId))
-        .write.mode(SaveMode.Append).parquet(s"$outDir/violations")
-      markRunIdUniform(spark, s"$outDir/violations")
-    }
-    phase("write_metrics") {
-      metricsOf(facts, runId)
-        .unionByName(spark.createDataset(Seq(
-          MetricRow("_global", "ndv_image_id_hll", ndvImageId.toDouble, runId))).toDF())
-        .write.mode(SaveMode.Append).parquet(s"$outDir/metrics")
-    }
-    // state: only partitions processed THIS run become done. Materialized
-    // to the driver NOW (one row per pending partition) because its
-    // lineage re-scans the keys store, whose files the overwrite below
-    // replaces — a pre-built plan would hold the stale file listing.
-    val stateRows: Seq[StateRow] = phase("state_rows") {
-      verdicts
-        .join(lightNew.select("part").distinct(), Seq("part"), "left_semi")
-        .groupBy("part").agg(
-          sum(col("n_violations")).as("nv"), max(col("n_rows")).as("nr"))
-        .select(col("part"), lit("done").as("status"), col("nr").as("n_rows"),
-          col("nv").as("n_violations"), lit(runId).as("run_id"),
-          lit(System.currentTimeMillis()).as("finished_at"))
-        .as[StateRow].collect().toSeq
-    }
-    // Extend the key index + sketch store with this run's partitions via
-    // DYNAMIC PARTITION OVERWRITE, not append: a crash-retry re-processes
-    // the same partitions, and appending would leave duplicate key rows
+    // Commit through the shared protocol (see commitIncrement): metrics
+    // ride the afterViolations slot, the HLL store overwrite the
+    // beforeState slot. Key-index + sketch stores extend via DYNAMIC
+    // PARTITION OVERWRITE, not append: a crash-retry re-processes the
+    // same partitions, and appending would leave duplicate key rows
     // (inflating n_old for ever after) and duplicate drift partials
-    // (doubling that partition's histogram when merged). Overwriting only
-    // the partitions present in this run's frame makes the side stores
-    // idempotent per partition; the output tables above stay append-only
-    // (at-least-once on crash, exactly-once per successful run — the
-    // state table below is the commit point).
-    phase("write_keys") {
-      PartitionedStore.write(lightNew.select("image_id", "part"), s"$outDir/keys")
-    }
-    phase("write_drift") {
-      Drift.writePartialsDS(freshPds, s"$outDir/drift_partials")
-    }
-    phase("write_hll") { PartitionedStore.write(freshHll, s"$outDir/hll") }
-    freshPds.unpersist(); freshHll.unpersist()
-    // the state write is the COMMIT POINT — last, from pre-materialized rows
-    phase("write_state") {
-      spark.createDataset(stateRows).toDF()
-        .coalesce(1).write.mode(SaveMode.Append).parquet(stateDir)
-    }
+    // (doubling that partition's histogram on merge) — the output tables
+    // stay append-only (at-least-once on crash, exactly-once per
+    // successful run; the state table is the commit point).
+    commitIncrement(spark, outDir, runId, verdicts, violations, lightNew, freshPds)(
+      afterViolations = phase("write_metrics") {
+        metricsOf(facts, runId)
+          .unionByName(spark.createDataset(Seq(
+            MetricRow("_global", "ndv_image_id_hll", ndvImageId.toDouble, runId))).toDF())
+          .write.mode(SaveMode.Append).parquet(s"$outDir/metrics")
+      },
+      beforeState = {
+        phase("write_hll") { PartitionedStore.write(freshHll, s"$outDir/hll") }
+        freshHll.unpersist()
+      })
+    // release the drift frames the distributed finalize may have cached
+    // (no-op when the driver-side path built them)
+    dVerd.unpersist(); dViol.unpersist()
     facts.unpersist(); lightNew.unpersist(); verdicts.unpersist()
   }
 
