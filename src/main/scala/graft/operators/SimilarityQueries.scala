@@ -158,6 +158,98 @@ object SimilarityQueries {
       .select(col("q_id"), col("rk"), col("c_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Product-quantization ANN (Jégou/Douze/Schmid, TPAMI 2011): vectors
+    * are L2-NORMALIZED (so L2 ranking ≡ cosine ranking and the ADC
+    * shortlist optimizes the same objective the exact re-rank scores),
+    * split into `m` subvectors; each subquantizer trains `ks` centroids
+    * with one integer-exact Lloyd's step (floor(x·1024) BIGINT sums, a
+    * BIGINT count, ONE exactly-rounded division — bit-identical in the
+    * DuckDB twin), every vector is encoded as `m` small codes, and
+    * queries rank candidates by ASYMMETRIC distance: a per-query
+    * distance table dtab[j][k] = ||q_j − c_jk||² (m·ks doubles, built
+    * once, broadcast) summed over the candidate's codes via a SEQUENTIAL
+    * array fold — no FP group-sum anywhere, so the math is
+    * order-independent at any parallelism. The ADC shortlist is exactly
+    * re-ranked to the final top-k.
+    *
+    * The 10^9-vector story this encodes: candidates are scanned as
+    * m-byte code arrays (64-dim float32 → 8 bytes, a 32× memory cut),
+    * the distance table rides a broadcast, and the only per-candidate
+    * work is m table lookups — the IVF probe (q_ann_topk_ivf_trained)
+    * composes in front of it to cut the scanned set, PQ cuts the bytes
+    * per scanned vector.
+    */
+  def pqTopK(raw: DataFrame, m: Int = 8, ks: Int = 16,
+             shortlist: Int = 10, k: Int = 5, dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    val e0 = raw.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb0"))
+    val e = e0.withColumn("emb",
+        transform(col("emb0"), x => x / sqrt(dot(col("emb0"), col("emb0")))))
+      .select(col("vec_id"), col("label"), col("emb"))
+    // one row per (vector, subquantizer): the sub-dim slice as an array
+    val sv = e.select(col("vec_id"), col("label"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"), slice(col("emb"), j * sub + 1, sub).as("sv"))): _*)).as("s"))
+      .select(col("vec_id"), col("label"), col("s.j").as("j"), col("s.sv").as("sv"))
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val wMin = Window.partitionBy("vec_id", "j").orderBy(col("dist"), col("k"))
+    // seed codebooks from the first ks vectors' subvectors, then one
+    // Lloyd's step per subquantizer (mean = exact BIGINT sum / count)
+    val seeds = sv.filter(col("vec_id") < ks)
+      .select(col("j"), col("vec_id").as("k"), col("sv").as("c"))
+    val assign0 = sv.join(broadcast(seeds), Seq("j"))
+      .withColumn("dist", l2(col("sv"), col("c")))
+      .withColumn("rn", row_number().over(wMin)).filter(col("rn") === 1)
+    val cb = assign0
+      .select(col("j"), col("k"), posexplode(col("sv")).as(Seq("d", "x")))
+      .groupBy("j", "k", "d")
+      .agg(sum(floor(col("x") * 1024)).as("q"), count(lit(1)).as("cnt"))
+      .withColumn("cx", col("q").cast("double") / (col("cnt") * 1024L).cast("double"))
+      .groupBy("j", "k")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+        s => s.getField("cx")).as("c"))
+    // encode every vector; the same scored frame restricted to label-0
+    // rows IS the per-query distance table. The table is QUANTIZED to
+    // BIGINT (floor(dist·2^20)) so the ADC sum is integer — exact and
+    // order-independent at any parallelism in either engine (an FP sum
+    // would rank-flip near-ties on re-association). ADC is approximate
+    // by design; 2^-20 quantization is far below its own error.
+    val scored = sv.join(broadcast(cb), Seq("j"))
+      .withColumn("dist", l2(col("sv"), col("c")))
+    val codes = scored.withColumn("rn", row_number().over(wMin))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("j"), col("k").as("code"))
+    val dtab = scored.filter(col("label") === 0)
+      .select(col("vec_id").as("q_id"), col("j"), col("k"),
+        floor(col("dist") * (1L << 20)).cast("long").as("dq"))
+    // ADC: every candidate's m codes look up the broadcast table — the
+    // only per-candidate work at scan time; codes are a 32× memory cut
+    // vs the raw float32 vectors (the 10^9-vector deployment packs them
+    // as an m-byte array column; the long form here keeps both engines'
+    // math identical)
+    val adc = codes.join(broadcast(dtab),
+        codes("j") === dtab("j") && codes("code") === dtab("k") &&
+          codes("vec_id") =!= dtab("q_id"))
+      .groupBy(col("q_id"), codes("vec_id").as("c_id"))
+      .agg(sum(col("dq")).as("adc"))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
+    val cand = adc.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= shortlist)
+      .select(col("q_id"), col("c_id"))
+    // exact re-rank of the shortlist (normalized dot = cosine)
+    val qEmb = e.select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val cEmb = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    cand.join(qEmb, Seq("q_id")).join(cEmb, Seq("c_id"))
+      .withColumn("cos", dot(col("q_emb"), col("c_emb")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("c_id"), round(col("cos"), 4).as("cos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Pairwise cosine on a bounded id range — value-level oracle for the
@@ -291,6 +383,13 @@ object SimilarityQueries {
     // Reference analogue: best-of-N selection analysis.py:645-671.
     "q_ann_topk_ivf_trained" -> ((s, dir) => ivfTrainedTopK(embs(s, dir))
       .orderBy("q_id", "rk")),
+
+    // Product-quantization ANN end-to-end (see pqTopK): normalized
+    // vectors → 8 subquantizers × 16 integer-exact trained centroids →
+    // m-byte codes → quantized asymmetric-distance shortlist → exact
+    // re-rank. The memory leg of the 10^9-vector story (IVF cuts the
+    // scanned set; PQ cuts the bytes per scanned vector 32×).
+    "q_ann_topk_pq" -> ((s, dir) => pqTopK(embs(s, dir)).orderBy("q_id", "rk")),
 
     // Random-hyperplane LSH signatures (8 bits, md5-derived hyperplanes):
     // the bucketed ANN path — one shuffle on the bucket, candidates only
@@ -497,6 +596,70 @@ object SimilarityQueries {
          SELECT q_id, rk, c_id, round(cos, 4) AS cos
          FROM ranked WHERE rk <= 3""",
     "q_ann_topk_ivf_trained" -> ivfTrainedSql(3),
+    "q_ann_topk_pq" ->
+      """WITH e AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         nrm AS (
+           SELECT vec_id, sqrt(sum(emb[d] * emb[d])) AS nn
+           FROM e, UNNEST(range(1, 65)) AS u(d) GROUP BY 1),
+         ev AS (
+           SELECT e.vec_id, e.label, CAST((d - 1) // 8 AS INTEGER) AS j, d,
+             e.emb[d] / nn AS x
+           FROM e JOIN nrm USING (vec_id), UNNEST(range(1, 65)) AS u(d)),
+         seeds AS (
+           SELECT j, vec_id AS k, d, x FROM ev WHERE vec_id < 16),
+         sd0 AS (
+           SELECT ev.vec_id, ev.j, s.k,
+             sum((ev.x - s.x) * (ev.x - s.x)) AS dist
+           FROM ev JOIN seeds s ON s.j = ev.j AND s.d = ev.d
+           GROUP BY 1, 2, 3),
+         a0 AS (
+           SELECT vec_id, j, k FROM (
+             SELECT vec_id, j, k,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) AS rn
+             FROM sd0) WHERE rn = 1),
+         cb AS (
+           SELECT a0.j, a0.k, ev.d,
+             CAST(sum(CAST(floor(ev.x * 1024) AS BIGINT)) AS DOUBLE)
+               / CAST(count(*) * 1024 AS DOUBLE) AS cx
+           FROM a0 JOIN ev ON ev.vec_id = a0.vec_id AND ev.j = a0.j
+           GROUP BY 1, 2, 3),
+         sd1 AS (
+           SELECT ev.vec_id, ev.label, ev.j, c.k,
+             sum((ev.x - c.cx) * (ev.x - c.cx)) AS dist
+           FROM ev JOIN cb c ON c.j = ev.j AND c.d = ev.d
+           GROUP BY 1, 2, 3, 4),
+         codes AS (
+           SELECT vec_id, j, k AS code FROM (
+             SELECT vec_id, j, k,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) AS rn
+             FROM sd1) WHERE rn = 1),
+         dtab AS (
+           SELECT vec_id AS q_id, j, k,
+             CAST(floor(dist * 1048576) AS BIGINT) AS dq
+           FROM sd1 WHERE label = 0),
+         adc AS (
+           SELECT d.q_id, c.vec_id AS c_id, sum(d.dq) AS adc
+           FROM codes c JOIN dtab d
+             ON d.j = c.j AND d.k = c.code AND d.q_id <> c.vec_id
+           GROUP BY 1, 2),
+         cand AS (
+           SELECT q_id, c_id FROM (
+             SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rn
+             FROM adc) WHERE rn <= 10),
+         dots AS (
+           SELECT cand.q_id, cand.c_id, sum(qe.x * ce.x) AS cos
+           FROM cand
+           JOIN ev qe ON qe.vec_id = cand.q_id
+           JOIN ev ce ON ce.vec_id = cand.c_id AND ce.d = qe.d
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+           FROM dots)
+         SELECT q_id, rk, c_id, round(cos, 4) AS cos
+         FROM ranked WHERE rk <= 5""",
     "q_ann_topk_lsh" ->
       """WITH e AS (
            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
