@@ -179,8 +179,12 @@ object SimilarityQueries {
     * composes in front of it to cut the scanned set, PQ cuts the bytes
     * per scanned vector.
     */
-  def pqTopK(raw: DataFrame, m: Int = 8, ks: Int = 16,
-             shortlist: Int = 10, k: Int = 5, dims: Int = 64): DataFrame = {
+  /** The PQ building blocks shared by [[pqTopK]] and [[ivfPqTopK]]:
+    * (normalized vectors, per-vector codes, per-query quantized distance
+    * tables) — see pqTopK for the math contract.
+    */
+  private[graft] def pqParts(raw: DataFrame, m: Int, ks: Int, dims: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val sub = dims / m
@@ -225,6 +229,16 @@ object SimilarityQueries {
     val dtab = scored.filter(col("label") === 0)
       .select(col("vec_id").as("q_id"), col("j"), col("k"),
         floor(col("dist") * (1L << 20)).cast("long").as("dq"))
+    (e, codes, dtab)
+  }
+
+  /** ADC shortlist + exact re-rank over a candidate code set — the tail
+    * both PQ retrieval variants share. `codes` may be pre-restricted
+    * (the IVF-probed subset) or the full table.
+    */
+  private def adcRerank(e: DataFrame, codes: DataFrame, dtab: DataFrame,
+                        shortlist: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // ADC: every candidate's m codes look up the broadcast table — the
     // only per-candidate work at scan time; codes are a 32× memory cut
     // vs the raw float32 vectors (the 10^9-vector deployment packs them
@@ -240,6 +254,80 @@ object SimilarityQueries {
       .filter(col("rn") <= shortlist)
       .select(col("q_id"), col("c_id"))
     // exact re-rank of the shortlist (normalized dot = cosine)
+    val qEmb = e.select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val cEmb = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    cand.join(qEmb, Seq("q_id")).join(cEmb, Seq("c_id"))
+      .withColumn("cos", dot(col("q_emb"), col("c_emb")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("c_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  def pqTopK(raw: DataFrame, m: Int = 8, ks: Int = 16,
+             shortlist: Int = 10, k: Int = 5, dims: Int = 64): DataFrame = {
+    val (e, codes, dtab) = pqParts(raw, m, ks, dims)
+    adcRerank(e, codes, dtab, shortlist, k)
+  }
+
+  /** IVF-PQ retrieval (the two halves composed, FAISS's IVFPQ with
+    * by_residual=false): the trained inverted file cuts the SCANNED SET
+    * (only vectors in the query's probed cells are ADC-scored) and PQ
+    * cuts the BYTES PER SCANNED VECTOR (m codes instead of the float
+    * vector). At 10^9 vectors this is the standard serving shape: probe
+    * → per-cell code scan with a broadcast distance table → shortlist →
+    * exact re-rank on the few survivors. Non-residual encoding keeps the
+    * codebooks global (one table per query instead of one per probed
+    * cell) — the residual refinement is a documented accuracy upgrade,
+    * not a different plan shape.
+    */
+  def ivfPqTopK(raw: DataFrame, probeCells: Int = 2, m: Int = 8, ks: Int = 16,
+                shortlist: Int = 20, k: Int = 3, dims: Int = 64,
+                steps: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (e, codes, dtab) = pqParts(raw, m, ks, dims)
+    // coarse quantizer: integer-exact trained cells (same construction as
+    // ivfTrainedTopK) over the same normalized vectors
+    val seeds = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("emb").as("c_emb"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+    def assignTo(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("csim", cosine(col("emb"), col("c_emb")))
+        .withColumn("rk", row_number().over(wAssign))
+    def lloydStep(cents: DataFrame): DataFrame =
+      assignTo(cents).filter(col("rk") === 1)
+        .select(col("cell"), posexplode(col("emb")).as(Seq("d", "x")))
+        .withColumn("q", floor(col("x") * 1024))
+        .groupBy("cell", "d").agg(sum("q").as("cq"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("cq")))),
+          s => s.getField("cq").cast("double")).as("c_emb"))
+    val trained = (1 to steps).foldLeft(seeds)((c, _) => lloydStep(c))
+    val scored = assignTo(trained)
+    val assign = scored.filter(col("rk") === 1)
+      .select(col("vec_id").as("m_id"), col("cell"))
+    val probes = scored.filter(col("label") === 0 && col("rk") <= probeCells)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    // the inverted-file restriction: (query, member) pairs sharing a
+    // probed cell — the ADC join below scans ONLY these codes
+    val probed = probes.join(assign, Seq("cell"))
+      .filter(col("q_id") =!= col("m_id"))
+      .select(col("q_id").as("p_q"), col("m_id"))
+    val probedCodes = codes.join(probed, codes("vec_id") === probed("m_id"))
+      .select(col("p_q"), col("vec_id"), col("j"), col("code"))
+    // restrict each query's table lookups to its own probed members
+    val adcIn = probedCodes.withColumnRenamed("p_q", "probe_q")
+    val dtabKeyed = dtab
+    val restricted = adcIn.join(broadcast(dtabKeyed),
+        adcIn("j") === dtabKeyed("j") && adcIn("code") === dtabKeyed("k") &&
+          adcIn("probe_q") === dtabKeyed("q_id"))
+      .groupBy(col("q_id"), adcIn("vec_id").as("c_id"))
+      .agg(sum(col("dq")).as("adc"))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
+    val cand = restricted.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= shortlist)
+      .select(col("q_id"), col("c_id"))
     val qEmb = e.select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val cEmb = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
     val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
@@ -391,6 +479,11 @@ object SimilarityQueries {
     // scanned set; PQ cuts the bytes per scanned vector 32×).
     "q_ann_topk_pq" -> ((s, dir) => pqTopK(embs(s, dir)).orderBy("q_id", "rk")),
 
+    // IVF-PQ composed retrieval (see ivfPqTopK): trained coarse cells cut
+    // the scanned set, PQ codes cut the bytes per scanned vector — the
+    // 10^9-vector serving shape, oracle-replayed end-to-end.
+    "q_ann_topk_ivfpq" -> ((s, dir) => ivfPqTopK(embs(s, dir)).orderBy("q_id", "rk")),
+
     // Random-hyperplane LSH signatures (8 bits, md5-derived hyperplanes):
     // the bucketed ANN path — one shuffle on the bucket, candidates only
     // within buckets. Oracle checks the signature assignment itself.
@@ -482,6 +575,69 @@ object SimilarityQueries {
        SELECT q_id, rk, c_id, round(cos, 4) AS cos
        FROM ranked WHERE rk <= 3"""
   }
+
+  /** Shared DuckDB CTE prefix of the PQ oracles: normalized long-form
+    * vectors (ev), one-step integer-exact subquantizer training (cb),
+    * per-vector codes, and the per-query BIGINT-quantized distance table
+    * (dtab) — ONE text, so the PQ math cannot diverge between the flat
+    * and IVF-composed oracles (mirrors [[pqParts]]).
+    */
+  private val pqCtePrefix: String =
+    """e AS (
+         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       nrm AS (
+         SELECT vec_id, sqrt(sum(emb[d] * emb[d])) AS nn
+         FROM e, UNNEST(range(1, 65)) AS u(d) GROUP BY 1),
+       ev AS (
+         SELECT e.vec_id, e.label, CAST((d - 1) // 8 AS INTEGER) AS j, d,
+           e.emb[d] / nn AS x
+         FROM e JOIN nrm USING (vec_id), UNNEST(range(1, 65)) AS u(d)),
+       seeds AS (
+         SELECT j, vec_id AS k, d, x FROM ev WHERE vec_id < 16),
+       sd0 AS (
+         SELECT ev.vec_id, ev.j, s.k,
+           sum((ev.x - s.x) * (ev.x - s.x)) AS dist
+         FROM ev JOIN seeds s ON s.j = ev.j AND s.d = ev.d
+         GROUP BY 1, 2, 3),
+       a0 AS (
+         SELECT vec_id, j, k FROM (
+           SELECT vec_id, j, k,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) AS rn
+           FROM sd0) WHERE rn = 1),
+       cb AS (
+         SELECT a0.j, a0.k, ev.d,
+           CAST(sum(CAST(floor(ev.x * 1024) AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) * 1024 AS DOUBLE) AS cx
+         FROM a0 JOIN ev ON ev.vec_id = a0.vec_id AND ev.j = a0.j
+         GROUP BY 1, 2, 3),
+       sd1 AS (
+         SELECT ev.vec_id, ev.label, ev.j, c.k,
+           sum((ev.x - c.cx) * (ev.x - c.cx)) AS dist
+         FROM ev JOIN cb c ON c.j = ev.j AND c.d = ev.d
+         GROUP BY 1, 2, 3, 4),
+       codes AS (
+         SELECT vec_id, j, k AS code FROM (
+           SELECT vec_id, j, k,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) AS rn
+           FROM sd1) WHERE rn = 1),
+       dtab AS (
+         SELECT vec_id AS q_id, j, k,
+           CAST(floor(dist * 1048576) AS BIGINT) AS dq
+         FROM sd1 WHERE label = 0)"""
+
+  /** Shared exact re-rank tail over a `cand` (q_id, c_id) CTE. */
+  private val pqRerankSql: String =
+    """, dots AS (
+         SELECT cand.q_id, cand.c_id, sum(qe.x * ce.x) AS cos
+         FROM cand
+         JOIN ev qe ON qe.vec_id = cand.q_id
+         JOIN ev ce ON ce.vec_id = cand.c_id AND ce.d = qe.d
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT q_id, c_id, cos,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
+         FROM dots)
+       SELECT q_id, rk, c_id, round(cos, 4) AS cos"""
 
   def oracleSql: Map[String, String] = Map(
     "q_sim_pairs_cos" ->
@@ -597,47 +753,7 @@ object SimilarityQueries {
          FROM ranked WHERE rk <= 3""",
     "q_ann_topk_ivf_trained" -> ivfTrainedSql(3),
     "q_ann_topk_pq" ->
-      """WITH e AS (
-           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         nrm AS (
-           SELECT vec_id, sqrt(sum(emb[d] * emb[d])) AS nn
-           FROM e, UNNEST(range(1, 65)) AS u(d) GROUP BY 1),
-         ev AS (
-           SELECT e.vec_id, e.label, CAST((d - 1) // 8 AS INTEGER) AS j, d,
-             e.emb[d] / nn AS x
-           FROM e JOIN nrm USING (vec_id), UNNEST(range(1, 65)) AS u(d)),
-         seeds AS (
-           SELECT j, vec_id AS k, d, x FROM ev WHERE vec_id < 16),
-         sd0 AS (
-           SELECT ev.vec_id, ev.j, s.k,
-             sum((ev.x - s.x) * (ev.x - s.x)) AS dist
-           FROM ev JOIN seeds s ON s.j = ev.j AND s.d = ev.d
-           GROUP BY 1, 2, 3),
-         a0 AS (
-           SELECT vec_id, j, k FROM (
-             SELECT vec_id, j, k,
-               row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) AS rn
-             FROM sd0) WHERE rn = 1),
-         cb AS (
-           SELECT a0.j, a0.k, ev.d,
-             CAST(sum(CAST(floor(ev.x * 1024) AS BIGINT)) AS DOUBLE)
-               / CAST(count(*) * 1024 AS DOUBLE) AS cx
-           FROM a0 JOIN ev ON ev.vec_id = a0.vec_id AND ev.j = a0.j
-           GROUP BY 1, 2, 3),
-         sd1 AS (
-           SELECT ev.vec_id, ev.label, ev.j, c.k,
-             sum((ev.x - c.cx) * (ev.x - c.cx)) AS dist
-           FROM ev JOIN cb c ON c.j = ev.j AND c.d = ev.d
-           GROUP BY 1, 2, 3, 4),
-         codes AS (
-           SELECT vec_id, j, k AS code FROM (
-             SELECT vec_id, j, k,
-               row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) AS rn
-             FROM sd1) WHERE rn = 1),
-         dtab AS (
-           SELECT vec_id AS q_id, j, k,
-             CAST(floor(dist * 1048576) AS BIGINT) AS dq
-           FROM sd1 WHERE label = 0),
+      s"""WITH $pqCtePrefix,
          adc AS (
            SELECT d.q_id, c.vec_id AS c_id, sum(d.dq) AS adc
            FROM codes c JOIN dtab d
@@ -647,19 +763,56 @@ object SimilarityQueries {
            SELECT q_id, c_id FROM (
              SELECT q_id, c_id,
                row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rn
-             FROM adc) WHERE rn <= 10),
-         dots AS (
-           SELECT cand.q_id, cand.c_id, sum(qe.x * ce.x) AS cos
-           FROM cand
-           JOIN ev qe ON qe.vec_id = cand.q_id
-           JOIN ev ce ON ce.vec_id = cand.c_id AND ce.d = qe.d
-           GROUP BY 1, 2),
-         ranked AS (
-           SELECT q_id, c_id, cos,
-             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk
-           FROM dots)
-         SELECT q_id, rk, c_id, round(cos, 4) AS cos
+             FROM adc) WHERE rn <= 10)
+         $pqRerankSql
          FROM ranked WHERE rk <= 5""",
+    "q_ann_topk_ivfpq" ->
+      s"""WITH $pqCtePrefix,
+         cents0n AS (SELECT vec_id AS cell, d, x FROM ev WHERE vec_id < 16),
+         csd0 AS (
+           SELECT ev.vec_id, c.cell,
+             sum(ev.x * c.x) AS dp, sum(ev.x * ev.x) AS nv, sum(c.x * c.x) AS nc
+           FROM ev JOIN cents0n c ON c.d = ev.d
+           GROUP BY 1, 2),
+         cassign0 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY dp/(sqrt(nv)*sqrt(nc)) DESC, cell) AS rn
+             FROM csd0) WHERE rn = 1),
+         cq1 AS (
+           SELECT a.cell, ev.d,
+             CAST(sum(CAST(floor(ev.x * 1024) AS BIGINT)) AS DOUBLE) AS cx
+           FROM cassign0 a JOIN ev ON ev.vec_id = a.vec_id
+           GROUP BY 1, 2),
+         csd1 AS (
+           SELECT ev.vec_id, ev.label, c.cell,
+             sum(ev.x * c.cx) AS dp, sum(ev.x * ev.x) AS nv, sum(c.cx * c.cx) AS nc
+           FROM ev JOIN cq1 c ON c.d = ev.d
+           GROUP BY 1, 2, 3),
+         cscored AS (
+           SELECT vec_id, label, cell,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY dp/(sqrt(nv)*sqrt(nc)) DESC, cell) AS rk
+           FROM csd1),
+         cassign AS (SELECT vec_id AS m_id, cell FROM cscored WHERE rk = 1),
+         cprobes AS (SELECT vec_id AS q_id, cell FROM cscored WHERE label = 0 AND rk <= 2),
+         probed AS (
+           SELECT p.q_id, a.m_id FROM cprobes p JOIN cassign a USING (cell)
+           WHERE a.m_id <> p.q_id),
+         adc AS (
+           SELECT d.q_id, c.vec_id AS c_id, sum(d.dq) AS adc
+           FROM codes c
+           JOIN probed pr ON pr.m_id = c.vec_id
+           JOIN dtab d ON d.j = c.j AND d.k = c.code AND d.q_id = pr.q_id
+           GROUP BY 1, 2),
+         cand AS (
+           SELECT q_id, c_id FROM (
+             SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rn
+             FROM adc) WHERE rn <= 20)
+         $pqRerankSql
+         FROM ranked WHERE rk <= 3""",
     "q_ann_topk_lsh" ->
       """WITH e AS (
            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
