@@ -272,6 +272,10 @@ object ImageSuite {
     // incremental twin, which count image rows only; KeyCheckDupSpec pins
     // the duplicate-caption case). The window shuffles on image_id — the
     // same key the join needs, so the partitioning is reused.
+    // NOT cached (measured at sf0.1: caching the window output costs
+    // more in materialization than the second consumer's recompute — the
+    // upstream `light` frame is the caller-cached one, so each consumer
+    // pays only the image_id shuffle + window sort over cached input)
     val lightN = light.withColumn("n_img",
       count(lit(1)).over(Window.partitionBy("image_id")))
     val j = lightN.join(caps, col("image_id") === col("cap_id"), "full_outer")

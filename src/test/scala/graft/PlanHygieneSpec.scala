@@ -77,6 +77,16 @@ class PlanHygieneSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cartesian in trained-IVF plan:\n$p")
   }
 
+  test("PQ and IVF-PQ retrieval plan equi-joins with a broadcast distance table") {
+    for (q <- Seq("q_ann_topk_pq", "q_ann_topk_ivfpq")) {
+      val p = planOf(SparkEntry.queries(q)(spark, dir))
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q plan:\n$p")
+      // the ADC distance table must ride a broadcast — per-candidate work
+      // is m hash-lookups, never a shuffle of the code scan
+      assert(p.contains("BroadcastHashJoin"), s"$q lost the dtab broadcast:\n$p")
+    }
+  }
+
   test("signature expression rungs plan ZERO shuffles (scan -> project)") {
     // the whole point of the native-expression rungs: the signature never
     // costs an Exchange. A refactor that reintroduces a shuffle (e.g. a
