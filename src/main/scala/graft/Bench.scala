@@ -33,7 +33,7 @@ object Bench {
     "q_dedup_simhash64_banded_l2", "q_dedup_cc",
     "q_text_tokens", "q_text_quality", "q_text_fingerprint",
     "q_ann_topk_bruteforce", "q_ann_topk_lsh", "q_ann_topk_ivf_trained",
-    "q_ann_topk_pq", "q_sim_lsh_buckets",
+    "q_ann_topk_pq", "q_ann_topk_ivfpq_residual", "q_sim_lsh_buckets",
     "q_v_uniqueness", "q_v_referential", "q_v_colstats", "q_v_scores",
     "q_v_drift_chisq", "q_v_drift_ks")
 

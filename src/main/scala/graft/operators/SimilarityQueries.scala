@@ -338,6 +338,118 @@ object SimilarityQueries {
       .select(col("q_id"), col("rk"), col("c_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Residual IVF-PQ (the full IVFADC of Jégou/Douze/Schmid §III —
+    * FAISS's by_residual=true): vectors are encoded as the PQ codes of
+    * their RESIDUAL against their cell's normalized centroid, so the
+    * codebooks spend their 2^b resolution on the within-cell geometry
+    * instead of re-describing the coarse structure — the accuracy
+    * refinement over [[ivfPqTopK]]'s global codes. The price is a
+    * distance table PER (query, probed cell) — the query's residual
+    * differs per cell — which is exactly how FAISS prices it (probe ×
+    * m × ks table entries per query, still a broadcast-sized constant).
+    * Every training / encoding / table value follows the same
+    * engine-exact discipline as the other PQ paths (integer-quantized
+    * Lloyd means, BIGINT-quantized tables, sequential-fold distances),
+    * so the whole loop is DuckDB-replayable (q_ann_topk_ivfpq_residual).
+    */
+  def ivfPqResidualTopK(raw: DataFrame, probeCells: Int = 2, m: Int = 8,
+                        ks: Int = 16, shortlist: Int = 20, k: Int = 3,
+                        dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    val e = raw.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb0"))
+      .withColumn("emb", transform(col("emb0"), x => x / sqrt(dot(col("emb0"), col("emb0")))))
+      .select(col("vec_id"), col("label"), col("emb"))
+    // coarse: one integer-exact Lloyd step from the 16 seed cells, then
+    // NORMALIZE the trained centroids (residuals need unit-scale anchors;
+    // cosine assignment is scale-invariant so the ranking is unchanged)
+    val seeds = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cell"), col("emb").as("c_emb"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+    def assignTo(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("csim", cosine(col("emb"), col("c_emb")))
+        .withColumn("rk", row_number().over(wAssign))
+    val trained = assignTo(seeds).filter(col("rk") === 1)
+      .select(col("cell"), posexplode(col("emb")).as(Seq("d", "x")))
+      .withColumn("q", floor(col("x") * 1024))
+      .groupBy("cell", "d").agg(sum("q").as("cq"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cq")))),
+        s => s.getField("cq").cast("double")).as("c_emb"))
+    val cents = trained.withColumn("c_hat",
+        transform(col("c_emb"), x => x / sqrt(dot(col("c_emb"), col("c_emb")))))
+      .select(col("cell"), col("c_emb"), col("c_hat"))
+    val scored = assignTo(cents.select(col("cell"), col("c_emb")))
+    val assign = scored.filter(col("rk") === 1).select(col("vec_id"), col("cell"))
+    val probes = scored.filter(col("label") === 0 && col("rk") <= probeCells)
+      .select(col("vec_id").as("q_id"), col("cell"))
+    // residual of every vector against ITS cell's unit centroid, split
+    // into subvectors — the PQ input
+    def subSplit(vecCol: Column): Column =
+      explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"), slice(vecCol, j * sub + 1, sub).as("sv"))): _*))
+    val resid = e.join(assign, Seq("vec_id"))
+      .join(broadcast(cents.select(col("cell"), col("c_hat"))), Seq("cell"))
+      .withColumn("r", zip_with(col("emb"), col("c_hat"), (x, c) => x - c))
+    val rsv = resid.select(col("vec_id"), col("label"), subSplit(col("r")).as("s"))
+      .select(col("vec_id"), col("label"), col("s.j").as("j"), col("s.sv").as("sv"))
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val wMin = Window.partitionBy("vec_id", "j").orderBy(col("dist"), col("k"))
+    val pqSeeds = rsv.filter(col("vec_id") < ks)
+      .select(col("j"), col("vec_id").as("k"), col("sv").as("c"))
+    val cb = rsv.join(broadcast(pqSeeds), Seq("j"))
+      .withColumn("dist", l2(col("sv"), col("c")))
+      .withColumn("rn", row_number().over(wMin)).filter(col("rn") === 1)
+      .select(col("j"), col("k"), posexplode(col("sv")).as(Seq("d", "x")))
+      .groupBy("j", "k", "d")
+      .agg(sum(floor(col("x") * 1024)).as("q"), count(lit(1)).as("cnt"))
+      .withColumn("cx", col("q").cast("double") / (col("cnt") * 1024L).cast("double"))
+      .groupBy("j", "k")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+        s => s.getField("cx")).as("c"))
+    val codes = rsv.join(broadcast(cb), Seq("j"))
+      .withColumn("dist", l2(col("sv"), col("c")))
+      .withColumn("rn", row_number().over(wMin)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("j"), col("k").as("code"))
+    // per-(query, PROBED CELL) distance table: the query's residual is
+    // taken against each probed cell's centroid
+    val qresid = probes.join(e.select(col("vec_id").as("q_id"), col("emb")), Seq("q_id"))
+      .join(broadcast(cents.select(col("cell"), col("c_hat"))), Seq("cell"))
+      .withColumn("r", zip_with(col("emb"), col("c_hat"), (x, c) => x - c))
+    val qsv = qresid.select(col("q_id"), col("cell"), subSplit(col("r")).as("s"))
+      .select(col("q_id"), col("cell"), col("s.j").as("j"), col("s.sv").as("sv"))
+    val dtab = qsv.join(broadcast(cb), Seq("j"))
+      .withColumn("dist", l2(col("sv"), col("c")))
+      .select(col("q_id"), col("cell"), col("j"), col("k"),
+        floor(col("dist") * (1L << 20)).cast("long").as("dq"))
+    // candidates = members of probed cells; lookups keyed additionally by
+    // the candidate's cell so each query uses the right residual table
+    val probed = probes.join(assign.withColumnRenamed("vec_id", "m_id"), Seq("cell"))
+      .filter(col("q_id") =!= col("m_id"))
+      .select(col("q_id").as("p_q"), col("cell").as("p_cell"), col("m_id"))
+    val adc = codes.join(probed, codes("vec_id") === probed("m_id"))
+      .join(broadcast(dtab),
+        codes("j") === dtab("j") && codes("code") === dtab("k") &&
+          col("p_q") === dtab("q_id") && col("p_cell") === dtab("cell"))
+      .groupBy(col("q_id"), codes("vec_id").as("c_id"))
+      .agg(sum(col("dq")).as("adc"))
+    val wAdc = Window.partitionBy("q_id").orderBy(col("adc"), col("c_id"))
+    val cand = adc.withColumn("rn", row_number().over(wAdc))
+      .filter(col("rn") <= shortlist)
+      .select(col("q_id"), col("c_id"))
+    val qEmb = e.select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val cEmb = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    cand.join(qEmb, Seq("q_id")).join(cEmb, Seq("c_id"))
+      .withColumn("cos", dot(col("q_emb"), col("c_emb")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("c_id"), round(col("cos"), 4).as("cos"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Pairwise cosine on a bounded id range — value-level oracle for the
@@ -484,6 +596,12 @@ object SimilarityQueries {
     // 10^9-vector serving shape, oracle-replayed end-to-end.
     "q_ann_topk_ivfpq" -> ((s, dir) => ivfPqTopK(embs(s, dir)).orderBy("q_id", "rk")),
 
+    // Residual IVF-PQ (full IVFADC, FAISS by_residual=true): codes
+    // quantize the residual against the cell's unit centroid; the
+    // distance table is per (query, probed cell). See ivfPqResidualTopK.
+    "q_ann_topk_ivfpq_residual" -> ((s, dir) =>
+      ivfPqResidualTopK(embs(s, dir)).orderBy("q_id", "rk")),
+
     // Random-hyperplane LSH signatures (8 bits, md5-derived hyperplanes):
     // the bucketed ANN path — one shuffle on the bucket, candidates only
     // within buckets. Oracle checks the signature assignment itself.
@@ -582,7 +700,10 @@ object SimilarityQueries {
     * (dtab) — ONE text, so the PQ math cannot diverge between the flat
     * and IVF-composed oracles (mirrors [[pqParts]]).
     */
-  private val pqCtePrefix: String =
+  /** Normalized long-form vectors (ev: vec_id, label, j, d, x) — the
+    * shared head of every PQ oracle.
+    */
+  private val evCte: String =
     """e AS (
          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        nrm AS (
@@ -591,7 +712,10 @@ object SimilarityQueries {
        ev AS (
          SELECT e.vec_id, e.label, CAST((d - 1) // 8 AS INTEGER) AS j, d,
            e.emb[d] / nn AS x
-         FROM e JOIN nrm USING (vec_id), UNNEST(range(1, 65)) AS u(d)),
+         FROM e JOIN nrm USING (vec_id), UNNEST(range(1, 65)) AS u(d))"""
+
+  private val pqCtePrefix: String =
+    s"""$evCte,
        seeds AS (
          SELECT j, vec_id AS k, d, x FROM ev WHERE vec_id < 16),
        sd0 AS (
@@ -752,6 +876,99 @@ object SimilarityQueries {
          SELECT q_id, rk, c_id, round(cos, 4) AS cos
          FROM ranked WHERE rk <= 3""",
     "q_ann_topk_ivf_trained" -> ivfTrainedSql(3),
+    "q_ann_topk_ivfpq_residual" ->
+      s"""WITH $evCte,
+         cents0n AS (SELECT vec_id AS cell, d, x FROM ev WHERE vec_id < 16),
+         csd0 AS (
+           SELECT ev.vec_id, c.cell,
+             sum(ev.x * c.x) AS dp, sum(ev.x * ev.x) AS nv, sum(c.x * c.x) AS nc
+           FROM ev JOIN cents0n c ON c.d = ev.d
+           GROUP BY 1, 2),
+         cassign0 AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY dp/(sqrt(nv)*sqrt(nc)) DESC, cell) AS rn
+             FROM csd0) WHERE rn = 1),
+         cq1 AS (
+           SELECT a.cell, ev.d,
+             CAST(sum(CAST(floor(ev.x * 1024) AS BIGINT)) AS DOUBLE) AS cx
+           FROM cassign0 a JOIN ev ON ev.vec_id = a.vec_id
+           GROUP BY 1, 2),
+         cnorm AS (SELECT cell, sqrt(sum(cx * cx)) AS cn FROM cq1 GROUP BY 1),
+         chat AS (
+           SELECT cq1.cell, d, cx / cn AS cxh FROM cq1 JOIN cnorm USING (cell)),
+         csd1 AS (
+           SELECT ev.vec_id, ev.label, c.cell,
+             sum(ev.x * c.cx) AS dp, sum(ev.x * ev.x) AS nv, sum(c.cx * c.cx) AS nc
+           FROM ev JOIN cq1 c ON c.d = ev.d
+           GROUP BY 1, 2, 3),
+         cscored AS (
+           SELECT vec_id, label, cell,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY dp/(sqrt(nv)*sqrt(nc)) DESC, cell) AS rk
+           FROM csd1),
+         cassign AS (SELECT vec_id, cell FROM cscored WHERE rk = 1),
+         cprobes AS (SELECT vec_id AS q_id, cell FROM cscored WHERE label = 0 AND rk <= 2),
+         rv AS (
+           SELECT ev.vec_id, ev.label, ev.j, ev.d, ev.x - ch.cxh AS r
+           FROM ev JOIN cassign a ON a.vec_id = ev.vec_id
+           JOIN chat ch ON ch.cell = a.cell AND ch.d = ev.d),
+         rseeds AS (SELECT j, vec_id AS k, d, r FROM rv WHERE vec_id < 16),
+         rsd0 AS (
+           SELECT rv.vec_id, rv.j, s.k, sum((rv.r - s.r) * (rv.r - s.r)) AS dist
+           FROM rv JOIN rseeds s ON s.j = rv.j AND s.d = rv.d
+           GROUP BY 1, 2, 3),
+         ra0 AS (
+           SELECT vec_id, j, k FROM (
+             SELECT vec_id, j, k,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) AS rn
+             FROM rsd0) WHERE rn = 1),
+         rcb AS (
+           SELECT a.j, a.k, rv.d,
+             CAST(sum(CAST(floor(rv.r * 1024) AS BIGINT)) AS DOUBLE)
+               / CAST(count(*) * 1024 AS DOUBLE) AS cx
+           FROM ra0 a JOIN rv ON rv.vec_id = a.vec_id AND rv.j = a.j
+           GROUP BY 1, 2, 3),
+         rsd1 AS (
+           SELECT rv.vec_id, rv.j, c.k, sum((rv.r - c.cx) * (rv.r - c.cx)) AS dist
+           FROM rv JOIN rcb c ON c.j = rv.j AND c.d = rv.d
+           GROUP BY 1, 2, 3),
+         rcodes AS (
+           SELECT vec_id, j, k AS code FROM (
+             SELECT vec_id, j, k,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, k) AS rn
+             FROM rsd1) WHERE rn = 1),
+         qrv AS (
+           SELECT p.q_id, p.cell, ev.j, ev.d, ev.x - ch.cxh AS r
+           FROM cprobes p
+           JOIN ev ON ev.vec_id = p.q_id
+           JOIN chat ch ON ch.cell = p.cell AND ch.d = ev.d),
+         qdtab AS (
+           SELECT q_id, cell, j, k, CAST(floor(dist * 1048576) AS BIGINT) AS dq
+           FROM (
+             SELECT qrv.q_id, qrv.cell, qrv.j, c.k,
+               sum((qrv.r - c.cx) * (qrv.r - c.cx)) AS dist
+             FROM qrv JOIN rcb c ON c.j = qrv.j AND c.d = qrv.d
+             GROUP BY 1, 2, 3, 4)),
+         probed AS (
+           SELECT p.q_id, p.cell, a.vec_id AS m_id
+           FROM cprobes p JOIN cassign a USING (cell)
+           WHERE a.vec_id <> p.q_id),
+         adc AS (
+           SELECT d.q_id, c.vec_id AS c_id, sum(d.dq) AS adc
+           FROM rcodes c
+           JOIN probed pr ON pr.m_id = c.vec_id
+           JOIN qdtab d ON d.j = c.j AND d.k = c.code
+             AND d.q_id = pr.q_id AND d.cell = pr.cell
+           GROUP BY 1, 2),
+         cand AS (
+           SELECT q_id, c_id FROM (
+             SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rn
+             FROM adc) WHERE rn <= 20)
+         $pqRerankSql
+         FROM ranked WHERE rk <= 3""",
     "q_ann_topk_pq" ->
       s"""WITH $pqCtePrefix,
          adc AS (

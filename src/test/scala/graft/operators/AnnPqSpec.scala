@@ -88,6 +88,23 @@ class AnnPqSpec extends SparkTestBase {
     assert(recall >= 0.9, s"IVF-PQ clustered recall@3 = $recall")
   }
 
+  test("residual IVF-PQ (by_residual=true) matches the non-residual recall") {
+    // residual codes spend the codebook's resolution on within-cell
+    // geometry; on clustered data recall must be at least as good as the
+    // global-codebook composition at the same operating point
+    val df = spark.createDataFrame(rows).toDF("vec_id", "label", "embedding")
+    val got = SimilarityQueries.ivfPqResidualTopK(df, probeCells = 2, m = 8,
+        ks = 16, shortlist = 20, k = 3, dims = Dims)
+      .collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("c_id")).toSet }
+    val qs = bfTop.keySet.toSeq
+    val recall = qs.map(q =>
+      (bfTop(q) intersect got.getOrElse(q, Set.empty)).size / 3.0).sum / qs.size
+    info(f"residual IVF-PQ recall@3 (probe 2, shortlist 20) = $recall%.3f")
+    assert(recall >= 0.9, s"residual IVF-PQ clustered recall@3 = $recall")
+  }
+
   test("widening the ADC shortlist never hurts recall") {
     val r5 = recallAt(5); val r20 = recallAt(20)
     info(f"PQ recall@3: shortlist 5 -> $r5%.3f, 20 -> $r20%.3f")
