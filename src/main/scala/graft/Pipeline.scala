@@ -118,6 +118,82 @@ object Pipeline {
       .filter(col("doc_id") =!= col("comp_id"))
       .select("doc_id")
 
+  /** Driver-gate surface: the WHOLE curation pipeline oracle-verified —
+    * DuckDB replays ingest → enrich → gate → exact dedup → MinHash-LSH
+    * near-dup → connected components → keep-min survivors and must
+    * hash-match both the surviving doc set and every stage count.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_curated" -> ((s, dir) =>
+      curate(s, dir)._1.select("doc_id").orderBy("doc_id")),
+    "q_pipeline_lineage" -> ((s, dir) => {
+      val (_, stages) = curate(s, dir)
+      import s.implicits._
+      stages.map(st => (st.stage, st.n_rows)).toDF("stage", "n_rows")
+        .orderBy("stage")
+    })
+  )
+
+  /** CTE chain replaying the full pipeline up to the `curated` doc set.
+    * Every predicate mirrors [[curate]] exactly: integer-ratio gate
+    * thresholds (exact double divisions in both engines), min-id-per-md5
+    * exact dedup, the shared MinHash-LSH fragment over the SURVIVOR set,
+    * est_jaccard ≥ 0.5 edges (exact multiples of 1/16), recursive-CTE
+    * transitive closure as the connected-components twin.
+    */
+  private def pipelineCte: String = {
+    val stop = graft.TextQueries.Stopwords.map("'" + _ + "'").mkString(", ")
+    s"""docs0 AS (
+         SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       enr AS (
+         SELECT doc_id, text,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '),
+                  t -> list_contains([$stop], t))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS punct_ratio
+         FROM docs0),
+       gated AS (
+         SELECT doc_id, text FROM enr
+         WHERE n_tokens >= 5 AND punct_ratio <= 0.2 AND stop_ratio <= 0.8),
+       exact AS (
+         SELECT doc_id, text FROM (
+           SELECT doc_id, text, row_number() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+           FROM gated) WHERE rn = 1),
+       ${DedupQueries.minhashLshCte("exact")},
+       edges0 AS (SELECT a_id, b_id FROM lshpairs WHERE est_jaccard >= 0.5),
+       edges AS (
+         SELECT a_id AS src, b_id AS dst FROM edges0
+         UNION SELECT b_id, a_id FROM edges0),
+       reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst),
+       comp AS (
+         SELECT src AS doc_id, least(src, min(dst)) AS comp_id
+         FROM reach GROUP BY src),
+       drops AS (SELECT doc_id FROM comp WHERE doc_id <> comp_id),
+       curated AS (
+         SELECT e.doc_id FROM exact e
+         WHERE e.doc_id NOT IN (SELECT doc_id FROM drops))"""
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pipeline_curated" ->
+      s"""WITH RECURSIVE $pipelineCte
+         SELECT doc_id FROM curated""",
+    "q_pipeline_lineage" ->
+      s"""WITH RECURSIVE $pipelineCte
+         SELECT 'ingest' AS stage, (SELECT count(*) FROM docs0) AS n_rows
+         UNION ALL SELECT 'enrich', (SELECT count(*) FROM docs0)
+         UNION ALL SELECT 'quality_gate', (SELECT count(*) FROM gated)
+         UNION ALL SELECT 'dedup_exact', (SELECT count(*) FROM exact)
+         UNION ALL SELECT 'dedup_near', (SELECT count(*) FROM curated)"""
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val outDir = if (args.length > 1) args(1) else "target/pipeline-out"

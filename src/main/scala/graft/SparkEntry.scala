@@ -33,7 +33,7 @@ object SparkEntry {
     sum(c.cast("decimal(18,2)")).cast("double")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    relational ++ DedupQueries.queries ++ TextQueries.queries ++
+    relational ++ DedupQueries.queries ++ TextQueries.queries ++ Pipeline.queries ++
       SimilarityQueries.queries ++ ValidationQueries.queries ++
       ImageSuiteQueries.queries
 
@@ -969,7 +969,7 @@ object SparkEntry {
              cos(radians(a.lat)) * cos(radians(b.lat)) *
              pow(sin(radians(b.lon - a.lon)/2), 2))), 3) AS dist_km
          FROM n a JOIN n b ON a.n_nationkey < b.n_nationkey"""
-  ) ++ DedupQueries.oracleSql ++ TextQueries.oracleSql ++
+  ) ++ DedupQueries.oracleSql ++ TextQueries.oracleSql ++ Pipeline.oracleSql ++
     SimilarityQueries.oracleSql ++ ValidationQueries.oracleSql ++
     graft.validation.ImageSuiteQueries.oracleSql
 }

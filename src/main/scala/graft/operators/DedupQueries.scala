@@ -578,6 +578,51 @@ object DedupQueries {
            CAST(sum(CASE WHEN w > 0 AND bit >= 32 THEN CAST(1 AS BIGINT) << (bit - 32) ELSE 0 END) AS BIGINT) AS hi
          FROM bw GROUP BY 1)"""
 
+  /** DuckDB CTE chain computing MinHash-LSH candidate pairs with
+    * estimated Jaccard over a (doc_id, text) source CTE `src` — shared by
+    * the standalone oracle (src = the raw documents) and the pipeline
+    * oracle (src = the gated + exact-deduped survivor set, mirroring
+    * Pipeline.curate's survivor-safety rule). Emits CTE `lshpairs`
+    * (a_id, b_id, est_jaccard); mirrors [[minhashLshPairs]] exactly.
+    */
+  def minhashLshCte(src: String): String =
+    s"""mtoks AS (
+         SELECT doc_id, string_split(text, ' ') AS ts FROM $src
+         WHERE text IS NOT NULL),
+       msh AS (
+         SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
+         FROM mtoks, UNNEST(range(1, len(ts)-1)) AS u(i)
+         WHERE len(ts) >= 3),
+       mhs AS (
+         SELECT doc_id,
+           CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+         FROM msh),
+       mseeds AS (
+         SELECT seed,
+           CAST(('0x' || substr(md5('a:' || CAST(seed AS VARCHAR)), 1, 8)) AS BIGINT) % 1073741789 + 1 AS a,
+           CAST(('0x' || substr(md5('b:' || CAST(seed AS VARCHAR)), 1, 8)) AS BIGINT) % 1073741789 AS b
+         FROM (SELECT unnest(range(0, 16)) AS seed)),
+       mmh AS (
+         SELECT doc_id, seed, min((a * h + b) % 4294967291) AS mh
+         FROM mhs, mseeds GROUP BY 1, 2),
+       msig AS (
+         SELECT doc_id, list(mh ORDER BY seed) AS sigs FROM mmh GROUP BY 1),
+       mbands AS (
+         SELECT doc_id, b,
+           md5(CAST(sigs[b*4+1] AS VARCHAR) || '|' || CAST(sigs[b*4+2] AS VARCHAR)
+               || '|' || CAST(sigs[b*4+3] AS VARCHAR) || '|' || CAST(sigs[b*4+4] AS VARCHAR)) AS bucket
+         FROM msig, (SELECT unnest(range(0, 4)) AS b)),
+       mcand AS (
+         SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         FROM mbands x JOIN mbands y
+           ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       lshpairs AS (
+         SELECT a_id, b_id,
+           CAST((SELECT count(*) FROM mmh ma JOIN mmh mb
+                 ON ma.seed = mb.seed AND ma.doc_id = c.a_id AND mb.doc_id = c.b_id
+                    AND ma.mh = mb.mh) AS DOUBLE) / 16.0 AS est_jaccard
+         FROM mcand c)"""
+
   /** Shared 4-block banding CTE over `sh` (16-bit keys, bands 0..3). */
   private val bands4Cte: String =
     """bands AS (
@@ -618,41 +663,10 @@ object DedupQueries {
          JOIN sizes sb ON sb.doc_id = b_id
          WHERE CAST(common AS DOUBLE)/CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.4""",
     "q_dedup_minhash_lsh" ->
-      """WITH toks AS (
-           SELECT doc_id, string_split(text, ' ') AS ts FROM documents
-           WHERE text IS NOT NULL),
-         sh AS (
-           SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle
-           FROM toks, UNNEST(range(1, len(ts)-1)) AS u(i)
-           WHERE len(ts) >= 3),
-         hs AS (
-           SELECT doc_id,
-             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
-           FROM sh),
-         seeds AS (
-           SELECT seed,
-             CAST(('0x' || substr(md5('a:' || CAST(seed AS VARCHAR)), 1, 8)) AS BIGINT) % 1073741789 + 1 AS a,
-             CAST(('0x' || substr(md5('b:' || CAST(seed AS VARCHAR)), 1, 8)) AS BIGINT) % 1073741789 AS b
-           FROM (SELECT unnest(range(0, 16)) AS seed)),
-         mh AS (
-           SELECT doc_id, seed, min((a * h + b) % 4294967291) AS mh
-           FROM hs, seeds GROUP BY 1, 2),
-         sigarr AS (
-           SELECT doc_id, list(mh ORDER BY seed) AS sigs FROM mh GROUP BY 1),
-         bands AS (
-           SELECT doc_id, b,
-             md5(CAST(sigs[b*4+1] AS VARCHAR) || '|' || CAST(sigs[b*4+2] AS VARCHAR)
-                 || '|' || CAST(sigs[b*4+3] AS VARCHAR) || '|' || CAST(sigs[b*4+4] AS VARCHAR)) AS bucket
-           FROM sigarr, (SELECT unnest(range(0, 4)) AS b)),
-         cand AS (
-           SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-           FROM bands x JOIN bands y
-             ON x.b = y.b AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
-         SELECT a_id, b_id,
-           CAST((SELECT count(*) FROM mh ma JOIN mh mb
-                 ON ma.seed = mb.seed AND ma.doc_id = c.a_id AND mb.doc_id = c.b_id
-                    AND ma.mh = mb.mh) AS DOUBLE) / 16.0 AS est_jaccard
-         FROM cand c""",
+      s"""WITH docsrc AS (
+           SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         ${minhashLshCte("docsrc")}
+         SELECT a_id, b_id, est_jaccard FROM lshpairs""",
     "q_dedup_simhash" ->
       """WITH toks AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
