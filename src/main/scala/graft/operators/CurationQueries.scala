@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators over `documents` — the sampling / capping /
+  * packing layer a training-data pipeline runs AFTER quality gating and
+  * dedup. Reference analogues: bounded per-entity fan-out
+  * (`/root/reference/src/crawl_first/osm.py:630-655` keeps the closest
+  * feature per name — a per-key cap with a deterministic order),
+  * `random.sample` subsetting (`cli.py:21-31`) and the md5 content-key
+  * discipline that makes it replayable (`cache.py:27-29`), and the
+  * fixed-budget batching of downstream work (`Makefile:124`).
+  *
+  * Everything here is integer/hash-deterministic — window ranks over
+  * total-ordered keys, md5-prefix thresholds, integer running sums — so
+  * every operator is DuckDB-oracle-able bit-for-bit, and everything stays
+  * in whole-stage codegen (builtin functions only, no UDF).
+  *
+  * Scale notes (10^12 rows):
+  *  - source-cap and packing windows partition by a BOUNDED key (source /
+  *    shard), never a global ORDER BY — each window group is one reducer's
+  *    work and groups are hash-spread; no single-partition sort anywhere.
+  *  - stratified sampling is a pure per-row predicate (md5 prefix vs a
+  *    broadcast rate row) — zero shuffles, fully pushable past scans of
+  *    any source that stores `lang` as a partition column.
+  *  - packing's shard count is the parallelism knob: shards are
+  *    independent, so 4096 shards spread a 10^12-doc pack over 4096
+  *    reducers with bounded memory (one running sum each).
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Per-source document cap. */
+  val SourceCap = 40
+
+  /** Per-language stratified keep-rates, in 1/256ths of the md5-prefix
+    * space. Deliberately uneven — the shape of a real rebalancing pass
+    * (downsample the dominant language, keep the rest). */
+  val StratRates256: Seq[(String, Int)] =
+    Seq("en" -> 32, "es" -> 128, "de" -> 160, "fr" -> 192, "zh" -> 256)
+
+  /** Token budget per packed training sequence. */
+  val PackBudget = 2048
+
+  /** Shard count for the packing pass — the scale-out knob. */
+  val PackShards = 32
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Per-source rate cap: keep at most SourceCap docs per source, by
+    // (n_chars DESC, doc_id ASC) — longest-first with a total tie-break,
+    // so the rank is unique and the survivor set deterministic. One
+    // shuffle on `source`; a hot source is ONE reducer's rank scan (the
+    // cap bounds its output, and rank streams — no buffering).
+    "q_curate_source_cap" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      docs(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= SourceCap)
+        .select("doc_id", "source", "n_chars", "rk")
+        .orderBy("doc_id")
+    }),
+
+    // Stratified (per-language) deterministic sampling: keep a doc iff
+    // the first md5 byte of its id is below the language's rate. Pure
+    // per-row predicate + one broadcast rates row — zero shuffles, and
+    // the SAME doc set is kept on any cluster size or partitioning.
+    "q_curate_stratified" -> ((s, dir) => {
+      import s.implicits._
+      val rates = broadcast(StratRates256.toDF("r_lang", "rate256"))
+      docs(s, dir)
+        .join(rates, col("lang") === col("r_lang"), "left")
+        .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("int") < coalesce(col("rate256"), lit(0)))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
+    // Audit twin of the stratified sample: kept/total/realized-rate per
+    // language — the report a curation run ships with its manifest.
+    "q_curate_strat_audit" -> ((s, dir) => {
+      import s.implicits._
+      val rates = broadcast(StratRates256.toDF("r_lang", "rate256"))
+      docs(s, dir)
+        .join(rates, col("lang") === col("r_lang"), "left")
+        .withColumn("kept",
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+            .cast("int") < coalesce(col("rate256"), lit(0))).cast("int"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("total"), sum("kept").as("kept"),
+          round(sum("kept").cast("double") / count(lit(1)), 6).as("realized_rate"))
+        .orderBy("lang")
+    }),
+
+    // Sequence packing (greedy concat-and-chunk): docs are concatenated
+    // in (shard, doc_id) order and cut into PackBudget-token bins; a doc
+    // belongs to the bin where its first token lands, so bins overflow by
+    // at most one doc's tokens (the standard pretraining concat-pack).
+    // tok_count is the same BPE-ish regex as q_text_tokens. The window
+    // partitions by shard — integer running sum per reducer, O(1) state.
+    "q_pack_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(PackShards)).as("shard"),
+          size(regexp_extract_all(col("text"), lit(TextQueries.TokenPattern), lit(0)))
+            .cast("long").as("tok"))
+        .withColumn("cum", sum("tok").over(w))
+        .select(col("doc_id"), col("shard"), col("tok"),
+          floor((col("cum") - col("tok")) / lit(PackBudget)).as("bin"))
+        .orderBy("doc_id")
+    }),
+
+    // Packed-bin audit: docs-per-bin and fill factor. Fill can exceed 1.0
+    // only on a bin whose LAST doc spilled over the boundary — the
+    // documented overflow bound; min/max fill is what a batch-size SLO
+    // would alarm on.
+    "q_pack_stats" -> ((s, dir) => {
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(PackShards)).as("shard"),
+          size(regexp_extract_all(col("text"), lit(TextQueries.TokenPattern), lit(0)))
+            .cast("long").as("tok"))
+        .withColumn("cum", sum("tok").over(w))
+        .withColumn("bin", floor((col("cum") - col("tok")) / lit(PackBudget)))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"),
+          round(sum("tok").cast("double") / PackBudget, 6).as("fill"))
+        .orderBy("shard", "bin")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_curate_source_cap" ->
+      s"""SELECT doc_id, source, n_chars, rk FROM (
+            SELECT doc_id, source, n_chars,
+              row_number() OVER (PARTITION BY source
+                ORDER BY n_chars DESC, doc_id ASC) AS rk
+            FROM documents) ranked
+          WHERE rk <= $SourceCap""",
+    "q_curate_stratified" ->
+      s"""WITH rates(r_lang, rate256) AS (VALUES
+            ('en', 32), ('es', 128), ('de', 160), ('fr', 192), ('zh', 256))
+          SELECT doc_id, lang, source
+          FROM documents LEFT JOIN rates ON lang = r_lang
+          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+                < coalesce(rate256, 0)""",
+    "q_curate_strat_audit" ->
+      s"""WITH rates(r_lang, rate256) AS (VALUES
+            ('en', 32), ('es', 128), ('de', 160), ('fr', 192), ('zh', 256))
+          SELECT lang, count(*) AS total,
+            CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+                  < coalesce(rate256, 0) THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+            round(CAST(sum(CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+                  < coalesce(rate256, 0) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+              AS realized_rate
+          FROM documents LEFT JOIN rates ON lang = r_lang
+          GROUP BY lang""",
+    "q_pack_sequences" ->
+      s"""WITH toks AS (
+            SELECT doc_id, doc_id % $PackShards AS shard,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS tok
+            FROM documents WHERE text IS NOT NULL)
+          SELECT doc_id, shard, tok,
+            CAST(floor(CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - tok AS DOUBLE) / $PackBudget) AS BIGINT) AS bin
+          FROM toks""",
+    "q_pack_stats" ->
+      s"""WITH toks AS (
+            SELECT doc_id, doc_id % $PackShards AS shard,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS tok
+            FROM documents WHERE text IS NOT NULL),
+          binned AS (
+            SELECT doc_id, shard, tok,
+              CAST(floor(CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) - tok AS DOUBLE) / $PackBudget) AS BIGINT) AS bin
+            FROM toks)
+          SELECT shard, bin, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
+            round(CAST(sum(tok) AS DOUBLE) / $PackBudget, 6) AS fill
+          FROM binned GROUP BY shard, bin"""
+  )
+}

@@ -342,6 +342,22 @@ object DedupQueries {
         .orderBy("digest")
     }),
 
+    // Incremental "new vs seen" dedup through the Bloom-split EXACT
+    // anti-join (BloomAntiJoin): the seen-store here is a deterministic
+    // md5-prefix eighth of the corpus (the q_s2 sampling discipline), so
+    // ~87% of probe rows are definite-absent and SKIP the join shuffle —
+    // the resume shape where the split pays at 10^12 rows. Result is
+    // exactly the plain NOT IN (oracle-verified).
+    "q_dedup_incr_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val seen = d.filter(
+        substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"))
+        .select(col("doc_id").as("seen_id"))
+      BloomAntiJoin.antiJoin(d.select("doc_id", "source"), seen,
+          "doc_id", "seen_id", expectedItems = 1000000L, fpp = 0.01)
+        .orderBy("doc_id")
+    }),
+
     // Exact 3-gram Jaccard near-dup on a bounded id range (oracle for LSH):
     // explode distinct shingles, self-equi-join on shingle, |A∩B| via
     // group-count, |A∪B| = |A|+|B|-|A∩B|. Integer ratios → exact doubles.
@@ -643,6 +659,11 @@ object DedupQueries {
       """SELECT md5(text) AS digest, count(*) AS n, min(doc_id) AS keep_id
          FROM documents WHERE text IS NOT NULL
          GROUP BY 1 HAVING count(*) > 1""",
+    "q_dedup_incr_bloom" ->
+      """SELECT doc_id, source FROM documents
+         WHERE doc_id NOT IN (
+           SELECT doc_id FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1'))""",
     "q_dedup_jaccard" ->
       """WITH toks AS (
            SELECT doc_id, string_split(text, ' ') AS ts FROM documents

@@ -96,8 +96,54 @@ object TextQueries {
               (t, i) => conv(md5(t).substr(lit(1), lit(8)), 16, 10).cast("long") * i),
             lit(0L), (acc, x) => acc + x).as("positional_hash"))
         .orderBy("doc_id")
+    }),
+
+    // Heavy hitters (words with frequency > phi of the corpus) by the
+    // sketch-then-confirm pattern: pass 1 folds a mergeable Misra–Gries
+    // summary (bounded state per partition, executor-merged; the driver
+    // receives ONE k-entry sketch, never a word list) whose candidate set
+    // provably contains every true phi-heavy item (k ≥ 1/phi); pass 2
+    // exact-counts ONLY the ≤k candidates (broadcast isin) and applies
+    // the true threshold. Output is exact counts — deterministic at any
+    // parallelism even though sketch internals are merge-order dependent
+    // — so it hash-matches a plain GROUP BY/HAVING oracle, while at
+    // 10^12 tokens the exact pass touches k words instead of the full
+    // distinct vocabulary. A9's sketch-grade twin.
+    "q_text_heavy_hitters" -> ((s, dir) => {
+      val words = docs(s, dir).filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+      val mgAgg = udaf(new MisraGriesAgg(HeavyHitterK))
+      val mg = graft.sketch.MisraGries.fromBytes(
+        words.select(mgAgg(col("word"))).head.getAs[Array[Byte]](0))
+      val cand = mg.candidates(HeavyHitterPhi)
+      words.filter(col("word").isin(cand: _*))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > lit(HeavyHitterPhi) * lit(mg.n))
+        .orderBy(col("cnt").desc, col("word"))
     })
   )
+
+  /** Heavy-hitter sketch capacity; must be ≥ 1/phi for the no-false-
+    * negative candidate guarantee. */
+  val HeavyHitterK = 1024
+  val HeavyHitterPhi = 0.002
+
+  /** Mergeable Misra–Gries word-frequency summary as a typed Aggregator
+    * (same integration shape as Drift.TDigestAgg). */
+  class MisraGriesAgg(k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, graft.sketch.MisraGries, Array[Byte]] {
+    def zero: graft.sketch.MisraGries = new graft.sketch.MisraGries(k)
+    def reduce(b: graft.sketch.MisraGries, a: String): graft.sketch.MisraGries = {
+      b.add(a); b
+    }
+    def merge(a: graft.sketch.MisraGries, b: graft.sketch.MisraGries): graft.sketch.MisraGries =
+      a.merge(b)
+    def finish(r: graft.sketch.MisraGries): Array[Byte] = r.toBytes
+    def bufferEncoder = org.apache.spark.sql.Encoders.kryo[graft.sketch.MisraGries]
+    def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_text_tokens" ->
@@ -139,6 +185,15 @@ object TextQueries {
              max_by(m_lang, score*1000 - ascii(m_lang)*2 - ascii(substr(m_lang, 2, 1))) AS pred_lang
            FROM scores GROUP BY 1, 2)
          SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2""",
+    "q_text_heavy_hitters" ->
+      """WITH words AS (
+           SELECT unnest(string_split(text, ' ')) AS word
+           FROM documents WHERE text IS NOT NULL),
+         w AS (SELECT word FROM words WHERE length(word) > 0),
+         tot AS (SELECT count(*) AS n FROM w)
+         SELECT word, count(*) AS cnt
+         FROM w, tot GROUP BY word, n
+         HAVING count(*) > CAST(0.002 AS DOUBLE) * n""",
     "q_text_fingerprint" ->
       """WITH base AS (
            SELECT doc_id,

@@ -80,6 +80,21 @@ object ValidationQueries {
         .orderBy("check")
     }),
 
+    // Referential orphan LISTING through the Bloom-split exact anti-join
+    // (BloomAntiJoin): probe rows the Bloom summary refutes bypass the
+    // join shuffle, the maybe-slice is resolved exactly — same rows as a
+    // plain NOT IN, proven by the oracle. Orders-without-lineitems is the
+    // direction with real survivors in this corpus (~2% of orders); the
+    // mostly-matched shape prunes little by design — the operator's
+    // big-win shape is q_dedup_incr_bloom (new-vs-seen).
+    "q_v_orphans_bloom" -> ((s, dir) => {
+      BloomAntiJoin.antiJoin(
+        t(s, dir, "orders").select("o_orderkey", "o_orderstatus"),
+        t(s, dir, "lineitem"), "o_orderkey", "l_orderkey",
+        expectedItems = 1000000L, fpp = 0.01)
+        .orderBy("o_orderkey")
+    }),
+
     // Column-stats verdict: single-pass multi-aggregate (null-rate, bounds,
     // exact distinct, exact interpolated median) — the "compute all stats in
     // ONE agg" batch-coalescing rewrite (SURVEY.md §4).
@@ -210,6 +225,9 @@ object ValidationQueries {
            (SELECT count(*) FROM orders),
            (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
            (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0""",
+    "q_v_orphans_bloom" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+         WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)""",
     "q_v_colstats" ->
       """SELECT count(*) AS n_rows,
          CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_totalprice,
