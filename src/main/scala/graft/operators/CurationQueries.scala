@@ -49,37 +49,41 @@ object CurationQueries {
   /** Shard count for the packing pass — the scale-out knob. */
   val PackShards = 32
 
+  /** Per-source rate cap core: keep at most SourceCap docs per source, by
+    * (n_chars DESC, doc_id ASC) — longest-first with a total tie-break,
+    * so the rank is unique and the survivor set deterministic. One
+    * shuffle on `source`; a hot source is ONE reducer's rank scan (the
+    * cap bounds its output, and rank streams — no buffering).
+    */
+  def sourceCap(d: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    d.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= SourceCap)
+      .select("doc_id", "source", "n_chars", "rk")
+  }
+
+  /** Stratified-sampling core: keep a doc iff the first md5 byte of its
+    * id is below the language's rate. Pure per-row predicate + one
+    * broadcast rates row — zero data shuffles (PlanHygieneSpec-asserted),
+    * and the SAME doc set is kept on any cluster size or partitioning.
+    */
+  def stratifiedSample(s: SparkSession, d: DataFrame): DataFrame = {
+    import s.implicits._
+    val rates = broadcast(StratRates256.toDF("r_lang", "rate256"))
+    d.join(rates, col("lang") === col("r_lang"), "left")
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") < coalesce(col("rate256"), lit(0)))
+      .select("doc_id", "lang", "source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Per-source rate cap: keep at most SourceCap docs per source, by
-    // (n_chars DESC, doc_id ASC) — longest-first with a total tie-break,
-    // so the rank is unique and the survivor set deterministic. One
-    // shuffle on `source`; a hot source is ONE reducer's rank scan (the
-    // cap bounds its output, and rank streams — no buffering).
-    "q_curate_source_cap" -> ((s, dir) => {
-      val w = Window.partitionBy("source")
-        .orderBy(col("n_chars").desc, col("doc_id").asc)
-      docs(s, dir)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= SourceCap)
-        .select("doc_id", "source", "n_chars", "rk")
-        .orderBy("doc_id")
-    }),
+    "q_curate_source_cap" -> ((s, dir) =>
+      sourceCap(docs(s, dir)).orderBy("doc_id")),
 
-    // Stratified (per-language) deterministic sampling: keep a doc iff
-    // the first md5 byte of its id is below the language's rate. Pure
-    // per-row predicate + one broadcast rates row — zero shuffles, and
-    // the SAME doc set is kept on any cluster size or partitioning.
-    "q_curate_stratified" -> ((s, dir) => {
-      import s.implicits._
-      val rates = broadcast(StratRates256.toDF("r_lang", "rate256"))
-      docs(s, dir)
-        .join(rates, col("lang") === col("r_lang"), "left")
-        .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
-          .cast("int") < coalesce(col("rate256"), lit(0)))
-        .select("doc_id", "lang", "source")
-        .orderBy("doc_id")
-    }),
+    "q_curate_stratified" -> ((s, dir) =>
+      stratifiedSample(s, docs(s, dir)).orderBy("doc_id")),
 
     // Audit twin of the stratified sample: kept/total/realized-rate per
     // language — the report a curation run ships with its manifest.

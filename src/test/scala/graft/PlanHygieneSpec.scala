@@ -119,4 +119,33 @@ class PlanHygieneSpec extends SparkTestBase {
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(pf.contains("part"), s"no partition pruning: $pf")
   }
+
+  test("stratified sampling plans ZERO data shuffles (predicate + broadcast only)") {
+    // the sampling contract: a pure per-row md5 predicate against a
+    // broadcast rates row — the kept set must be cluster-size invariant
+    // AND shuffle-free. A refactor that turns it into a shuffle join or
+    // an aggregation fails here, not at 100 TB.
+    val d = Tables(spark, dir, "documents")
+    val p = planOf(CurationQueries.stratifiedSample(spark, d))
+    // formatted mode puts exchange args on their own line — match the
+    // partitioning spec itself, not the "Exchange hashpartitioning" glue
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      s"stratified sample shuffles data:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"rates row lost its broadcast:\n$p")
+  }
+
+  test("source cap shuffles ONCE on source, never a global sort") {
+    val d = Tables(spark, dir, "documents")
+    val p = planOf(CurationQueries.sourceCap(d))
+    val hashEx = "hashpartitioning\\(".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected exactly one hash exchange (on source), got $hashEx:\n$p")
+    assert(p.contains("hashpartitioning(source"), s"window not partitioned by source:\n$p")
+    assert(!p.contains("rangepartitioning"), s"source cap plans a global sort:\n$p")
+  }
+
+  test("bloom anti-join probes with the codegen'd might_contain, no cartesian") {
+    val p = planOf(SparkEntry.queries("q_dedup_incr_bloom")(spark, dir))
+    assert(p.contains("might_contain"), s"bloom probe expression missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in bloom anti-join plan:\n$p")
+  }
 }
