@@ -36,7 +36,8 @@ object Bench {
     "q_ann_topk_pq", "q_ann_topk_ivfpq_residual", "q_sim_lsh_buckets",
     "q_v_uniqueness", "q_v_referential", "q_v_colstats", "q_v_scores",
     "q_v_drift_chisq", "q_v_drift_ks",
-    "q_dedup_incr_bloom", "q_pack_sequences", "q_curate_source_cap")
+    "q_dedup_incr_bloom", "q_pack_sequences", "q_curate_source_cap",
+    "q_curate_decontaminate")
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -35,7 +35,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational ++ DedupQueries.queries ++ TextQueries.queries ++ Pipeline.queries ++
       SimilarityQueries.queries ++ ValidationQueries.queries ++
-      ImageSuiteQueries.queries ++ CurationQueries.queries
+      ImageSuiteQueries.queries ++ CurationQueries.queries ++ Contamination.queries
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1/A3: hash-aggregate group counts — reference `osm.py:577-585`
@@ -971,5 +971,6 @@ object SparkEntry {
          FROM n a JOIN n b ON a.n_nationkey < b.n_nationkey"""
   ) ++ DedupQueries.oracleSql ++ TextQueries.oracleSql ++ Pipeline.oracleSql ++
     SimilarityQueries.oracleSql ++ ValidationQueries.oracleSql ++
-    graft.validation.ImageSuiteQueries.oracleSql ++ CurationQueries.oracleSql
+    graft.validation.ImageSuiteQueries.oracleSql ++ CurationQueries.oracleSql ++
+    Contamination.oracleSql
 }
