@@ -115,10 +115,13 @@ object SimilarityQueries {
     * vectors, the expected k-means training shape (at 10^9 vectors one
     * trains on a sample; the assignment pass shape is identical).
     */
-  def ivfTrainedTopK(raw: DataFrame, probeCells: Int = 2, k: Int = 3,
-                     steps: Int = 3): DataFrame = {
+  /** Every vector scored against the `steps`-trained cells: one row per
+    * (vector, cell) with `csim` and the per-vector rank `rk` (rk = 1 is
+    * the cell assignment). The shared coarse-quantizer core of
+    * [[ivfTrainedTopK]] and [[semanticDrops]].
+    */
+  private[graft] def trainedScored(e: DataFrame, steps: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = raw.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
     val seeds = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cell"), col("emb").as("c_emb"))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
@@ -138,8 +141,14 @@ object SimilarityQueries {
         .groupBy("cell")
         .agg(transform(array_sort(collect_list(struct(col("d"), col("cq")))),
           s => s.getField("cq").cast("double")).as("c_emb"))
-    val trained = (1 to steps).foldLeft(seeds)((c, _) => lloydStep(c))
-    val scored = assignTo(trained)
+    assignTo((1 to steps).foldLeft(seeds)((c, _) => lloydStep(c)))
+  }
+
+  def ivfTrainedTopK(raw: DataFrame, probeCells: Int = 2, k: Int = 3,
+                     steps: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = raw.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
+    val scored = trainedScored(e, steps)
     val assign1 = scored.filter(col("rk") === 1)
       .select(col("vec_id").as("m_id"), col("cell"))
     val probes = scored.filter(col("label") === 0 && col("rk") <= probeCells)
@@ -157,6 +166,46 @@ object SimilarityQueries {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("c_id"), round(col("cos"), 4).as("cos"))
   }
+
+  /** Semantic deduplication, SemDeDup-style (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): cluster embeddings with the trained coarse
+    * quantizer, compute exact cosine ONLY within each cluster, and drop
+    * greedily — a vector is dropped iff some SMALLER-id vector in its
+    * cell is within the similarity threshold (keep-min-id, the same
+    * documented greedy contract as `Pipeline.curate`). The cluster
+    * equi-join is what makes this tractable at 10^9 vectors: pair
+    * candidates are bounded per cell instead of all-pairs, and cell
+    * count grows with the corpus (here 16 cells for the bounded oracle;
+    * the shape is k ∝ n). Output: (drop_id, its smallest near-dup
+    * keep_id, their cosine).
+    */
+  def semanticDrops(raw: DataFrame, steps: Int = 1,
+                    tau: Double = SemTau): DataFrame = {
+    val e = raw.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
+    val assign = trainedScored(e, steps).filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"))
+    val m = e.select(col("vec_id"), col("emb")).join(assign, Seq("vec_id"))
+    val a = m.select(col("cell"), col("vec_id").as("a_id"), col("emb").as("a_emb"))
+    val b = m.select(col("cell"), col("vec_id").as("b_id"), col("emb").as("b_emb"))
+    a.join(b, Seq("cell")).filter(col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("a_emb"), col("b_emb")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("b_id").as("drop_id"))
+      .agg(min(col("a_id")).as("keep_id"),
+        round(min_by(col("cos"), col("a_id")), 4).as("cos"))
+  }
+
+  /** Semantic near-dup threshold (the corpus is isotropic — see the LSH
+    * tuning note above; 0.4 sits ≥1e-4 from every pair's cosine at both
+    * test SFs, so the FP-reassociation gap between engines can't flip a
+    * membership). */
+  val SemTau = 0.4
+
+  /** Oracle tractability bound for `q_dedup_semantic` (within-cell
+    * pairing is quadratic per cell; the DuckDB twin replays it on this
+    * id range). */
+  val SemBound = 400
 
   /** Product-quantization ANN (Jégou/Douze/Schmid, TPAMI 2011): vectors
     * are L2-NORMALIZED (so L2 ranking ≡ cosine ranking and the ADC
@@ -589,6 +638,12 @@ object SimilarityQueries {
     // m-byte codes → quantized asymmetric-distance shortlist → exact
     // re-rank. The memory leg of the 10^9-vector story (IVF cuts the
     // scanned set; PQ cuts the bytes per scanned vector 32×).
+    // SemDeDup drop listing over a bounded id range (the oracle replays
+    // the trained assignment + within-cell pairing exactly in SQL)
+    "q_dedup_semantic" -> ((s, dir) =>
+      semanticDrops(embs(s, dir).filter(col("vec_id") < SemBound))
+        .orderBy("drop_id")),
+
     "q_ann_topk_pq" -> ((s, dir) => pqTopK(embs(s, dir)).orderBy("q_id", "rk")),
 
     // IVF-PQ composed retrieval (see ivfPqTopK): trained coarse cells cut
@@ -876,6 +931,43 @@ object SimilarityQueries {
          SELECT q_id, rk, c_id, round(cos, 4) AS cos
          FROM ranked WHERE rk <= 3""",
     "q_ann_topk_ivf_trained" -> ivfTrainedSql(3),
+    "q_dedup_semantic" ->
+      s"""WITH e AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings WHERE vec_id < $SemBound),
+         cents0 AS (SELECT vec_id AS cell, emb AS c_emb FROM e WHERE vec_id < 16),
+         sd0 AS (
+           SELECT e.vec_id, c.cell, sum(e.emb[i] * c.c_emb[i]) AS dp,
+             sum(e.emb[i] * e.emb[i]) AS nv, sum(c.c_emb[i] * c.c_emb[i]) AS nc
+           FROM e, cents0 c, UNNEST(range(1, 65)) AS u(i) GROUP BY 1, 2),
+         a0 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dp/(sqrt(nv)*sqrt(nc)) DESC, cell) AS rk FROM sd0) WHERE rk = 1),
+         qs0 AS (
+           SELECT a.cell, d, CAST(sum(CAST(floor(e.emb[d] * 1024) AS BIGINT)) AS BIGINT) AS cq
+           FROM a0 a JOIN e ON e.vec_id = a.vec_id, UNNEST(range(1, 65)) AS u(d)
+           GROUP BY 1, 2),
+         cents1 AS (SELECT cell, list(CAST(cq AS DOUBLE) ORDER BY d) AS c_emb
+           FROM qs0 GROUP BY 1),
+         sdF AS (
+           SELECT e.vec_id, c.cell, sum(e.emb[i] * c.c_emb[i]) AS dp,
+             sum(e.emb[i] * e.emb[i]) AS nv, sum(c.c_emb[i] * c.c_emb[i]) AS nc
+           FROM e, cents1 c, UNNEST(range(1, 65)) AS u(i) GROUP BY 1, 2),
+         assignF AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+               ORDER BY dp/(sqrt(nv)*sqrt(nc)) DESC, cell) AS rk FROM sdF) WHERE rk = 1),
+         pairdots AS (
+           SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id,
+             sum(ae.emb[i] * be.emb[i]) AS dp,
+             sum(ae.emb[i] * ae.emb[i]) AS na, sum(be.emb[i] * be.emb[i]) AS nb
+           FROM assignF a JOIN assignF b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           JOIN e ae ON ae.vec_id = a.vec_id JOIN e be ON be.vec_id = b.vec_id,
+           UNNEST(range(1, 65)) AS u(i) GROUP BY 1, 2, 3),
+         pairs AS (SELECT a_id, b_id, dp/(sqrt(na)*sqrt(nb)) AS cos FROM pairdots
+           WHERE dp/(sqrt(na)*sqrt(nb)) >= $SemTau)
+         SELECT b_id AS drop_id, min(a_id) AS keep_id,
+           round(min_by(cos, a_id), 4) AS cos
+         FROM pairs GROUP BY b_id""",
     "q_ann_topk_ivfpq_residual" ->
       s"""WITH $evCte,
          cents0n AS (SELECT vec_id AS cell, d, x FROM ev WHERE vec_id < 16),
