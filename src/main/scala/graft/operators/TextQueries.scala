@@ -110,17 +110,8 @@ object TextQueries {
     // 10^12 tokens the exact pass touches k words instead of the full
     // distinct vocabulary. A9's sketch-grade twin.
     "q_text_heavy_hitters" -> ((s, dir) => {
-      val words = docs(s, dir).filter(col("text").isNotNull)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) > 0)
-      val mgAgg = udaf(new MisraGriesAgg(HeavyHitterK))
-      val mg = graft.sketch.MisraGries.fromBytes(
-        words.select(mgAgg(col("word"))).head.getAs[Array[Byte]](0))
-      val cand = mg.candidates(HeavyHitterPhi)
-      words.filter(col("word").isin(cand: _*))
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") > lit(HeavyHitterPhi) * lit(mg.n))
-        .orderBy(col("cnt").desc, col("word"))
+      val words = wordsOf(docs(s, dir))
+      confirmHeavyHitters(words, sketchOf(words))
     })
   )
 
@@ -128,6 +119,34 @@ object TextQueries {
     * negative candidate guarantee. */
   val HeavyHitterK = 1024
   val HeavyHitterPhi = 0.002
+
+  /** The corpus token stream the heavy-hitter passes run over. */
+  def wordsOf(d: DataFrame): DataFrame =
+    d.filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+
+  /** Pass 1: fold ONE mergeable Misra–Gries summary over `words`
+    * (bounded state per partition, executor-merged; the driver receives
+    * one k-entry blob, never a word list). */
+  def sketchOf(words: DataFrame, k: Int = HeavyHitterK): graft.sketch.MisraGries = {
+    val mgAgg = udaf(new MisraGriesAgg(k))
+    graft.sketch.MisraGries.fromBytes(
+      words.select(mgAgg(col("word"))).head.getAs[Array[Byte]](0))
+  }
+
+  /** Pass 2: exact-count ONLY the sketch's nominated candidates
+    * (broadcast isin over ≤k literals) and apply the true threshold —
+    * exact output regardless of the sketch's merge-order-dependent
+    * internals. Shared by the batch query and the streaming twin. */
+  def confirmHeavyHitters(words: DataFrame, mg: graft.sketch.MisraGries,
+                          phi: Double = HeavyHitterPhi): DataFrame = {
+    val cand = mg.candidates(phi)
+    words.filter(col("word").isin(cand: _*))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(phi) * lit(mg.n))
+      .orderBy(col("cnt").desc, col("word"))
+  }
 
   /** Mergeable Misra–Gries word-frequency summary as a typed Aggregator
     * (same integration shape as Drift.TDigestAgg). */
