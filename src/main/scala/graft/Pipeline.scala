@@ -10,7 +10,9 @@ import org.apache.spark.sql.functions._
   *
   *   1. ingest  — documents scan (pruned columns);
   *   2. enrich  — token/quality/fingerprint metrics (one narrow pass);
-  *   3. gate    — quality thresholds (pushed-down predicates);
+  *   3. gate    — quality thresholds (pushed-down predicates), then the
+  *                Gopher repetition gate (aggregation-grade: per-doc
+  *                n-gram census, RepetitionQueries);
   *   4. dedup   — exact (content digest) then near-dup (MinHash+LSH
   *                banding, est. Jaccard ≥ 0.5, keep the smaller doc_id);
   *   5. write   — curated parquet partitioned by lang + a per-stage
@@ -67,9 +69,25 @@ object Pipeline {
     stages += StageCount("enrich",
       obsEnrich.get("n_rows").asInstanceOf[Long], "token/quality/fingerprint columns")
 
+    // 3b. repetition gate (Gopher rules): the aggregation-grade quality
+    // check — repetitionMetrics needs a gram census per doc, so unlike the
+    // row-predicate gate above it costs one extra pass over the (cached)
+    // gated frame plus its keyed shuffles; the anti-join is on doc_id
+    // against an aggregate output, so AQE broadcasts it when small.
+    val repetitive = RepetitionQueries
+      .repetitionMetrics(spark, gated)
+      .filter(col("repetitive")).select("doc_id")
+    val repGated = gated.join(repetitive, Seq("doc_id"), "left_anti").cache()
+    stages += StageCount("repetition_gate", repGated.count(),
+      s"gopher: top2<=${RepetitionQueries.Top2Max}, top3<=${RepetitionQueries.Top3Max}, " +
+        s"dup3<=${RepetitionQueries.Dup3Max}")
+    // gated's consumers (the repetition metrics + the anti-join) are
+    // materialized into repGated now
+    gated.unpersist()
+
     // 4a. exact dedup: keep min doc_id per content digest (reads the cache)
-    val keepExact = gated.groupBy("content_md5").agg(min("doc_id").as("doc_id"))
-    val exactDeduped = gated.join(keepExact, Seq("content_md5", "doc_id")).cache()
+    val keepExact = repGated.groupBy("content_md5").agg(min("doc_id").as("doc_id"))
+    val exactDeduped = repGated.join(keepExact, Seq("content_md5", "doc_id")).cache()
     stages += StageCount("dedup_exact", exactDeduped.count(), "keep min doc_id per md5")
 
     // 4b. near-dup: MinHash+LSH candidates over the SURVIVING frame (not
@@ -89,10 +107,11 @@ object Pipeline {
     // a long session must not accumulate cached blocks; `curated` stays
     // cached because the CALLER owns its lifecycle: lineage count done,
     // write still pending)
-    gated.unpersist(); exactDeduped.unpersist()
+    repGated.unpersist(); exactDeduped.unpersist()
 
     // deterministic presentation order (observe() reordered the appends)
-    val order = Seq("ingest", "enrich", "quality_gate", "dedup_exact", "dedup_near")
+    val order = Seq("ingest", "enrich", "quality_gate", "repetition_gate",
+      "dedup_exact", "dedup_near")
     (curated, stages.result().sortBy(s => order.indexOf(s.stage)))
   }
 
@@ -157,12 +176,17 @@ object Pipeline {
        gated AS (
          SELECT doc_id, text FROM enr
          WHERE n_tokens >= 5 AND punct_ratio <= 0.2 AND stop_ratio <= 0.8),
+       ${RepetitionQueries.repetitionCteSql("gated")},
+       repgated AS (
+         SELECT g.doc_id, g.text FROM gated g
+         JOIN rep ON g.doc_id = rep.rep_id
+         WHERE NOT rep.repetitive),
        exact AS (
          SELECT doc_id, text FROM (
            SELECT doc_id, text, row_number() OVER (
              PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
              ORDER BY doc_id) AS rn
-           FROM gated) WHERE rn = 1),
+           FROM repgated) WHERE rn = 1),
        ${DedupQueries.minhashLshCte("exact")},
        edges0 AS (SELECT a_id, b_id FROM lshpairs WHERE est_jaccard >= 0.5),
        edges AS (
@@ -190,6 +214,7 @@ object Pipeline {
          SELECT 'ingest' AS stage, (SELECT count(*) FROM docs0) AS n_rows
          UNION ALL SELECT 'enrich', (SELECT count(*) FROM docs0)
          UNION ALL SELECT 'quality_gate', (SELECT count(*) FROM gated)
+         UNION ALL SELECT 'repetition_gate', (SELECT count(*) FROM repgated)
          UNION ALL SELECT 'dedup_exact', (SELECT count(*) FROM exact)
          UNION ALL SELECT 'dedup_near', (SELECT count(*) FROM curated)"""
   )

@@ -35,7 +35,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational ++ DedupQueries.queries ++ TextQueries.queries ++ Pipeline.queries ++
       SimilarityQueries.queries ++ ValidationQueries.queries ++
-      ImageSuiteQueries.queries ++ CurationQueries.queries ++ Contamination.queries
+      ImageSuiteQueries.queries ++ CurationQueries.queries ++ Contamination.queries ++
+      RepetitionQueries.queries
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1/A3: hash-aggregate group counts — reference `osm.py:577-585`
@@ -972,5 +973,5 @@ object SparkEntry {
   ) ++ DedupQueries.oracleSql ++ TextQueries.oracleSql ++ Pipeline.oracleSql ++
     SimilarityQueries.oracleSql ++ ValidationQueries.oracleSql ++
     graft.validation.ImageSuiteQueries.oracleSql ++ CurationQueries.oracleSql ++
-    Contamination.oracleSql
+    Contamination.oracleSql ++ RepetitionQueries.oracleSql
 }

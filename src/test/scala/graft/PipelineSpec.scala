@@ -13,10 +13,11 @@ class PipelineSpec extends SparkTestBase {
 
   test("stage counts are monotone non-increasing after enrichment") {
     assert(stages.map(_.stage) == Seq("ingest", "enrich", "quality_gate",
-      "dedup_exact", "dedup_near"))
+      "repetition_gate", "dedup_exact", "dedup_near"))
     assert(counts("ingest") == counts("enrich"), "enrichment must not drop rows")
     assert(counts("enrich") >= counts("quality_gate"))
-    assert(counts("quality_gate") >= counts("dedup_exact"))
+    assert(counts("quality_gate") >= counts("repetition_gate"))
+    assert(counts("repetition_gate") >= counts("dedup_exact"))
     assert(counts("dedup_exact") >= counts("dedup_near"))
     assert(counts("dedup_near") > 0)
   }
@@ -31,12 +32,21 @@ class PipelineSpec extends SparkTestBase {
       col("stopword_ratio") > 0.8).count() == 0)
   }
 
-  test("lineage rides the gate's single scan: exactly 3 count actions per curate") {
+  test("repetition gate: no curated doc is Gopher-repetitive, and the gate fired") {
+    val reps = RepetitionQueries.repetitionMetrics(spark, curated)
+      .filter(col("repetitive")).count()
+    assert(reps == 0, s"$reps repetitive docs survived the gate")
+    assert(counts("quality_gate") > counts("repetition_gate"),
+      "fixture corpus must contain repetitive docs that pass the quality gate")
+  }
+
+  test("lineage rides the gate's single scan: exactly 4 count actions per curate") {
     // ingest/enrich counts come from observe() metrics fired by the gate's
     // cache-building count — the only count actions are quality_gate,
-    // dedup_exact, dedup_near (the pre-fix code paid 5, two of them full
-    // re-scans of the corpus). Counted via QueryExecutionListener, scoped
-    // to plans carrying this pipeline's CollectMetrics("ingest") node.
+    // repetition_gate, dedup_exact, dedup_near (the pre-fix code paid two
+    // EXTRA full re-scans of the corpus). Counted via
+    // QueryExecutionListener, scoped to plans carrying this pipeline's
+    // CollectMetrics("ingest") node.
     import org.apache.spark.sql.util.QueryExecutionListener
     import org.apache.spark.sql.execution.QueryExecution
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -55,11 +65,11 @@ class PipelineSpec extends SparkTestBase {
       Pipeline.curate(spark, sfDir)
       // listener events are delivered asynchronously
       val deadline = System.currentTimeMillis() + 15000
-      while (counter.get() < 3 && System.currentTimeMillis() < deadline)
+      while (counter.get() < 4 && System.currentTimeMillis() < deadline)
         Thread.sleep(100)
       Thread.sleep(500) // let any EXTRA count actions surface
-      assert(counter.get() == 3,
-        s"expected 3 count actions (gate, dedup_exact, dedup_near), got ${counter.get()}")
+      assert(counter.get() == 4,
+        s"expected 4 count actions (gate, repetition_gate, dedup_exact, dedup_near), got ${counter.get()}")
     } finally spark.listenerManager.unregister(l)
   }
 
