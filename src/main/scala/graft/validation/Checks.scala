@@ -1,0 +1,303 @@
+package graft.validation
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative constraint-suite API — the programmable face of the
+  * validation engine (north rule: "schema + constraint validation
+  * engine"). A user declares N constraints over a table; the suite
+  * compiles ALL of them into ONE aggregation pass, so a 10^12-row scan
+  * is paid once no matter how many checks ride it:
+  *
+  * {{{
+  * val suite = CheckSuite(Seq(
+  *   Complete("o_custkey", 1.0), Unique(Seq("o_orderkey")),
+  *   InRange("o_totalprice", 0, 600000, 1.0), SizeBetween(100, 1e9.toLong)))
+  * val verdicts = suite.run(ordersDf)          // (check, metric, pass)
+  * val byStatus = suite.run(ordersDf, Seq("o_orderstatus"))
+  * }}}
+  *
+  * Reference semantics: the per-record assessment loop accumulates all
+  * its field checks in one traversal of each record batch
+  * (`/root/reference/src/crawl_first/validation_agent.py:550-650`) and
+  * emits named pass/fail verdict rows with an observed metric
+  * (`validation_agent.py:355-364, 753-763`); this API is that contract
+  * lifted to a declarative plan the optimizer can fuse.
+  *
+  * Scale shape (100 TB): every check is an algebraic aggregate —
+  * map-side partials collapse each partition to one row of counters, the
+  * exchange moves #partitions × one row, the final merge is trivial. The
+  * grouped variant shuffles on the group key exactly once (hash
+  * aggregate), never once per check. The one non-algebraic member is
+  * exact `Unique`/`QuantileBetween`: a single exact-distinct (or exact
+  * percentile) is planned as a two-stage aggregate (no row blowup), but
+  * each ADDITIONAL exact-distinct column multiplies the scan through an
+  * `Expand` node — `ChecksSpec` pins both plans. At 10^12 rows prefer
+  * [[ApproxUnique]] (HLL, mergeable, no Expand) and accept the ±2%
+  * sketch error, or run exact uniqueness standalone
+  * ([[ValidationQueries.uniquenessVerdict]]'s salted two-stage shape).
+  *
+  * Every check carries its DuckDB aggregate twin (same aliases), and the
+  * metric/pass formulas are ONE SQL string parsed by BOTH engines —
+  * integer-ratio doubles, so the cross-engine hash compare is exact
+  * (`q_v_checksuite`, `q_v_checksuite_grouped`).
+  */
+sealed trait Check {
+  /** Verdict-row label; must be a SQL-identifier-safe literal. */
+  def name: String
+  /** Resolved label used in verdict rows (defaulted names filled in). */
+  def label: String = name
+  /** Spark aggregate columns (aliased; aliases shared with [[duckAggs]]). */
+  def sparkAggs: Seq[Column]
+  /** DuckDB "expr AS alias" fragments — identical aliases. */
+  def duckAggs: Seq[String]
+  /** Metric over the aliases (+ suite-provided `n` = count(*)); parsed by
+    * both engines, so restrict to shared syntax (cast/CASE/arith). */
+  def metricSql: String
+  /** Pass predicate over the same aliases (unrounded values). */
+  def passSql: String
+
+  protected def a(suffix: String): String =
+    name.replaceAll("[^A-Za-z0-9]", "_") + "_" + suffix
+}
+
+/** Fraction of non-null values in `column` must be ≥ `minRatio`. */
+final case class Complete(column: String, minRatio: Double,
+                          override val name: String = "") extends Check {
+  private val nm = if (name.nonEmpty) name else s"complete_$column"
+  override def label: String = nm
+  private val al = nm.replaceAll("[^A-Za-z0-9]", "_") + "_nn"
+  def sparkAggs = Seq(count(col(column)).as(al))
+  def duckAggs = Seq(s"count($column) AS $al")
+  def metricSql = s"cast($al as double) / n"
+  def passSql = s"cast($al as double) / n >= $minRatio"
+}
+
+/** Exact distinct count of the key tuple must equal the row count.
+  * Multi-column keys go through a struct on both engines so tuples with
+  * null FIELDS still count (single-column nulls are excluded by both
+  * engines' `count(DISTINCT)` — standard SQL). */
+final case class Unique(columns: Seq[String],
+                        override val name: String = "") extends Check {
+  private val nm = if (name.nonEmpty) name else s"unique_${columns.mkString("_")}"
+  override def label: String = nm
+  private val al = nm.replaceAll("[^A-Za-z0-9]", "_") + "_ndv"
+  def sparkAggs =
+    if (columns.size == 1) Seq(countDistinct(col(columns.head)).as(al))
+    else Seq(countDistinct(struct(columns.map(col): _*)).as(al))
+  def duckAggs =
+    if (columns.size == 1) Seq(s"count(DISTINCT ${columns.head}) AS $al")
+    else Seq(s"count(DISTINCT (${columns.mkString(", ")})) AS $al")
+  def metricSql = s"cast($al as double) / n"
+  def passSql = s"$al = n"
+}
+
+/** HLL-sketch distinct ratio ≥ `minRatio` — the 10^12-row uniqueness
+  * rung: mergeable, algebraic, never plans an Expand. NOT oracle-exact
+  * (each engine's sketch differs); spec-verified within `rsd`. */
+final case class ApproxUnique(column: String, minRatio: Double,
+                              rsd: Double = 0.02,
+                              override val name: String = "") extends Check {
+  private val nm = if (name.nonEmpty) name else s"approx_unique_$column"
+  override def label: String = nm
+  private val al = nm.replaceAll("[^A-Za-z0-9]", "_") + "_andv"
+  def sparkAggs = Seq(approx_count_distinct(col(column), rsd).as(al))
+  def duckAggs = Seq(s"approx_count_distinct($column) AS $al")
+  def metricSql = s"cast($al as double) / n"
+  def passSql = s"cast($al as double) / n >= $minRatio"
+}
+
+/** Fraction of rows with `lo ≤ column ≤ hi` must be ≥ `minRatio`. */
+final case class InRange(column: String, lo: Double, hi: Double,
+                         minRatio: Double,
+                         override val name: String = "") extends Check {
+  private val nm = if (name.nonEmpty) name else s"range_$column"
+  override def label: String = nm
+  private val al = nm.replaceAll("[^A-Za-z0-9]", "_") + "_ok"
+  private val cond = s"$column >= $lo AND $column <= $hi"
+  def sparkAggs = Seq(sum(when(expr(cond), 1L).otherwise(0L)).as(al))
+  def duckAggs = Seq(s"sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS $al")
+  def metricSql = s"cast($al as double) / n"
+  def passSql = s"cast($al as double) / n >= $minRatio"
+}
+
+/** Fraction of rows whose `column` is in `values` must be ≥ `minRatio`. */
+final case class InSet(column: String, values: Seq[String], minRatio: Double,
+                       override val name: String = "") extends Check {
+  private val nm = if (name.nonEmpty) name else s"inset_$column"
+  override def label: String = nm
+  private val al = nm.replaceAll("[^A-Za-z0-9]", "_") + "_in"
+  private val lst = values.map(v => s"'${v.replace("'", "''")}'").mkString(", ")
+  private val cond = s"$column IN ($lst)"
+  def sparkAggs = Seq(sum(when(expr(cond), 1L).otherwise(0L)).as(al))
+  def duckAggs = Seq(s"sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS $al")
+  def metricSql = s"cast($al as double) / n"
+  def passSql = s"cast($al as double) / n >= $minRatio"
+}
+
+/** Fraction of rows matching `regex` (unanchored, both engines) ≥
+  * `minRatio`. The regex must be valid Java AND RE2-ish DuckDB syntax —
+  * stick to character classes/anchors/quantifiers. */
+final case class Matches(column: String, regex: String, minRatio: Double,
+                         override val name: String = "") extends Check {
+  private val nm = if (name.nonEmpty) name else s"matches_$column"
+  override def label: String = nm
+  private val al = nm.replaceAll("[^A-Za-z0-9]", "_") + "_m"
+  def sparkAggs =
+    Seq(sum(when(col(column).rlike(regex), 1L).otherwise(0L)).as(al))
+  def duckAggs =
+    Seq(s"sum(CASE WHEN regexp_matches($column, '${regex.replace("'", "''")}') THEN 1 ELSE 0 END) AS $al")
+  def metricSql = s"cast($al as double) / n"
+  def passSql = s"cast($al as double) / n >= $minRatio"
+}
+
+/** Mean of a 2-dp money column within [lo, hi]; the sum rides
+  * decimal(18,2) so the cross-engine result is bit-exact (SparkEntry's
+  * determinism discipline). */
+final case class MeanBetween(column: String, lo: Double, hi: Double,
+                             override val name: String = "") extends Check {
+  private val nm = if (name.nonEmpty) name else s"mean_$column"
+  override def label: String = nm
+  private val al = nm.replaceAll("[^A-Za-z0-9]", "_") + "_sum"
+  def sparkAggs =
+    Seq(sum(col(column).cast("decimal(18,2)")).cast("double").as(al))
+  def duckAggs =
+    Seq(s"CAST(sum(CAST($column AS DECIMAL(18,2))) AS DOUBLE) AS $al")
+  def metricSql = s"$al / n"
+  def passSql = s"$al / n >= $lo AND $al / n <= $hi"
+}
+
+/** Exact interpolated quantile within [lo, hi] (4-dp rounded in the
+  * aggregate — the `q_v_colstats` convention that hash-matches
+  * `quantile_cont`). Exact percentile buffers per-group values: fine as
+  * the ONE order statistic of a suite; at 10^12 rows use the t-digest
+  * drift path ([[Drift]]) for quantile families. */
+final case class QuantileBetween(column: String, q: Double, lo: Double,
+                                 hi: Double,
+                                 override val name: String = "") extends Check {
+  private val nm = if (name.nonEmpty) name else s"p${(q * 100).toInt}_$column"
+  override def label: String = nm
+  private val al = nm.replaceAll("[^A-Za-z0-9]", "_") + "_q"
+  def sparkAggs = Seq(round(expr(s"percentile($column, $q)"), 4).as(al))
+  def duckAggs = Seq(s"round(quantile_cont($column, $q), 4) AS $al")
+  def metricSql = al
+  def passSql = s"$al >= $lo AND $al <= $hi"
+}
+
+/** Minimum value must be ≥ `bound` (numeric columns). */
+final case class MinGte(column: String, bound: Double,
+                        override val name: String = "") extends Check {
+  private val nm = if (name.nonEmpty) name else s"min_$column"
+  override def label: String = nm
+  private val al = nm.replaceAll("[^A-Za-z0-9]", "_") + "_min"
+  def sparkAggs = Seq(min(col(column)).cast("double").as(al))
+  def duckAggs = Seq(s"CAST(min($column) AS DOUBLE) AS $al")
+  def metricSql = al
+  def passSql = s"$al >= $bound"
+}
+
+/** Maximum value must be ≤ `bound` (numeric columns). */
+final case class MaxLte(column: String, bound: Double,
+                        override val name: String = "") extends Check {
+  private val nm = if (name.nonEmpty) name else s"max_$column"
+  override def label: String = nm
+  private val al = nm.replaceAll("[^A-Za-z0-9]", "_") + "_max"
+  def sparkAggs = Seq(max(col(column)).cast("double").as(al))
+  def duckAggs = Seq(s"CAST(max($column) AS DOUBLE) AS $al")
+  def metricSql = al
+  def passSql = s"$al <= $bound"
+}
+
+/** Row count within [lo, hi] — a partition-emptiness/explosion tripwire. */
+final case class SizeBetween(lo: Long, hi: Long,
+                             override val name: String = "size") extends Check {
+  def sparkAggs = Seq.empty
+  def duckAggs = Seq.empty
+  def metricSql = "cast(n as double)"
+  def passSql = s"n >= $lo AND n <= $hi"
+}
+
+/** Generic row predicate: fraction of rows satisfying `predicateSql`
+  * (ONE string evaluated by both engines — shared syntax only) must be
+  * ≥ `minRatio`. The escape hatch for cross-column invariants, e.g.
+  * `"l_quantity > 0 OR l_extendedprice = 0"`. */
+final case class Satisfies(override val name: String, predicateSql: String,
+                           minRatio: Double) extends Check {
+  private val al = a("sat")
+  def sparkAggs = Seq(sum(when(expr(predicateSql), 1L).otherwise(0L)).as(al))
+  def duckAggs = Seq(s"sum(CASE WHEN $predicateSql THEN 1 ELSE 0 END) AS $al")
+  def metricSql = s"cast($al as double) / n"
+  def passSql = s"cast($al as double) / n >= $minRatio"
+}
+
+/** A named suite of checks compiled to one aggregation pass. */
+final case class CheckSuite(checks: Seq[Check]) {
+  require(checks.nonEmpty, "empty check suite")
+  require(checks.map(_.label).distinct.size == checks.size,
+    s"duplicate check names: ${checks.map(_.label)}")
+
+  private def aggCols: Seq[Column] =
+    count(lit(1L)).as("n") +: checks.flatMap(_.sparkAggs)
+
+  private def verdictStructs: Seq[Column] = checks.map { c =>
+    struct(
+      lit(c.label).as("check"),
+      round(expr(c.metricSql).cast("double"), 6).as("metric"),
+      coalesce(expr(c.passSql), lit(false)).as("pass"))
+  }
+
+  /** Global verdicts: one row per check — (check, metric, pass). One scan,
+    * algebraic partials, a single-row exchange. */
+  def run(df: DataFrame): DataFrame = run(df, Seq.empty)
+
+  /** Grouped verdicts: one row per (group, check) — the per-partition
+    * pass/fail emission of the north rule when `groupCols` is the
+    * partition key. One hash-aggregate shuffle total. */
+  def run(df: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val agg =
+      if (groupCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    val out = agg
+      .select(groupCols.map(col) :+
+        explode(array(verdictStructs: _*)).as("r"): _*)
+      .select(groupCols.map(col) :+ col("r.check") :+ col("r.metric") :+
+        col("r.pass"): _*)
+    out.orderBy((groupCols :+ "check").map(col): _*)
+  }
+
+  /** The DuckDB twin of [[run]] over `table` — generated from the SAME
+    * check definitions, so the oracle can never drift from the plan. */
+  def duckSql(table: String, groupCols: Seq[String] = Seq.empty): String = {
+    val gsel = if (groupCols.isEmpty) "" else groupCols.mkString(", ") + ", "
+    val gby = if (groupCols.isEmpty) "" else " GROUP BY " + groupCols.mkString(", ")
+    val frags = ("count(*) AS n" +: checks.flatMap(_.duckAggs)).mkString(",\n    ")
+    val arms = checks.map { c =>
+      s"""SELECT $gsel'${c.label}' AS "check",
+         round(CAST(${c.metricSql} AS DOUBLE), 6) AS metric,
+         coalesce(${c.passSql}, false) AS pass FROM a"""
+    }.mkString("\n  UNION ALL\n  ")
+    val order = (groupCols :+ "\"check\"").mkString(", ")
+    s"""WITH a AS (SELECT $gsel$frags FROM $table$gby)
+       $arms
+       ORDER BY $order"""
+  }
+}
+
+object CheckSuite {
+
+  /** Schema assertion report: verdict rows for expected (column, type)
+    * pairs, computed from `df.schema` — metadata only, no scan. The
+    * "schema" half of "schema + constraint validation engine"; typed
+    * like the data verdicts so callers can union the two. */
+  def schemaReport(df: DataFrame,
+                   expected: Seq[(String, String)]): DataFrame = {
+    val actual = df.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows = expected.map { case (cname, tpe) =>
+      val present = actual.contains(cname)
+      val actualTpe = actual.getOrElse(cname, "")
+      (cname, tpe, actualTpe, present, present && actualTpe == tpe)
+    }
+    df.sparkSession.createDataFrame(rows)
+      .toDF("column", "expected_type", "actual_type", "present", "pass")
+  }
+}

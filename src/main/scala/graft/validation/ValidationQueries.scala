@@ -23,6 +23,32 @@ object ValidationQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** The demo [[validation.CheckSuite]] over `orders` — one declared
+    * suite, one aggregation pass, DuckDB oracle generated from the same
+    * definitions ([[validation.CheckSuite.duckSql]]). */
+  val ordersSuite: validation.CheckSuite = validation.CheckSuite(Seq(
+    validation.Complete("o_custkey", 1.0),
+    validation.Unique(Seq("o_orderkey")),
+    validation.InSet("o_orderstatus", Seq("O", "F", "P"), 1.0),
+    validation.InRange("o_totalprice", 0.0, 600000.0, 1.0),
+    validation.Matches("o_orderpriority", "^[1-5]-", 1.0),
+    validation.MeanBetween("o_totalprice", 100000.0, 400000.0),
+    validation.QuantileBetween("o_totalprice", 0.5, 50000.0, 400000.0),
+    validation.MinGte("o_totalprice", 0.0),
+    validation.MaxLte("o_totalprice", 1000000.0),
+    validation.SizeBetween(100L, 10000000000L),
+    validation.Satisfies("paid_or_open", "o_totalprice > 0 OR o_orderstatus = 'O'", 1.0)))
+
+  /** Grouped twin: per-status verdicts (the per-partition pass/fail
+    * emission shape) — exact-percentile checks excluded so every member
+    * stays algebraic under groupBy. */
+  val ordersSuiteGrouped: validation.CheckSuite = validation.CheckSuite(Seq(
+    validation.Complete("o_custkey", 1.0),
+    validation.InRange("o_totalprice", 0.0, 600000.0, 1.0),
+    validation.MeanBetween("o_totalprice", 100000.0, 400000.0),
+    validation.MinGte("o_totalprice", 0.0),
+    validation.SizeBetween(100L, 10000000000L)))
+
   /** Uniqueness verdict for one key set: two-stage salted aggregate.
     * Stage 1 pre-aggregates on (key, salt) so a pathologically hot key
     * cannot overload one reducer; stage 2 merges per key. Semantically
@@ -58,6 +84,15 @@ object ValidationQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Declarative check suite: 11 constraints, ONE aggregation pass over
+    // orders (ChecksSpec plan-asserts the single scan). The oracle SQL is
+    // GENERATED from the same suite definition.
+    "q_v_checksuite" -> ((s, dir) => ordersSuite.run(t(s, dir, "orders"))),
+
+    // Per-group verdict emission: same API, one hash-aggregate shuffle.
+    "q_v_checksuite_grouped" -> ((s, dir) =>
+      ordersSuiteGrouped.run(t(s, dir, "orders"), Seq("o_orderstatus"))),
 
     // Uniqueness checks (salted two-stage) over three candidate keys.
     "q_v_uniqueness" -> ((s, dir) => {
@@ -188,6 +223,9 @@ object ValidationQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_v_checksuite" -> ordersSuite.duckSql("orders"),
+    "q_v_checksuite_grouped" ->
+      ordersSuiteGrouped.duckSql("orders", Seq("o_orderstatus")),
     "q_v_uniqueness" ->
       """WITH g1 AS (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1),
          g2 AS (SELECT l_orderkey, l_linenumber, count(*) AS n FROM lineitem GROUP BY 1, 2),
