@@ -122,6 +122,23 @@ object Bench {
       suiteChild(args(1).toInt, args(2), args(3))
       return
     }
+    // Dev harness: `Bench query <name> <sfDir> [reps]` times ONE headline
+    // query (warm session, cache cleared between reps) — the A/B loop for
+    // plan work without paying a full bench run.
+    if (args.headOption.contains("query")) {
+      val (name, dir) = (args(1), args(2))
+      val reps = if (args.length > 3) args(3).toInt else 3
+      val spark = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+      try exhaust(Tables(spark, dir, "lineitem").groupBy("l_returnflag").count())
+      catch { case _: Throwable => }
+      val ts = (1 to reps).map { _ =>
+        spark.catalog.clearCache()
+        time(exhaust(SparkEntry.queries(name)(spark, dir)))
+      }
+      println(f"QUERY_SEC name=$name reps=${ts.map(t => f"$t%.3f").mkString(",")} min=${ts.min}%.3f")
+      spark.stop()
+      return
+    }
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt

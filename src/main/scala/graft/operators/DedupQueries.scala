@@ -196,13 +196,18 @@ object DedupQueries {
     while (changed > 0 && iter < maxIters) {
       val nbrMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min("comp").as("nbr_comp"))
+      // `moved` rides the same join that computes the update (a label only
+      // ever decreases, so moved ⇔ a neighbor offered a strictly smaller
+      // comp) — convergence detection costs a filter-count over the
+      // checkpointed blocks instead of the old extra join + shuffle per
+      // round against the previous labels.
       val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"),
+          (coalesce(col("nbr_comp"), col("comp")) < col("comp")).as("moved"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp")).count()
-      labels = next
+      changed = next.filter(col("moved")).count()
+      labels = next.select("id", "comp")
       iter += 1
     }
     // Non-convergence means some chain's diameter exceeded maxIters (e.g.

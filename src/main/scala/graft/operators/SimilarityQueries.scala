@@ -82,12 +82,16 @@ object SimilarityQueries {
     */
   def lshTopK(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // `e` feeds signatures, query selection, and both re-rank sides;
+    // `sigs` is both the probe AND build side of the bucket join.
     val e = embs(s, dir)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = e.select(col("vec_id"),
         explode(array((0 until AnnTables).map(t =>
           struct(lit(t).as("t"), bucketFor(col("emb"), t).as("bucket"))): _*)).as("tb"))
       .select(col("vec_id"), col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qIds = e.filter(col("label") === 0).select(col("vec_id").as("q_id"))
     val qSigs = sigs.join(qIds, sigs("vec_id") === qIds("q_id"))
       .select(col("q_id"), col("t"), col("bucket"))
@@ -147,8 +151,13 @@ object SimilarityQueries {
   def ivfTrainedTopK(raw: DataFrame, probeCells: Int = 2, k: Int = 3,
                      steps: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // `e` feeds steps+1 sequential assignment passes plus both re-rank
+    // sides, and `scored` feeds assignment AND probe selection: persist
+    // both (blocks reclaimed by the ContextCleaner once unreferenced).
     val e = raw.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = trainedScored(e, steps)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assign1 = scored.filter(col("rk") === 1)
       .select(col("vec_id").as("m_id"), col("cell"))
     val probes = scored.filter(col("label") === 0 && col("rk") <= probeCells)
@@ -238,14 +247,20 @@ object SimilarityQueries {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val sub = dims / m
     val e0 = raw.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb0"))
+    // `e` feeds the subvector explode AND both exact-re-rank sides;
+    // `sv`/`scored` below each feed two training consumers: persist the
+    // reused frames (ContextCleaner reclaims the blocks once the query's
+    // references die) instead of recomputing the whole upstream per branch.
     val e = e0.withColumn("emb",
         transform(col("emb0"), x => x / sqrt(dot(col("emb0"), col("emb0")))))
       .select(col("vec_id"), col("label"), col("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one row per (vector, subquantizer): the sub-dim slice as an array
     val sv = e.select(col("vec_id"), col("label"),
         explode(array((0 until m).map(j =>
           struct(lit(j).as("j"), slice(col("emb"), j * sub + 1, sub).as("sv"))): _*)).as("s"))
       .select(col("vec_id"), col("label"), col("s.j").as("j"), col("s.sv").as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def l2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
     val wMin = Window.partitionBy("vec_id", "j").orderBy(col("dist"), col("k"))
@@ -272,6 +287,7 @@ object SimilarityQueries {
     // by design; 2^-20 quantization is far below its own error.
     val scored = sv.join(broadcast(cb), Seq("j"))
       .withColumn("dist", l2(col("sv"), col("c")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val codes = scored.withColumn("rn", row_number().over(wMin))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("j"), col("k").as("code"))
@@ -407,9 +423,16 @@ object SimilarityQueries {
     import org.apache.spark.sql.expressions.Window
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val sub = dims / m
+    // The normalized frame feeds SIX consumers (two assignment passes,
+    // residual encode, query residuals, both re-rank sides): cache it, or
+    // each consumer re-reads and re-normalizes the full table. Same for
+    // `scored`/`rsv` below (training reuse). At 10^9 vectors these are
+    // narrow (id + vector) frames — the standard iterative-training
+    // persist, spilled to disk when executor storage is tight.
     val e = raw.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb0"))
       .withColumn("emb", transform(col("emb0"), x => x / sqrt(dot(col("emb0"), col("emb0")))))
       .select(col("vec_id"), col("label"), col("emb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // coarse: one integer-exact Lloyd step from the 16 seed cells, then
     // NORMALIZE the trained centroids (residuals need unit-scale anchors;
     // cosine assignment is scale-invariant so the ranking is unchanged)
@@ -431,6 +454,7 @@ object SimilarityQueries {
         transform(col("c_emb"), x => x / sqrt(dot(col("c_emb"), col("c_emb")))))
       .select(col("cell"), col("c_emb"), col("c_hat"))
     val scored = assignTo(cents.select(col("cell"), col("c_emb")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assign = scored.filter(col("rk") === 1).select(col("vec_id"), col("cell"))
     val probes = scored.filter(col("label") === 0 && col("rk") <= probeCells)
       .select(col("vec_id").as("q_id"), col("cell"))
@@ -444,6 +468,7 @@ object SimilarityQueries {
       .withColumn("r", zip_with(col("emb"), col("c_hat"), (x, c) => x - c))
     val rsv = resid.select(col("vec_id"), col("label"), subSplit(col("r")).as("s"))
       .select(col("vec_id"), col("label"), col("s.j").as("j"), col("s.sv").as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def l2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
     val wMin = Window.partitionBy("vec_id", "j").orderBy(col("dist"), col("k"))
