@@ -56,14 +56,32 @@ sealed trait Check {
   def metricSql: String
   /** Pass predicate over the same aliases (unrounded values). */
   def passSql: String
+  /** (alias, merge-fn) pairs for combining shard/micro-batch partial
+    * counter rows ("sum" | "dsum" (decimal-exact money sum) | "min" |
+    * "max"); None marks a check whose stored aggregate cannot be merged
+    * from numbers alone (exact/approx distinct, exact quantiles). */
+  def partialMerges: Option[Seq[(String, String)]] = None
 
   protected def a(suffix: String): String =
     name.replaceAll("[^A-Za-z0-9]", "_") + "_" + suffix
 }
 
+/** A check that also has a per-row predicate form (row passes ⇔ the
+  * predicate holds) — the members [[CheckSuite.annotate]] can turn into
+  * per-row violation labels (the reference's per-record assessment
+  * output, `validation_agent.py:355-364`). Aggregate-only checks
+  * (Unique, MeanBetween, quantiles, SizeBetween) have no row form. */
+sealed trait RowCheck extends Check {
+  /** Spark row-pass predicate (may be null on null inputs — annotate
+    * coalesces to false, i.e. null ⇒ violation). */
+  def sparkRowPred: Column
+  /** DuckDB SQL twin of the row predicate. */
+  def duckRowPredSql: String
+}
+
 /** Fraction of non-null values in `column` must be ≥ `minRatio`. */
 final case class Complete(column: String, minRatio: Double,
-                          override val name: String = "") extends Check {
+                          override val name: String = "") extends RowCheck {
   private val nm = if (name.nonEmpty) name else s"complete_$column"
   override def label: String = nm
   private val al = nm.replaceAll("[^A-Za-z0-9]", "_") + "_nn"
@@ -71,6 +89,9 @@ final case class Complete(column: String, minRatio: Double,
   def duckAggs = Seq(s"count($column) AS $al")
   def metricSql = s"cast($al as double) / n"
   def passSql = s"cast($al as double) / n >= $minRatio"
+  def sparkRowPred = col(column).isNotNull
+  def duckRowPredSql = s"$column IS NOT NULL"
+  override def partialMerges = Some(Seq(al -> "sum"))
 }
 
 /** Exact distinct count of the key tuple must equal the row count.
@@ -110,7 +131,7 @@ final case class ApproxUnique(column: String, minRatio: Double,
 /** Fraction of rows with `lo ≤ column ≤ hi` must be ≥ `minRatio`. */
 final case class InRange(column: String, lo: Double, hi: Double,
                          minRatio: Double,
-                         override val name: String = "") extends Check {
+                         override val name: String = "") extends RowCheck {
   private val nm = if (name.nonEmpty) name else s"range_$column"
   override def label: String = nm
   private val al = nm.replaceAll("[^A-Za-z0-9]", "_") + "_ok"
@@ -119,11 +140,14 @@ final case class InRange(column: String, lo: Double, hi: Double,
   def duckAggs = Seq(s"sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS $al")
   def metricSql = s"cast($al as double) / n"
   def passSql = s"cast($al as double) / n >= $minRatio"
+  def sparkRowPred = expr(cond)
+  def duckRowPredSql = cond
+  override def partialMerges = Some(Seq(al -> "sum"))
 }
 
 /** Fraction of rows whose `column` is in `values` must be ≥ `minRatio`. */
 final case class InSet(column: String, values: Seq[String], minRatio: Double,
-                       override val name: String = "") extends Check {
+                       override val name: String = "") extends RowCheck {
   private val nm = if (name.nonEmpty) name else s"inset_$column"
   override def label: String = nm
   private val al = nm.replaceAll("[^A-Za-z0-9]", "_") + "_in"
@@ -133,13 +157,16 @@ final case class InSet(column: String, values: Seq[String], minRatio: Double,
   def duckAggs = Seq(s"sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS $al")
   def metricSql = s"cast($al as double) / n"
   def passSql = s"cast($al as double) / n >= $minRatio"
+  def sparkRowPred = expr(cond)
+  def duckRowPredSql = cond
+  override def partialMerges = Some(Seq(al -> "sum"))
 }
 
 /** Fraction of rows matching `regex` (unanchored, both engines) ≥
   * `minRatio`. The regex must be valid Java AND RE2-ish DuckDB syntax —
   * stick to character classes/anchors/quantifiers. */
 final case class Matches(column: String, regex: String, minRatio: Double,
-                         override val name: String = "") extends Check {
+                         override val name: String = "") extends RowCheck {
   private val nm = if (name.nonEmpty) name else s"matches_$column"
   override def label: String = nm
   private val al = nm.replaceAll("[^A-Za-z0-9]", "_") + "_m"
@@ -149,6 +176,10 @@ final case class Matches(column: String, regex: String, minRatio: Double,
     Seq(s"sum(CASE WHEN regexp_matches($column, '${regex.replace("'", "''")}') THEN 1 ELSE 0 END) AS $al")
   def metricSql = s"cast($al as double) / n"
   def passSql = s"cast($al as double) / n >= $minRatio"
+  def sparkRowPred = col(column).rlike(regex)
+  def duckRowPredSql =
+    s"regexp_matches($column, '${regex.replace("'", "''")}')"
+  override def partialMerges = Some(Seq(al -> "sum"))
 }
 
 /** Mean of a 2-dp money column within [lo, hi]; the sum rides
@@ -165,6 +196,9 @@ final case class MeanBetween(column: String, lo: Double, hi: Double,
     Seq(s"CAST(sum(CAST($column AS DECIMAL(18,2))) AS DOUBLE) AS $al")
   def metricSql = s"$al / n"
   def passSql = s"$al / n >= $lo AND $al / n <= $hi"
+  // each partial is an exact multiple of 0.01 stored as double; the
+  // decimal-exact merge recovers the true 2-dp sum (magnitudes < 2^45)
+  override def partialMerges = Some(Seq(al -> "dsum"))
 }
 
 /** Exact interpolated quantile within [lo, hi] (4-dp rounded in the
@@ -194,6 +228,7 @@ final case class MinGte(column: String, bound: Double,
   def duckAggs = Seq(s"CAST(min($column) AS DOUBLE) AS $al")
   def metricSql = al
   def passSql = s"$al >= $bound"
+  override def partialMerges = Some(Seq(al -> "min"))
 }
 
 /** Maximum value must be ≤ `bound` (numeric columns). */
@@ -206,6 +241,7 @@ final case class MaxLte(column: String, bound: Double,
   def duckAggs = Seq(s"CAST(max($column) AS DOUBLE) AS $al")
   def metricSql = al
   def passSql = s"$al <= $bound"
+  override def partialMerges = Some(Seq(al -> "max"))
 }
 
 /** Row count within [lo, hi] — a partition-emptiness/explosion tripwire. */
@@ -215,6 +251,7 @@ final case class SizeBetween(lo: Long, hi: Long,
   def duckAggs = Seq.empty
   def metricSql = "cast(n as double)"
   def passSql = s"n >= $lo AND n <= $hi"
+  override def partialMerges = Some(Seq.empty)
 }
 
 /** Generic row predicate: fraction of rows satisfying `predicateSql`
@@ -222,12 +259,15 @@ final case class SizeBetween(lo: Long, hi: Long,
   * ≥ `minRatio`. The escape hatch for cross-column invariants, e.g.
   * `"l_quantity > 0 OR l_extendedprice = 0"`. */
 final case class Satisfies(override val name: String, predicateSql: String,
-                           minRatio: Double) extends Check {
+                           minRatio: Double) extends RowCheck {
   private val al = a("sat")
   def sparkAggs = Seq(sum(when(expr(predicateSql), 1L).otherwise(0L)).as(al))
   def duckAggs = Seq(s"sum(CASE WHEN $predicateSql THEN 1 ELSE 0 END) AS $al")
   def metricSql = s"cast($al as double) / n"
   def passSql = s"cast($al as double) / n >= $minRatio"
+  def sparkRowPred = expr(predicateSql)
+  def duckRowPredSql = predicateSql
+  override def partialMerges = Some(Seq(al -> "sum"))
 }
 
 /** A named suite of checks compiled to one aggregation pass. */
@@ -263,6 +303,88 @@ final case class CheckSuite(checks: Seq[Check]) {
       .select(groupCols.map(col) :+ col("r.check") :+ col("r.metric") :+
         col("r.pass"): _*)
     out.orderBy((groupCols :+ "check").map(col): _*)
+  }
+
+  /** The suite's row-expressible members, in declaration order. */
+  def rowChecks: Seq[RowCheck] = checks.collect { case r: RowCheck => r }
+
+  /** True iff every member's counters merge from stored numbers — the
+    * precondition for [[partials]]/[[finalizeFrom]] (streaming or
+    * shard-parallel validation). */
+  def mergeablePartials: Boolean = checks.forall(_.partialMerges.isDefined)
+
+  /** One partial-counter row for a shard/micro-batch: the suite's
+    * aggregate WITHOUT the metric/pass finalize. Rows from many shards
+    * merge exactly via [[finalizeFrom]]. */
+  def partials(df: DataFrame): DataFrame = {
+    require(mergeablePartials,
+      s"non-mergeable checks in suite: ${checks.filter(_.partialMerges.isEmpty).map(_.label)}")
+    df.agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Merge partial-counter rows (any number of shards, any order) and
+    * emit the same verdict rows [[run]] would produce over the union of
+    * the shards — counts/sums add, money sums re-ride decimal(18,2),
+    * mins/maxes combine. Exactly-once semantics come from how partials
+    * are STORED (idempotent per shard id), not from this merge. */
+  def finalizeFrom(partialRows: DataFrame): DataFrame = {
+    require(mergeablePartials,
+      s"non-mergeable checks in suite: ${checks.filter(_.partialMerges.isEmpty).map(_.label)}")
+    def fn(alias: String, kind: String): Column = (kind match {
+      case "sum" => sum(col(alias))
+      case "dsum" => sum(col(alias).cast("decimal(18,2)")).cast("double")
+      case "min" => min(col(alias))
+      case "max" => max(col(alias))
+    }).as(alias)
+    val merges = ("n" -> "sum") +: checks.flatMap(_.partialMerges.get)
+    val cols = merges.map { case (alias, kind) => fn(alias, kind) }
+    partialRows.agg(cols.head, cols.tail: _*)
+      .select(explode(array(verdictStructs: _*)).as("r"))
+      .select(col("r.check"), col("r.metric"), col("r.pass"))
+      .orderBy("check")
+  }
+
+  /** Row-level annotation: appends `violations` (comma-joined labels of
+    * the failed row checks, declaration order; both engines' concat_ws
+    * skips the NULL arms) and `row_pass`. Pure per-row column math —
+    * narrow, codegen'd, no shuffle; the per-record assessment output of
+    * the reference (`validation_agent.py:355-364`) as a projection. */
+  def annotate(df: DataFrame): DataFrame = {
+    val rcs = rowChecks
+    require(rcs.nonEmpty, "no row-expressible checks in this suite")
+    val marks = rcs.map(c =>
+      when(!coalesce(c.sparkRowPred, lit(false)), lit(c.label)))
+    df.withColumn("violations", concat_ws(",", marks: _*))
+      .withColumn("row_pass", col("violations") === "")
+  }
+
+  /** One-pass routing: (clean rows — original schema, quarantined rows —
+    * annotated with their violations). Both frames derive from the same
+    * annotated projection, so writing clean + quarantine sinks costs one
+    * scan each with only a codegen'd filter on top (or ONE scan total via
+    * `partitionBy(row_pass)` on the annotated frame). */
+  def split(df: DataFrame): (DataFrame, DataFrame) = {
+    val ann = annotate(df)
+    (ann.filter(col("row_pass")).drop("violations", "row_pass"),
+      ann.filter(!col("row_pass")).drop("row_pass"))
+  }
+
+  /** DuckDB twin of the quarantine side of [[split]] (key columns +
+    * violations, failing rows only) — generated from the same row
+    * predicates. */
+  def duckQuarantineSql(table: String, keyCols: Seq[String]): String = {
+    val rcs = rowChecks
+    val arms = rcs.map(c =>
+      s"CASE WHEN NOT coalesce(${c.duckRowPredSql}, false) THEN '${c.label}' END")
+      .mkString(",\n           ")
+    val anyFail = rcs.map(c => s"NOT coalesce(${c.duckRowPredSql}, false)")
+      .mkString("\n            OR ")
+    s"""SELECT ${keyCols.mkString(", ")},
+         concat_ws(',',
+           $arms) AS violations
+       FROM $table
+       WHERE $anyFail
+       ORDER BY ${keyCols.mkString(", ")}"""
   }
 
   /** The DuckDB twin of [[run]] over `table` — generated from the SAME

@@ -39,6 +39,15 @@ object ValidationQueries {
     validation.SizeBetween(100L, 10000000000L),
     validation.Satisfies("paid_or_open", "o_totalprice > 0 OR o_orderstatus = 'O'", 1.0)))
 
+  /** Row-level suite over lineitem whose checks genuinely fail on part
+    * of the corpus — drives [[validation.CheckSuite.annotate]]/`split`
+    * (per-row violation labels + quarantine routing). */
+  val lineitemRowSuite: validation.CheckSuite = validation.CheckSuite(Seq(
+    validation.Complete("l_shipdate", 1.0),
+    validation.InRange("l_quantity", 1.0, 45.0, 1.0),
+    validation.Matches("l_returnflag", "^[AR]$", 0.5),
+    validation.Satisfies("low_discount", "l_discount <= 0.08", 0.9)))
+
   /** Grouped twin: per-status verdicts (the per-partition pass/fail
     * emission shape) — exact-percentile checks excluded so every member
     * stays algebraic under groupBy. */
@@ -93,6 +102,14 @@ object ValidationQueries {
     // Per-group verdict emission: same API, one hash-aggregate shuffle.
     "q_v_checksuite_grouped" -> ((s, dir) =>
       ordersSuiteGrouped.run(t(s, dir, "orders"), Seq("o_orderstatus"))),
+
+    // Quarantine side of the one-pass split: failing rows with their
+    // comma-joined violation labels (pure projection + filter, no shuffle;
+    // oracle generated from the same row predicates).
+    "q_v_quarantine" -> ((s, dir) =>
+      lineitemRowSuite.split(t(s, dir, "lineitem"))._2
+        .select("l_orderkey", "l_linenumber", "violations")
+        .orderBy("l_orderkey", "l_linenumber")),
 
     // Uniqueness checks (salted two-stage) over three candidate keys.
     "q_v_uniqueness" -> ((s, dir) => {
@@ -226,6 +243,9 @@ object ValidationQueries {
     "q_v_checksuite" -> ordersSuite.duckSql("orders"),
     "q_v_checksuite_grouped" ->
       ordersSuiteGrouped.duckSql("orders", Seq("o_orderstatus")),
+    "q_v_quarantine" ->
+      lineitemRowSuite.duckQuarantineSql("lineitem",
+        Seq("l_orderkey", "l_linenumber")),
     "q_v_uniqueness" ->
       """WITH g1 AS (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1),
          g2 AS (SELECT l_orderkey, l_linenumber, count(*) AS n FROM lineitem GROUP BY 1, 2),
