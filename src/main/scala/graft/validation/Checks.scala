@@ -388,10 +388,13 @@ final case class CheckSuite(checks: Seq[Check]) {
   }
 
   /** The DuckDB twin of [[run]] over `table` — generated from the SAME
-    * check definitions, so the oracle can never drift from the plan. */
-  def duckSql(table: String, groupCols: Seq[String] = Seq.empty): String = {
+    * check definitions, so the oracle can never drift from the plan.
+    * `where` restricts the scanned slice (shared-syntax predicate). */
+  def duckSql(table: String, groupCols: Seq[String] = Seq.empty,
+              where: String = ""): String = {
     val gsel = if (groupCols.isEmpty) "" else groupCols.mkString(", ") + ", "
     val gby = if (groupCols.isEmpty) "" else " GROUP BY " + groupCols.mkString(", ")
+    val wh = if (where.isEmpty) "" else s" WHERE $where"
     val frags = ("count(*) AS n" +: checks.flatMap(_.duckAggs)).mkString(",\n    ")
     val arms = checks.map { c =>
       s"""SELECT $gsel'${c.label}' AS "check",
@@ -399,9 +402,75 @@ final case class CheckSuite(checks: Seq[Check]) {
          coalesce(${c.passSql}, false) AS pass FROM a"""
     }.mkString("\n  UNION ALL\n  ")
     val order = (groupCols :+ "\"check\"").mkString(", ")
-    s"""WITH a AS (SELECT $gsel$frags FROM $table$gby)
+    s"""WITH a AS (SELECT $gsel$frags FROM $table$wh$gby)
        $arms
        ORDER BY $order"""
+  }
+}
+
+/** Run-over-run metric anomaly detection — the metric-level sibling of
+  * the distribution-level [[Drift]] checks (reference: drift vs
+  * peers/priors, `validation_agent.py:85-109, 258-305`). A metric is
+  * anomalous when it moved more than `maxAbsDelta + maxRelDelta·|base|`
+  * from the baseline run — the additive term absorbs noise near zero,
+  * the relative term scales with the metric. */
+object MetricAnomaly {
+
+  /** Join two verdict frames of the SAME suite on check name and flag
+    * movements. Output: (check, base_metric, metric, delta, anomalous).
+    * All inputs are 6-dp verdict metrics, so the deltas are identical FP
+    * ops in any engine. */
+  def vs(cur: DataFrame, baseline: DataFrame, maxAbsDelta: Double,
+         maxRelDelta: Double): DataFrame = {
+    val b = baseline.select(col("check"), col("metric").as("base_metric"))
+    cur.select(col("check"), col("metric"))
+      .join(b, Seq("check"))
+      .withColumn("delta", round(col("metric") - col("base_metric"), 6))
+      .withColumn("anomalous",
+        abs(col("metric") - col("base_metric")) >
+          lit(maxAbsDelta) + lit(maxRelDelta) * abs(col("base_metric")))
+      .select(col("check"), col("base_metric"), col("metric"),
+        col("delta"), col("anomalous"))
+      .orderBy("check")
+  }
+
+  /** DuckDB twin: two generated suite aggregates (current slice vs
+    * baseline slice of `table`) joined with the same delta math. */
+  def duckSql(suite: CheckSuite, table: String, baselineWhere: String,
+              maxAbsDelta: Double, maxRelDelta: Double): String =
+    s"""WITH cur AS (${suite.duckSql(table)}),
+       base AS (${suite.duckSql(table, where = baselineWhere)})
+       SELECT cur."check", base.metric AS base_metric, cur.metric,
+         round(cur.metric - base.metric, 6) AS delta,
+         abs(cur.metric - base.metric) >
+           $maxAbsDelta + $maxRelDelta * abs(base.metric) AS anomalous
+       FROM cur JOIN base ON cur."check" = base."check"
+       ORDER BY cur."check""""
+}
+
+/** Persisted per-run verdict history — the metrics repository the
+  * anomaly checks read. One `part=<run_id>` partition per run, written
+  * with the side-store discipline (dynamic partition overwrite ⇒ a
+  * re-recorded run replaces itself; a 10^6-run history prunes to the two
+  * partitions a comparison reads). */
+object MetricsRepository {
+
+  def record(verdicts: DataFrame, runId: String, dir: String): Unit =
+    PartitionedStore.write(verdicts.withColumn("part", lit(runId)), dir)
+
+  /** Full history: (run_id, check, metric, pass). */
+  def history(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).withColumnRenamed("part", "run_id")
+
+  /** Anomalies of `runId` vs `baselineId` straight from the store. */
+  def anomalies(spark: org.apache.spark.sql.SparkSession, dir: String,
+                runId: String, baselineId: String, maxAbsDelta: Double,
+                maxRelDelta: Double): DataFrame = {
+    val h = history(spark, dir)
+    MetricAnomaly.vs(
+      h.filter(col("run_id") === runId),
+      h.filter(col("run_id") === baselineId),
+      maxAbsDelta, maxRelDelta)
   }
 }
 

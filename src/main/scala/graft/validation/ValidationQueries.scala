@@ -39,6 +39,10 @@ object ValidationQueries {
     validation.SizeBetween(100L, 10000000000L),
     validation.Satisfies("paid_or_open", "o_totalprice > 0 OR o_orderstatus = 'O'", 1.0)))
 
+  /** Shared-syntax baseline slice for the anomaly demo (both engines
+    * cast the literal to the column's timestamp type). */
+  val AnomalyBaselineWhere = "o_orderdate < '1998-01-01'"
+
   /** Row-level suite over lineitem whose checks genuinely fail on part
     * of the corpus — drives [[validation.CheckSuite.annotate]]/`split`
     * (per-row violation labels + quarantine routing). */
@@ -102,6 +106,17 @@ object ValidationQueries {
     // Per-group verdict emission: same API, one hash-aggregate shuffle.
     "q_v_checksuite_grouped" -> ((s, dir) =>
       ordersSuiteGrouped.run(t(s, dir, "orders"), Seq("o_orderstatus"))),
+
+    // Metric anomaly detection: current (full) orders vs the pre-1998
+    // slice as the baseline run — same suite, generated DuckDB twin of
+    // both aggregates plus the delta math.
+    "q_v_anomaly" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      validation.MetricAnomaly.vs(
+        ordersSuite.run(o),
+        ordersSuite.run(o.filter(expr(AnomalyBaselineWhere))),
+        maxAbsDelta = 0.001, maxRelDelta = 0.05)
+    }),
 
     // Quarantine side of the one-pass split: failing rows with their
     // comma-joined violation labels (pure projection + filter, no shuffle;
@@ -246,6 +261,9 @@ object ValidationQueries {
     "q_v_quarantine" ->
       lineitemRowSuite.duckQuarantineSql("lineitem",
         Seq("l_orderkey", "l_linenumber")),
+    "q_v_anomaly" ->
+      validation.MetricAnomaly.duckSql(ordersSuite, "orders",
+        AnomalyBaselineWhere, maxAbsDelta = 0.001, maxRelDelta = 0.05),
     "q_v_uniqueness" ->
       """WITH g1 AS (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1),
          g2 AS (SELECT l_orderkey, l_linenumber, count(*) AS n FROM lineitem GROUP BY 1, 2),
