@@ -30,7 +30,7 @@ object Bench {
     "q_w1_topk_per_brand", "q_w5_running_sum",
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash64_prod",
     "q_dedup_simhash64_expr", "q_dedup_simhash64_banded",
-    "q_dedup_simhash64_banded_l2", "q_dedup_cc",
+    "q_dedup_simhash64_banded_l2", "q_dedup_cc", "q_dedup_cc_star",
     "q_text_tokens", "q_text_quality", "q_text_fingerprint",
     "q_ann_topk_bruteforce", "q_ann_topk_lsh", "q_ann_topk_ivf_trained",
     "q_ann_topk_pq", "q_ann_topk_ivfpq_residual", "q_sim_lsh_buckets",

@@ -130,10 +130,13 @@ object Pipeline {
     * pair's right side — an accident of id ordering, now gone.
     */
   def nearDupDrops(pairs: DataFrame): DataFrame =
-    // strict=false: a >50-diameter chain degrades to split components
-    // (keeps a few extra docs) instead of crashing the curation run after
-    // it already paid the corpus scan — see connectedComponents
-    DedupQueries.connectedComponents(pairs, strict = false)
+    // star contraction: O(log n) rounds on ANY pair graph — diameter-proof,
+    // so pathological boilerplate chains can't blow the round count the way
+    // they could under min-id flooding. strict=false still degrades to
+    // split components (keeps a few extra docs) rather than crashing a
+    // curation run that already paid the corpus scan. Labels are identical
+    // to connectedComponents (both rungs share the q_dedup_cc oracle).
+    DedupQueries.connectedComponentsStar(pairs, strict = false)
       .filter(col("doc_id") =!= col("comp_id"))
       .select("doc_id")
 

@@ -228,6 +228,81 @@ object DedupQueries {
     labels.select(col("id").as("doc_id"), col("comp").as("comp_id"))
   }
 
+  /** Connected components by the alternating large-star/small-star rule
+    * (Kiveris/Lattanzi/Mirrokni/Rastogi/Vassilvitskii, "Connected
+    * Components in MapReduce and Beyond", SoCC 2014) — the production
+    * rung for pathological chain-shaped components where min-id flooding
+    * ([[connectedComponents]]) needs O(diameter) rounds: star contraction
+    * converges in O(log n) rounds on ANY graph, with the same per-round
+    * plan shape (one groupBy-min + one equi-join, shuffled on node id).
+    *
+    * Per round over the symmetric neighbor list:
+    *   large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+    *     — afterwards every edge points strictly downward (first > second);
+    *   small-star(u) over the downward edges: m = min(Γ⁻(u)); emit (v, m)
+    *     for v ∈ Γ⁻(u) \ {m} and (u, m).
+    * Both preserve connectivity and only ever lower a node's smallest
+    * neighbor; the fixpoint is a set of stars whose centers are the
+    * component minima. Convergence is detected by the paper's monotone
+    * witness — Σ over nodes of their current smallest neighbor only
+    * decreases, so an unchanged (count, sum) pair is a fixpoint (no
+    * edge-set `except` join needed).
+    *
+    * Output contract is identical to [[connectedComponents]]:
+    * (doc_id, comp_id) for every node incident to a pair, comp_id = min
+    * doc_id of the component — so the two rungs share the recursive-CTE
+    * oracle and are interchangeable in [[graft.Pipeline]].
+    */
+  def connectedComponentsStar(pairs: DataFrame, maxIters: Int = 40,
+                              strict: Boolean = true): DataFrame = {
+    var edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint() // pair plan may be a full banding pipeline; pay it once
+    var prev = (-1L, -1L)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // symmetric neighbor list for the large-star grouping
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // every large-star edge has u > v ⇒ small-star's m is plain min(Γ⁻)
+      val minsS = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(minsS, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(minsS.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint() // truncate lineage; blocks feed the witness agg too
+      val w = small.agg(count(lit(1L)), sum(col("u") + col("v"))).collect()(0)
+      val cur = (w.getLong(0), if (w.isNullAt(1)) 0L else w.getLong(1))
+      // witness collision is theoretically possible (same count and sum,
+      // different edges), so an unchanged witness is CONFIRMED by one
+      // set-equality except — paid once, on the final round only
+      converged = cur == prev && small.except(edges).count() == 0
+      prev = cur
+      edges = small
+      iter += 1
+    }
+    if (strict)
+      require(converged, s"connectedComponentsStar did not converge in $maxIters iterations")
+    else if (!converged)
+      Console.err.println(
+        s"WARN connectedComponentsStar: not converged after $maxIters iterations " +
+          "— labeling by current smallest neighbor (components may split)")
+    // fixpoint is a star forest: u → center, centers absent as u
+    val centers = edges.select(col("v").as("id")).distinct()
+      .join(edges.select(col("u").as("id")).distinct(), Seq("id"), "left_anti")
+    edges.select(col("u").as("doc_id"), col("v").as("comp_id"))
+      .union(centers.select(col("id").as("doc_id"), col("id").as("comp_id")))
+  }
+
   /** Largest prime below 2^32 — the MinHash modulus. */
   val MinhashP = 4294967291L
 
@@ -524,6 +599,15 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Same components via alternating large-star/small-star contraction —
+    // the O(log n)-round production rung; identical output contract, so it
+    // shares the flooding query's recursive-CTE oracle verbatim.
+    "q_dedup_cc_star" -> ((s, dir) => {
+      val sh = simhash64Signatures(s, dir).filter(col("doc_id") < 150)
+      connectedComponentsStar(bandedSimhashPairs(sh, blocks = 4, maxHamming = 16))
+        .orderBy("doc_id")
+    }),
+
     // Banded near-dup pairing on the IMAGE table's perceptual hashes: the
     // same generalized bit-block banding applied to (image_id, phash
     // lo/hi) over the persisted decoded-facts parquet (which both engines
@@ -659,6 +743,26 @@ object DedupQueries {
     s"""WITH ${simhash64Cte()}
        SELECT doc_id, lo AS simhash_lo, hi AS simhash_hi FROM sh"""
 
+  /** Transitive-closure components oracle, shared by the flooding and
+    * star-contraction rungs (their output contract is identical). */
+  private def ccOracleSql: String =
+    s"""WITH RECURSIVE ${simhash64Cte(" AND doc_id < 150")},
+       $bands4Cte,
+       pairs AS (
+         SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+         FROM bands x JOIN bands y
+           ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 16),
+       edges AS (
+         SELECT a_id AS src, b_id AS dst FROM pairs
+         UNION SELECT b_id, a_id FROM pairs),
+       reach(src, dst) AS (
+         SELECT src, dst FROM edges
+         UNION
+         SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
+       SELECT src AS doc_id, least(src, min(dst)) AS comp_id
+       FROM reach GROUP BY src"""
+
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT md5(text) AS digest, count(*) AS n, min(doc_id) AS keep_id
@@ -737,23 +841,9 @@ object DedupQueries {
              ON x.b = y.b AND x.key = y.key AND x.rn < y.rn
             AND (x.bn <= 4 OR y.rn - x.rn <= 4))
          SELECT a_id, b_id, hamming FROM cand WHERE hamming <= 16""",
-    "q_dedup_cc" ->
-      s"""WITH RECURSIVE ${simhash64Cte(" AND doc_id < 150")},
-         $bands4Cte,
-         pairs AS (
-           SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-           FROM bands x JOIN bands y
-             ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
-           WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 16),
-         edges AS (
-           SELECT a_id AS src, b_id AS dst FROM pairs
-           UNION SELECT b_id, a_id FROM pairs),
-         reach(src, dst) AS (
-           SELECT src, dst FROM edges
-           UNION
-           SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
-         SELECT src AS doc_id, least(src, min(dst)) AS comp_id
-         FROM reach GROUP BY src""",
+    "q_dedup_cc" -> ccOracleSql,
+    // star contraction promises the identical labeling — same oracle
+    "q_dedup_cc_star" -> ccOracleSql,
     "q_dedup_phash_banded" ->
       s"""WITH f AS (
            SELECT image_id AS doc_id, min(phash) AS phash
