@@ -1,0 +1,303 @@
+package graft.validation
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Single-pass column profiler + constraint suggestion — the DISCOVERY
+  * face of the constraint engine: profile a table you've never seen,
+  * then turn the profile into a runnable [[CheckSuite]] (the published
+  * profile→suggest→verify loop of data-quality systems; re-derived here
+  * as one Catalyst aggregation + a deterministic rule ladder).
+  *
+  * Reference semantics: the per-field statistics the validation agent
+  * accumulates before judging records (null rates, observed ranges,
+  * category sets — `/root/reference/src/crawl_first/validation_agent.py:
+  * 258-305`), lifted to a declarative one-pass plan.
+  *
+  * Scale shape (100 TB): the profile is ONE aggregation over the table —
+  * algebraic counters per column, map-side partials, a single-row
+  * exchange — same as [[CheckSuite.run]]. The exact-NDV rung plans one
+  * Expand ×(#columns) (documented, the oracle rung); `exactNdv = false`
+  * swaps every distinct count for a mergeable HLL sketch
+  * (approx_count_distinct, no Expand) — the 10^12-row default.
+  * Suggestion pass 2 (category values) only ever scans columns pass 1
+  * PROVED low-cardinality, so its collect_set state is bounded by
+  * `inSetMaxNdv` values per column.
+  *
+  * Determinism discipline (cross-engine hash contract): counts and
+  * count ratios are integers or integer ratios; numeric min/max/sums
+  * ride decimal(28,6)/decimal(38,10) (exact, order-free) and convert to
+  * double only in the final scalar expression; timestamps format to
+  * strings; stddev derives from the decimal sums in one shared formula.
+  */
+object Profiler {
+
+  /** Engine-neutral column kind. */
+  sealed trait Kind { def label: String }
+  case object Integral extends Kind { val label = "integral" }
+  case object Fractional extends Kind { val label = "fractional" }
+  case object Str extends Kind { val label = "string" }
+  case object TimeLike extends Kind { val label = "timestamp" }
+
+  def kindOf(dt: DataType): Option[Kind] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some(Integral)
+    case FloatType | DoubleType | _: DecimalType => Some(Fractional)
+    case StringType => Some(Str)
+    case DateType | TimestampType | TimestampNTZType => Some(TimeLike)
+    case _ => None
+  }
+
+  /** (name, kind) for every profileable column of `df`. */
+  def columnsOf(df: DataFrame): Seq[(String, Kind)] =
+    df.schema.fields.flatMap(f => kindOf(f.dataType).map(f.name -> _)).toSeq
+
+  private def a(c: String, suffix: String): String =
+    c.replaceAll("[^A-Za-z0-9]", "_") + "_" + suffix
+
+  /** One profile row per column:
+    * (column, dtype, n_rows, n_nonnull, completeness, ndv, distinctness,
+    *  min_num, max_num, mean_num, stddev_num, min_len, max_len,
+    *  min_ts, max_ts) — numeric fields null for non-numeric kinds etc.
+    */
+  def profile(df: DataFrame, exactNdv: Boolean = true): DataFrame = {
+    val cols = columnsOf(df)
+    require(cols.nonEmpty, "no profileable columns")
+    val aggs = count(lit(1L)).as("n") +: cols.flatMap { case (c, k) =>
+      val base = Seq(
+        count(col(c)).as(a(c, "nn")),
+        (if (exactNdv) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(a(c, "ndv")))
+      val typed = k match {
+        case Integral | Fractional =>
+          val d = col(c).cast("double")
+          Seq(
+            min(d.cast("decimal(28,6)")).as(a(c, "mn")),
+            max(d.cast("decimal(28,6)")).as(a(c, "mx")),
+            sum(d.cast("decimal(28,6)")).as(a(c, "s1")),
+            sum((d * d).cast("decimal(38,10)")).as(a(c, "s2")))
+        case Str =>
+          Seq(min(length(col(c)).cast("long")).as(a(c, "ln")),
+            max(length(col(c)).cast("long")).as(a(c, "lx")))
+        case TimeLike =>
+          val ts = col(c).cast("timestamp")
+          Seq(date_format(min(ts), "yyyy-MM-dd HH:mm:ss").as(a(c, "tmn")),
+            date_format(max(ts), "yyyy-MM-dd HH:mm:ss").as(a(c, "tmx")))
+      }
+      base ++ typed
+    }
+    val nullD = lit(null).cast("double")
+    val nullL = lit(null).cast("long")
+    val nullS = lit(null).cast("string")
+    val rows = cols.map { case (c, k) =>
+      val nn = col(a(c, "nn"))
+      val ndv = col(a(c, "ndv"))
+      val (mnN, mxN, mean, sd) = k match {
+        case Integral | Fractional =>
+          val s1 = col(a(c, "s1")).cast("double")
+          val s2 = col(a(c, "s2")).cast("double")
+          val mean = round(s1 / nn, 4)
+          // sample stddev from exact decimal sums; shared scalar formula
+          val sd = when(nn >= 2,
+            round(sqrt(greatest((s2 - s1 * s1 / nn) / (nn - 1), lit(0.0))), 4))
+          (col(a(c, "mn")).cast("double"), col(a(c, "mx")).cast("double"),
+            when(nn >= 1, mean), sd)
+        case _ => (nullD, nullD, nullD, nullD)
+      }
+      val (ln, lx) = k match {
+        case Str => (col(a(c, "ln")), col(a(c, "lx")))
+        case _ => (nullL, nullL)
+      }
+      val (tmn, tmx) = k match {
+        case TimeLike => (col(a(c, "tmn")), col(a(c, "tmx")))
+        case _ => (nullS, nullS)
+      }
+      struct(
+        lit(c).as("column"), lit(k.label).as("dtype"),
+        col("n").as("n_rows"), nn.as("n_nonnull"),
+        round(nn.cast("double") / col("n"), 6).as("completeness"),
+        ndv.as("ndv"),
+        round(ndv.cast("double") / col("n"), 6).as("distinctness"),
+        mnN.as("min_num"), mxN.as("max_num"),
+        mean.as("mean_num"), sd.as("stddev_num"),
+        ln.as("min_len"), lx.as("max_len"),
+        tmn.as("min_ts"), tmx.as("max_ts"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy("column")
+  }
+
+  /** DuckDB twin of [[profile]] (exact-NDV rung) over `table` with the
+    * SAME static column/kind list — generated, so formulas cannot drift. */
+  def duckProfileSql(table: String, cols: Seq[(String, Kind)]): String = {
+    val aggs = "count(*) AS n" +: cols.flatMap { case (c, k) =>
+      val base = Seq(s"count($c) AS ${a(c, "nn")}",
+        s"count(DISTINCT $c) AS ${a(c, "ndv")}")
+      val typed = k match {
+        case Integral | Fractional => Seq(
+          s"min(CAST(CAST($c AS DOUBLE) AS DECIMAL(28,6))) AS ${a(c, "mn")}",
+          s"max(CAST(CAST($c AS DOUBLE) AS DECIMAL(28,6))) AS ${a(c, "mx")}",
+          s"sum(CAST(CAST($c AS DOUBLE) AS DECIMAL(28,6))) AS ${a(c, "s1")}",
+          s"sum(CAST(CAST($c AS DOUBLE) * CAST($c AS DOUBLE) AS DECIMAL(38,10))) AS ${a(c, "s2")}")
+        case Str => Seq(
+          s"min(length($c)) AS ${a(c, "ln")}",
+          s"max(length($c)) AS ${a(c, "lx")}")
+        case TimeLike => Seq(
+          s"strftime(min($c), '%Y-%m-%d %H:%M:%S') AS ${a(c, "tmn")}",
+          s"strftime(max($c), '%Y-%m-%d %H:%M:%S') AS ${a(c, "tmx")}")
+      }
+      base ++ typed
+    }
+    val arms = cols.map { case (c, k) =>
+      val nn = a(c, "nn")
+      val (mnN, mxN, mean, sd) = k match {
+        case Integral | Fractional =>
+          val s1 = s"CAST(${a(c, "s1")} AS DOUBLE)"
+          val s2 = s"CAST(${a(c, "s2")} AS DOUBLE)"
+          (s"CAST(${a(c, "mn")} AS DOUBLE)", s"CAST(${a(c, "mx")} AS DOUBLE)",
+            s"CASE WHEN $nn >= 1 THEN round($s1 / $nn, 4) END",
+            s"CASE WHEN $nn >= 2 THEN round(sqrt(greatest(($s2 - $s1 * $s1 / $nn) / ($nn - 1), 0.0)), 4) END")
+        case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+          "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      }
+      val (ln, lx) = k match {
+        case Str => (a(c, "ln"), a(c, "lx"))
+        case _ => ("CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)")
+      }
+      val (tmn, tmx) = k match {
+        case TimeLike => (a(c, "tmn"), a(c, "tmx"))
+        case _ => ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+      }
+      s"""SELECT '$c' AS "column", '${k.label}' AS dtype, n AS n_rows,
+         $nn AS n_nonnull, round(CAST($nn AS DOUBLE) / n, 6) AS completeness,
+         ${a(c, "ndv")} AS ndv,
+         round(CAST(${a(c, "ndv")} AS DOUBLE) / n, 6) AS distinctness,
+         $mnN AS min_num, $mxN AS max_num, $mean AS mean_num,
+         $sd AS stddev_num, $ln AS min_len, $lx AS max_len,
+         $tmn AS min_ts, $tmx AS max_ts FROM prof"""
+    }
+    s"""WITH prof AS (SELECT ${aggs.mkString(",\n      ")} FROM $table)
+       ${arms.mkString("\n  UNION ALL\n  ")}
+       ORDER BY "column""""
+  }
+
+  /** Constraint suggestions from a profile — deterministic rule ladder,
+    * one row per (column, check) with typed params:
+    *   complete  — observed completeness (1.0 exact, else floored to a
+    *               0.05 grid; only when ≥ 0.5)
+    *   unique    — fully distinct AND fully complete
+    *   in_range  — numeric: [floor(min), ceil(max)]
+    *   in_set    — string with ndv ≤ `inSetMaxNdv`: the sorted value set
+    *   str_len   — other strings: observed max length
+    * Output: (column, check, p_lo, p_hi, p_ratio, p_values).
+    */
+  def suggest(df: DataFrame, exactNdv: Boolean = true,
+              inSetMaxNdv: Int = 10): DataFrame = {
+    val p = profile(df, exactNdv).localCheckpoint() // tiny: one row per column
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    def arm(filter: Column, check: String, lo: Column, hi: Column,
+            ratio: Column, values: Column): DataFrame =
+      p.filter(filter).select(col("column"), lit(check).as("check"),
+        lo.as("p_lo"), hi.as("p_hi"), ratio.as("p_ratio"),
+        values.as("p_values"))
+    // pass 2: category values, only for columns pass 1 proved small
+    val candidates = p.filter(col("dtype") === Str.label &&
+        col("ndv") <= inSetMaxNdv)
+      .select("column").collect().map(_.getString(0)).sorted
+    val valuesDf =
+      if (candidates.isEmpty)
+        p.sparkSession.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("column", StringType),
+            StructField("vals", StringType))))
+      else {
+        val aggs = candidates.map(c =>
+          array_join(array_sort(collect_set(col(c))), "|").as(c))
+        val one = df.agg(aggs.head, aggs.tail: _*)
+        candidates.map(c => one.select(lit(c).as("column"),
+          col(c).as("vals"))).reduce(_.unionAll(_))
+      }
+    val complete = arm(col("completeness") >= 0.5, "complete", nullD, nullD,
+      when(col("completeness") === 1.0, 1.0)
+        .otherwise(floor(col("completeness") * 20) / 20), nullS)
+    val unique = arm(col("distinctness") === 1.0 && col("completeness") === 1.0,
+      "unique", nullD, nullD, nullD, nullS)
+    // ratio = completeness: the profile proves every NON-NULL value lies
+    // in [min,max], so in-range fraction == completeness on the source —
+    // suggesting 1.0 on a nullable column would fail its own table
+    val inRange = arm(col("dtype").isin(Integral.label, Fractional.label),
+      "in_range", floor(col("min_num")).cast("double"),
+      ceil(col("max_num")).cast("double"), col("completeness"), nullS)
+    val inSet = p.filter(col("dtype") === Str.label && col("ndv") <= inSetMaxNdv)
+      .join(valuesDf, "column")
+      .select(col("column"), lit("in_set").as("check"), nullD.as("p_lo"),
+        nullD.as("p_hi"), nullD.as("p_ratio"), col("vals").as("p_values"))
+    val strLen = arm(col("dtype") === Str.label && col("ndv") > inSetMaxNdv,
+      "str_len", nullD, col("max_len").cast("double"), nullD, nullS)
+    complete.unionAll(unique).unionAll(inRange).unionAll(inSet).unionAll(strLen)
+      .orderBy("column", "check")
+  }
+
+  /** DuckDB twin of [[suggest]] — the same ladder over the generated
+    * profile CTE; in_set values come from one nested-distinct scalar
+    * subquery per static string column, applied only when that profile
+    * row qualifies (so the generated SQL stays total while the DATA
+    * decides which arms fire, exactly like the Spark side). */
+  def duckSuggestSql(table: String, cols: Seq[(String, Kind)],
+                     inSetMaxNdv: Int = 10): String = {
+    val profSql = duckProfileSql(table, cols)
+    val valueCases = cols.collect { case (c, Str) =>
+      s"""WHEN "column" = '$c' THEN (SELECT string_agg(v, '|' ORDER BY v)
+         FROM (SELECT DISTINCT $c AS v FROM $table WHERE $c IS NOT NULL))"""
+    }
+    val valueExpr =
+      if (valueCases.isEmpty) "CAST(NULL AS VARCHAR)"
+      else s"CASE ${valueCases.mkString(" ")} END"
+    s"""WITH p AS ($profSql)
+       SELECT * FROM (
+         SELECT "column", 'complete' AS "check", CAST(NULL AS DOUBLE) AS p_lo,
+           CAST(NULL AS DOUBLE) AS p_hi,
+           CASE WHEN completeness = 1.0 THEN 1.0
+                ELSE floor(completeness * 20) / 20 END AS p_ratio,
+           CAST(NULL AS VARCHAR) AS p_values
+         FROM p WHERE completeness >= 0.5
+         UNION ALL
+         SELECT "column", 'unique', NULL, NULL, NULL, NULL
+         FROM p WHERE distinctness = 1.0 AND completeness = 1.0
+         UNION ALL
+         SELECT "column", 'in_range', CAST(floor(min_num) AS DOUBLE),
+           CAST(ceil(max_num) AS DOUBLE), completeness, NULL
+         FROM p WHERE dtype IN ('integral', 'fractional')
+         UNION ALL
+         SELECT "column", 'in_set', NULL, NULL, NULL, $valueExpr
+         FROM p WHERE dtype = 'string' AND ndv <= $inSetMaxNdv
+         UNION ALL
+         SELECT "column", 'str_len', NULL, CAST(max_len AS DOUBLE), NULL, NULL
+         FROM p WHERE dtype = 'string' AND ndv > $inSetMaxNdv)
+       ORDER BY "column", "check""""
+  }
+
+  /** Materialize suggestions into a runnable [[CheckSuite]] — closes the
+    * profile→suggest→verify loop (a suggested suite must PASS on the
+    * table it was profiled from; ProfilerSpec pins that property). */
+  def toSuite(suggestions: DataFrame): CheckSuite = {
+    val checks = suggestions.collect().toSeq.flatMap { r =>
+      val c = r.getString(0)
+      r.getString(1) match {
+        case "complete" => Some(Complete(c, r.getDouble(4)))
+        case "unique" => Some(Unique(Seq(c)))
+        case "in_range" =>
+          Some(InRange(c, r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+        case "in_set" =>
+          Some(InSet(c, r.getString(5).split('|').toSeq, 1.0))
+        case "str_len" =>
+          Some(Satisfies(s"len_$c", s"length($c) <= ${r.getDouble(3).toLong}", 1.0))
+        case _ => None
+      }
+    }
+    CheckSuite(checks)
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.validation.Scoring
+import graft.validation.{Profiler, Scoring}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -42,6 +42,19 @@ object ValidationQueries {
   /** Shared-syntax baseline slice for the anomaly demo (both engines
     * cast the literal to the column's timestamp type). */
   val AnomalyBaselineWhere = "o_orderdate < '1998-01-01'"
+
+  /** Static column/kind lists for the profiler oracles — must mirror the
+    * parquet schemas (a drift fails the hash compare, which is the gate
+    * doing its job). */
+  val OrdersProfileCols: Seq[(String, Profiler.Kind)] = Seq(
+    "o_orderkey" -> Profiler.Integral, "o_custkey" -> Profiler.Integral,
+    "o_orderstatus" -> Profiler.Str, "o_totalprice" -> Profiler.Fractional,
+    "o_orderdate" -> Profiler.TimeLike, "o_orderpriority" -> Profiler.Str)
+
+  val EventsProfileCols: Seq[(String, Profiler.Kind)] = Seq(
+    "event_id" -> Profiler.Integral, "ts" -> Profiler.TimeLike,
+    "user_id" -> Profiler.Integral, "event_type" -> Profiler.Str,
+    "value" -> Profiler.Fractional, "props" -> Profiler.Str)
 
   /** Row-level suite over lineitem whose checks genuinely fail on part
     * of the corpus — drives [[validation.CheckSuite.annotate]]/`split`
@@ -117,6 +130,17 @@ object ValidationQueries {
         ordersSuite.run(o.filter(expr(AnomalyBaselineWhere))),
         maxAbsDelta = 0.001, maxRelDelta = 0.05)
     }),
+
+    // Single-pass column profile of orders (exact-NDV oracle rung): one
+    // aggregation, one profile row per column; the DuckDB twin is
+    // GENERATED from the same static column/kind list.
+    "q_v_profile" -> ((s, dir) => Profiler.profile(t(s, dir, "orders"))),
+
+    // Constraint suggestion over events (exercises every ladder arm the
+    // data allows: unique+in_range on event_id, in_set on 5-value
+    // event_type, str_len on 100-value props, in_range on value,
+    // complete everywhere).
+    "q_v_suggest" -> ((s, dir) => Profiler.suggest(t(s, dir, "events"))),
 
     // Quarantine side of the one-pass split: failing rows with their
     // comma-joined violation labels (pure projection + filter, no shuffle;
@@ -264,6 +288,8 @@ object ValidationQueries {
     "q_v_anomaly" ->
       validation.MetricAnomaly.duckSql(ordersSuite, "orders",
         AnomalyBaselineWhere, maxAbsDelta = 0.001, maxRelDelta = 0.05),
+    "q_v_profile" -> Profiler.duckProfileSql("orders", OrdersProfileCols),
+    "q_v_suggest" -> Profiler.duckSuggestSql("events", EventsProfileCols),
     "q_v_uniqueness" ->
       """WITH g1 AS (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1),
          g2 AS (SELECT l_orderkey, l_linenumber, count(*) AS n FROM lineitem GROUP BY 1, 2),
