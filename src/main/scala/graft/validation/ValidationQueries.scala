@@ -142,6 +142,13 @@ object ValidationQueries {
     // complete everywhere).
     "q_v_suggest" -> ((s, dir) => Profiler.suggest(t(s, dir, "events"))),
 
+    // Inclusion-dependency discovery (SINDY shape) across the TPC-H key
+    // columns — recovers the FK graph with no schema hints; lhs ⊆ rhs
+    // iff every distinct lhs value co-occurs with rhs.
+    "q_v_inclusion" -> ((s, dir) =>
+      validation.Inclusion.inds(n => t(s, dir, n),
+        validation.Inclusion.TestdataKeyAttrs)),
+
     // Quarantine side of the one-pass split: failing rows with their
     // comma-joined violation labels (pure projection + filter, no shuffle;
     // oracle generated from the same row predicates).
@@ -290,6 +297,8 @@ object ValidationQueries {
         AnomalyBaselineWhere, maxAbsDelta = 0.001, maxRelDelta = 0.05),
     "q_v_profile" -> Profiler.duckProfileSql("orders", OrdersProfileCols),
     "q_v_suggest" -> Profiler.duckSuggestSql("events", EventsProfileCols),
+    "q_v_inclusion" ->
+      validation.Inclusion.duckSql(validation.Inclusion.TestdataKeyAttrs),
     "q_v_uniqueness" ->
       """WITH g1 AS (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1),
          g2 AS (SELECT l_orderkey, l_linenumber, count(*) AS n FROM lineitem GROUP BY 1, 2),
