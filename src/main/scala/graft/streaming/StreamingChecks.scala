@@ -44,4 +44,17 @@ object StreamingChecks {
   def verdicts(spark: SparkSession, suite: CheckSuite,
                partialsDir: String): DataFrame =
     suite.finalizeFrom(spark.read.parquet(partialsDir).drop("part"))
+
+  /** Continuous metric anomaly detection: the stream's verdicts-to-date
+    * against a recorded baseline run ([[graft.validation
+    * .MetricsRepository]] rows or any prior verdict frame) — the
+    * streaming twin of `MetricAnomaly.vs`, so a live pipeline flags a
+    * completeness regression mid-stream instead of at the end of the
+    * day's batch. Cost: finalize over #batches counter rows + a
+    * #checks-row join. */
+  def anomalies(spark: SparkSession, suite: CheckSuite, partialsDir: String,
+                baseline: DataFrame, maxAbsDelta: Double,
+                maxRelDelta: Double): DataFrame =
+    graft.validation.MetricAnomaly.vs(
+      verdicts(spark, suite, partialsDir), baseline, maxAbsDelta, maxRelDelta)
 }

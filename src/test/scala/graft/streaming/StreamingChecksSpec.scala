@@ -42,6 +42,21 @@ class StreamingChecksSpec extends SparkTestBase {
       assert(got.toSeq == want.toSeq)
       assert(spark.read.parquet(s"$tmp/partials").count() == batches.size,
         "one counter row per micro-batch")
+      // mid-stream anomaly detection: verdicts-to-date vs a degraded
+      // baseline (quantity ceiling 50 → metric differs) must equal the
+      // batch MetricAnomaly output on the same two frames
+      val base = CheckSuite(Seq(Complete("l_shipdate", 1.0),
+        InRange("l_quantity", 1.0, 50.0, 1.0),
+        MeanBetween("l_extendedprice", 0.0, 100000.0),
+        SizeBetween(1L, 10000000L),
+        Satisfies("low_discount", "l_discount <= 0.08", 0.9))).run(li)
+      val streamed = StreamingChecks.anomalies(spark, suite, s"$tmp/partials",
+        base, maxAbsDelta = 0.001, maxRelDelta = 0.0).collect()
+      val batchTwin = graft.validation.MetricAnomaly.vs(suite.run(li), base,
+        maxAbsDelta = 0.001, maxRelDelta = 0.0).collect()
+      assert(streamed.toSeq == batchTwin.toSeq)
+      assert(streamed.exists(r => r.getString(0) == "range_l_quantity" &&
+        r.getBoolean(4)), "the widened-ceiling metric move must flag")
     } finally q.stop()
   }
 
