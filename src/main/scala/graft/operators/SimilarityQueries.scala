@@ -45,6 +45,28 @@ object SimilarityQueries {
     }
   }
 
+  /** Johnson–Lindenstrauss sign, ±1, md5-derived so the DuckDB oracle
+    * recomputes it in SQL (dense ±1 projection — Achlioptas, "Database-
+    * friendly random projections", PODS 2001: sign matrices preserve
+    * pairwise distances with the same JL guarantee as Gaussians). */
+  def jlSign(j: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"jl:$j:$d".getBytes("UTF-8"))
+    if (((hex(0) >> 4) & 0xf) >= 8) 1.0 else -1.0
+  }
+
+  /** Project an embedding to `m` dims: y_j = Σ_d x_d · s(j,d). The 1/√m
+    * scale is omitted — cosine is scale-invariant. Driver-computed sign
+    * literals keep the scan stage one narrow codegen'd projection; at
+    * 10^12 rows this runs ONCE per vector and every downstream ANN rung
+    * (brute-force re-rank, LSH, IVF) pays dims/m of its per-pair math. */
+  def jlProject(emb: Column, m: Int, dims: Int = 64): Column =
+    array((0 until m).map { j =>
+      dot(emb, typedlit(Array.tabulate(dims)(d => jlSign(j, d))))
+    }: _*)
+
+  val JlDims = 16
+
   // ANN LSH retrieval parameters: `AnnTables` independent hash tables of
   // `AnnPlanes` sign bits each (OR-amplification: a candidate shares ≥1
   // whole bucket). Global plane index = t*AnnPlanes + p.
@@ -562,6 +584,29 @@ object SimilarityQueries {
     // q_ann_topk_bruteforce by q_ann_recall_lsh.
     "q_ann_topk_lsh" -> ((s, dir) => lshTopK(s, dir).orderBy("q_id", "rk")),
 
+    // Top-k in the Johnson–Lindenstrauss projected space (64 → 16 dims):
+    // project ONCE per vector (narrow codegen'd map), then the same
+    // ranking shape as brute-force but with 4× less per-pair math — the
+    // cheap-re-rank rung; JlSpec measures its recall against the exact
+    // baseline. Bounded all-pairs here only because it is the oracle of
+    // the projection math itself.
+    "q_ann_topk_jl" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embs(s, dir)
+        .select(col("vec_id"), col("label"),
+          jlProject(asDouble(col("embedding")), JlDims).as("emb"))
+      val q = e.filter(col("label") === 0)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+      val cand = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+      val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+      q.join(cand, col("q_id") =!= col("c_id"))
+        .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("c_id"), round(col("cos"), 4).as("cos"))
+        .orderBy("q_id", "rk")
+    }),
+
     // Recall@k of the LSH path vs the brute-force baseline, per query —
     // the accuracy contract of the approximate operator. n/k with small
     // integer n is bit-identical across engines.
@@ -879,6 +924,28 @@ object SimilarityQueries {
              row_number() OVER (PARTITION BY q_id
                ORDER BY dp / (sqrt(nq) * sqrt(nc)) DESC, c_id) AS rk
            FROM dots)
+         SELECT q_id, rk, c_id, round(cos, 4) AS cos
+         FROM ranked WHERE rk <= 5""",
+    "q_ann_topk_jl" ->
+      s"""WITH e AS (
+           SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         js AS (SELECT CAST(unnest(range(0, $JlDims)) AS INTEGER) AS j),
+         proj AS (
+           SELECT vec_id, label, j,
+             sum(emb[d+1] * (CASE WHEN CAST(('0x' || substr(md5('jl:' || CAST(j AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) AS BIGINT) >= 8 THEN 1.0 ELSE -1.0 END)) AS p
+           FROM e, js, UNNEST(range(0, 64)) AS u(d)
+           GROUP BY 1, 2, 3),
+         pairs AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             sum(q.p * c.p) AS dp, sum(q.p * q.p) AS nq, sum(c.p * c.p) AS nc
+           FROM (SELECT * FROM proj WHERE label = 0) q
+           JOIN proj c ON q.j = c.j AND q.vec_id <> c.vec_id
+           GROUP BY 1, 2),
+         ranked AS (
+           SELECT q_id, c_id, dp / (sqrt(nq) * sqrt(nc)) AS cos,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY dp / (sqrt(nq) * sqrt(nc)) DESC, c_id) AS rk
+           FROM pairs)
          SELECT q_id, rk, c_id, round(cos, 4) AS cos
          FROM ranked WHERE rk <= 5""",
     "q_dedup_embedding" ->
