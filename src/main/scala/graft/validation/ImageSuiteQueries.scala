@@ -104,7 +104,31 @@ object ImageSuiteQueries {
     (s.read.parquet(s"$KeysPath/light"), s.read.parquet(s"$KeysPath/captions"))
   }
 
+  /** Static column/kind list for the facts-table profile: the hash-
+    * magnitude longs (phash, phash_rec) are projected out per the
+    * [[Profiler.profile]] caller note, image_id adds nothing over part,
+    * and booleans are not profileable on either engine. psnr_db is the
+    * point of this query: it carries thousands of ±Inf (perfect
+    * reconstruction) and NaN (failed decode) values, so it proves the
+    * finite-only stats + n_nonfinite contract against DuckDB.
+    */
+  val FactsProfileCols: Seq[(String, Profiler.Kind)] = Seq(
+    "caption" -> Profiler.Str, "dec_h" -> Profiler.Integral,
+    "dec_w" -> Profiler.Integral, "fmt" -> Profiler.Str,
+    "fmt_sniffed" -> Profiler.Str, "h" -> Profiler.Integral,
+    "n_bytes" -> Profiler.Integral, "part" -> Profiler.Str,
+    "phash_hamming" -> Profiler.Integral, "psnr_db" -> Profiler.Fractional,
+    "w" -> Profiler.Integral)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Single-pass column profile of the decoded-facts table — the
+    // discovery face of the suite run over REAL suite output, with
+    // nonfinite psnr_db values excluded from numeric stats and counted.
+    "q_i_profile" -> ((s, dir) => {
+      val f = ensureFacts(s, dir)
+      Profiler.profile(f.select(FactsProfileCols.map(p => col(p._1)): _*))
+    }),
 
     // Key-check verdict family (uniqueness, referential both ways,
     // caption consistency) over the persisted light+captions bridge —
@@ -219,6 +243,8 @@ object ImageSuiteQueries {
     s"WITH f AS (SELECT * FROM read_parquet('$FactsPath/*.parquet'))"
 
   def oracleSql: Map[String, String] = Map(
+    "q_i_profile" -> Profiler.duckProfileSql(
+      s"read_parquet('$FactsPath/*.parquet')", FactsProfileCols),
     "q_i_keychecks" ->
       s"""WITH l AS (SELECT * FROM read_parquet('$KeysPath/light/*.parquet')),
          c AS (SELECT image_id AS cap_id, part AS cap_part, caption AS cap_caption

@@ -58,7 +58,11 @@ object Profiler {
   /** One profile row per column:
     * (column, dtype, n_rows, n_nonnull, completeness, ndv, distinctness,
     *  min_num, max_num, mean_num, stddev_num, min_len, max_len,
-    *  min_ts, max_ts) — numeric fields null for non-numeric kinds etc.
+    *  min_ts, max_ts, n_nonfinite) — numeric fields null for non-numeric
+    * kinds etc.; NaN/±Inf are excluded from numeric stats and counted in
+    * n_nonfinite. CALLER NOTE for hash-like longs (e.g. 64-bit phash):
+    * project them out or profile them as strings — their squares exceed
+    * decimal(38,10) and their mean/stddev is meaningless anyway.
     */
   def profile(df: DataFrame, exactNdv: Boolean = true): DataFrame = {
     val cols = columnsOf(df)
@@ -70,8 +74,15 @@ object Profiler {
          else approx_count_distinct(col(c))).as(a(c, "ndv")))
       val typed = k match {
         case Integral | Fractional =>
-          val d = col(c).cast("double")
+          // numeric stats are FINITE-only: NaN/±Inf (sensor sentinels,
+          // division artifacts — e.g. the image suite's psnr_db = +Inf on
+          // perfect reconstruction) would poison every decimal sum and
+          // diverge across engines; they are excluded here and surfaced
+          // in n_nonfinite instead
+          val d0 = col(c).cast("double")
+          val d = when(!isnan(d0) && abs(d0) =!= lit(Double.PositiveInfinity), d0)
           Seq(
+            count(d).as(a(c, "fc")),
             min(d.cast("decimal(28,6)")).as(a(c, "mn")),
             max(d.cast("decimal(28,6)")).as(a(c, "mx")),
             sum(d.cast("decimal(28,6)")).as(a(c, "s1")),
@@ -92,17 +103,18 @@ object Profiler {
     val rows = cols.map { case (c, k) =>
       val nn = col(a(c, "nn"))
       val ndv = col(a(c, "ndv"))
-      val (mnN, mxN, mean, sd) = k match {
+      val (mnN, mxN, mean, sd, nonfin) = k match {
         case Integral | Fractional =>
+          val fc = col(a(c, "fc"))
           val s1 = col(a(c, "s1")).cast("double")
           val s2 = col(a(c, "s2")).cast("double")
-          val mean = round(s1 / nn, 4)
+          val mean = round(s1 / fc, 4)
           // sample stddev from exact decimal sums; shared scalar formula
-          val sd = when(nn >= 2,
-            round(sqrt(greatest((s2 - s1 * s1 / nn) / (nn - 1), lit(0.0))), 4))
+          val sd = when(fc >= 2,
+            round(sqrt(greatest((s2 - s1 * s1 / fc) / (fc - 1), lit(0.0))), 4))
           (col(a(c, "mn")).cast("double"), col(a(c, "mx")).cast("double"),
-            when(nn >= 1, mean), sd)
-        case _ => (nullD, nullD, nullD, nullD)
+            when(fc >= 1, mean), sd, nn - fc)
+        case _ => (nullD, nullD, nullD, nullD, nullL)
       }
       val (ln, lx) = k match {
         case Str => (col(a(c, "ln")), col(a(c, "lx")))
@@ -121,7 +133,8 @@ object Profiler {
         mnN.as("min_num"), mxN.as("max_num"),
         mean.as("mean_num"), sd.as("stddev_num"),
         ln.as("min_len"), lx.as("max_len"),
-        tmn.as("min_ts"), tmx.as("max_ts"))
+        tmn.as("min_ts"), tmx.as("max_ts"),
+        nonfin.as("n_nonfinite"))
     }
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(rows: _*)).as("r"))
@@ -136,11 +149,14 @@ object Profiler {
       val base = Seq(s"count($c) AS ${a(c, "nn")}",
         s"count(DISTINCT $c) AS ${a(c, "ndv")}")
       val typed = k match {
-        case Integral | Fractional => Seq(
-          s"min(CAST(CAST($c AS DOUBLE) AS DECIMAL(28,6))) AS ${a(c, "mn")}",
-          s"max(CAST(CAST($c AS DOUBLE) AS DECIMAL(28,6))) AS ${a(c, "mx")}",
-          s"sum(CAST(CAST($c AS DOUBLE) AS DECIMAL(28,6))) AS ${a(c, "s1")}",
-          s"sum(CAST(CAST($c AS DOUBLE) * CAST($c AS DOUBLE) AS DECIMAL(38,10))) AS ${a(c, "s2")}")
+        case Integral | Fractional =>
+          val ff = s"(CASE WHEN isfinite(CAST($c AS DOUBLE)) THEN CAST($c AS DOUBLE) END)"
+          Seq(
+            s"count($ff) AS ${a(c, "fc")}",
+            s"min(CAST($ff AS DECIMAL(28,6))) AS ${a(c, "mn")}",
+            s"max(CAST($ff AS DECIMAL(28,6))) AS ${a(c, "mx")}",
+            s"sum(CAST($ff AS DECIMAL(28,6))) AS ${a(c, "s1")}",
+            s"sum(CAST($ff * $ff AS DECIMAL(38,10))) AS ${a(c, "s2")}")
         case Str => Seq(
           s"min(length($c)) AS ${a(c, "ln")}",
           s"max(length($c)) AS ${a(c, "lx")}")
@@ -152,15 +168,17 @@ object Profiler {
     }
     val arms = cols.map { case (c, k) =>
       val nn = a(c, "nn")
-      val (mnN, mxN, mean, sd) = k match {
+      val (mnN, mxN, mean, sd, nonfin) = k match {
         case Integral | Fractional =>
+          val fc = a(c, "fc")
           val s1 = s"CAST(${a(c, "s1")} AS DOUBLE)"
           val s2 = s"CAST(${a(c, "s2")} AS DOUBLE)"
           (s"CAST(${a(c, "mn")} AS DOUBLE)", s"CAST(${a(c, "mx")} AS DOUBLE)",
-            s"CASE WHEN $nn >= 1 THEN round($s1 / $nn, 4) END",
-            s"CASE WHEN $nn >= 2 THEN round(sqrt(greatest(($s2 - $s1 * $s1 / $nn) / ($nn - 1), 0.0)), 4) END")
+            s"CASE WHEN $fc >= 1 THEN round($s1 / $fc, 4) END",
+            s"CASE WHEN $fc >= 2 THEN round(sqrt(greatest(($s2 - $s1 * $s1 / $fc) / ($fc - 1), 0.0)), 4) END",
+            s"$nn - $fc")
         case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
-          "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+          "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", "CAST(NULL AS BIGINT)")
       }
       val (ln, lx) = k match {
         case Str => (a(c, "ln"), a(c, "lx"))
@@ -176,7 +194,7 @@ object Profiler {
          round(CAST(${a(c, "ndv")} AS DOUBLE) / n, 6) AS distinctness,
          $mnN AS min_num, $mxN AS max_num, $mean AS mean_num,
          $sd AS stddev_num, $ln AS min_len, $lx AS max_len,
-         $tmn AS min_ts, $tmx AS max_ts FROM prof"""
+         $tmn AS min_ts, $tmx AS max_ts, $nonfin AS n_nonfinite FROM prof"""
     }
     s"""WITH prof AS (SELECT ${aggs.mkString(",\n      ")} FROM $table)
        ${arms.mkString("\n  UNION ALL\n  ")}
@@ -228,7 +246,9 @@ object Profiler {
     // ratio = completeness: the profile proves every NON-NULL value lies
     // in [min,max], so in-range fraction == completeness on the source —
     // suggesting 1.0 on a nullable column would fail its own table
-    val inRange = arm(col("dtype").isin(Integral.label, Fractional.label),
+    // min_num null ⇔ zero finite values — nothing rangeable to suggest
+    val inRange = arm(col("dtype").isin(Integral.label, Fractional.label) &&
+        col("min_num").isNotNull,
       "in_range", floor(col("min_num")).cast("double"),
       ceil(col("max_num")).cast("double"), col("completeness"), nullS)
     val inSet = p.filter(col("dtype") === Str.label && col("ndv") <= inSetMaxNdv)
@@ -270,7 +290,7 @@ object Profiler {
          UNION ALL
          SELECT "column", 'in_range', CAST(floor(min_num) AS DOUBLE),
            CAST(ceil(max_num) AS DOUBLE), completeness, NULL
-         FROM p WHERE dtype IN ('integral', 'fractional')
+         FROM p WHERE dtype IN ('integral', 'fractional') AND min_num IS NOT NULL
          UNION ALL
          SELECT "column", 'in_set', NULL, NULL, NULL, $valueExpr
          FROM p WHERE dtype = 'string' AND ndv <= $inSetMaxNdv

@@ -70,6 +70,32 @@ class ProfilerSpec extends SparkTestBase {
       math.abs(p("s") - 3L) <= 1)
   }
 
+  test("NaN/±Inf excluded from numeric stats, counted in n_nonfinite") {
+    import spark.implicits._
+    // x: 2 finite, NaN, +Inf, -Inf, null → fc=2, n_nonfinite=3 (null is
+    // NOT nonfinite — it's already outside n_nonnull); y: all nonfinite
+    val df = Seq(
+      (1.0, Double.NaN), (3.0, Double.PositiveInfinity),
+      (Double.NaN, Double.NegativeInfinity),
+      (Double.PositiveInfinity, Double.NaN),
+      (Double.NegativeInfinity, Double.NaN))
+      .toDF("x", "y")
+      .union(Seq((Option.empty[Double], Option.empty[Double])).toDF("x", "y"))
+    val p = Profiler.profile(df).collect().map(r => r.getString(0) -> r).toMap
+    val x = p("x")
+    assert(x.getLong(3) == 5, "n_nonnull counts nonfinite values")
+    assert(x.getDouble(7) == 1.0 && x.getDouble(8) == 3.0, "min/max finite-only")
+    assert(x.getDouble(9) == 2.0, "mean over the 2 finite values")
+    assert(x.getLong(15) == 3, "x has 3 nonfinite")
+    val y = p("y")
+    assert(y.isNullAt(7) && y.isNullAt(9), "all-nonfinite: no numeric stats")
+    assert(y.getLong(15) == 5)
+    // suggest must not emit an in_range arm for the all-nonfinite column
+    val sugg = Profiler.suggest(df).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sugg.contains(("x", "in_range")) && !sugg.contains(("y", "in_range")))
+  }
+
   test("suggest on a frame with no low-cardinality strings emits str_len, not in_set") {
     import spark.implicits._
     val df = (0 until 50).map(i => (i.toLong, s"text_$i")).toDF("k", "t")
