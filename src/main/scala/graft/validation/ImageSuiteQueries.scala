@@ -129,6 +129,14 @@ object ImageSuiteQueries {
       val f = ensureFacts(s, dir)
       Profiler.profile(f.select(FactsProfileCols.map(p => col(p._1)): _*))
     }),
+    // …and the suggestion ladder over the same profile: the discovered
+    // constraints for a table the suite actually produced (in_set fires
+    // on the low-NDV format columns, in_range on the finite numeric
+    // stats, str_len on captions) — same generated DuckDB twin.
+    "q_i_suggest" -> ((s, dir) => {
+      val f = ensureFacts(s, dir)
+      Profiler.suggest(f.select(FactsProfileCols.map(p => col(p._1)): _*))
+    }),
 
     // Key-check verdict family (uniqueness, referential both ways,
     // caption consistency) over the persisted light+captions bridge —
@@ -244,6 +252,8 @@ object ImageSuiteQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_i_profile" -> Profiler.duckProfileSql(
+      s"read_parquet('$FactsPath/*.parquet')", FactsProfileCols),
+    "q_i_suggest" -> Profiler.duckSuggestSql(
       s"read_parquet('$FactsPath/*.parquet')", FactsProfileCols),
     "q_i_keychecks" ->
       s"""WITH l AS (SELECT * FROM read_parquet('$KeysPath/light/*.parquet')),
