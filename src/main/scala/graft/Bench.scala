@@ -170,13 +170,18 @@ object Bench {
       if (cpus == hiN) Seq.empty // peak aliases the 4N leg below
       else (1 to 3).map(_ => forkSuite(cpus, imageDir, warmDir))
 
-    // ---- phase 2: the N→4N pair, each level in a fresh JVM, MIN of 2
+    // ---- phase 2: the N→4N pair, each level in a fresh JVM, MIN of 3
     // runs per level (the standard least-noise latency estimator — noise
-    // from a shared host only ever ADDS time; both raw times are emitted).
-    // Levels interleave (N, 4N, N, 4N) so a host-load drift hits both
-    // levels symmetrically instead of biasing the ratio.
+    // from a shared host only ever ADDS time; all raw times are emitted).
+    // Levels interleave (N, 4N, N, 4N, …) so a host-load drift hits both
+    // levels symmetrically instead of biasing the ratio; three rounds
+    // (was two) because a load window that covers BOTH runs of one level
+    // defeats min-of-2 — the r4 driver artifact recorded the 4N leg at
+    // [117.7, 128.3] s under load vs 74 s idle and the ratio sagged to
+    // 0.78; a third interleaved round widens the time span the load must
+    // cover to bias the minimum.
     val lowRuns = Seq.newBuilder[Double]; val highRuns = Seq.newBuilder[Double]
-    for (_ <- 1 to 2) {
+    for (_ <- 1 to 3) {
       lowRuns += forkSuite(loN, imageDir, warmDir)
       highRuns += forkSuite(hiN, imageDir, warmDir)
     }
@@ -187,7 +192,7 @@ object Bench {
     // used: on hosts where peak aliases the 4N leg there were no dedicated
     // peak runs (suite_sec_peak_runs is empty)
     val peakProtocol =
-      if (cpus == hiN) s"aliased to the local[$hiN] scaling leg (min of 2 interleaved fresh-JVM runs)"
+      if (cpus == hiN) s"aliased to the local[$hiN] scaling leg (min of 3 interleaved fresh-JVM runs)"
       else "min of 3 fresh-JVM runs, before the scaling pair"
 
     // ---- phase 3: headline operator queries (relative numbers) ----
@@ -232,7 +237,7 @@ object Bench {
       s""""suite_sec_local$hiN":${f"$tHigh%.2f"},"suite_sec_local$loN":${f"$tLow%.2f"},""" +
       s""""suite_sec_local${hiN}_runs":${runsJson(highRuns.result())},""" +
       s""""suite_sec_local${loN}_runs":${runsJson(lowRuns.result())},""" +
-      s""""scaling_protocol":"min of 2 interleaved fresh-JVM runs per level",""" +
+      s""""scaling_protocol":"min of 3 interleaved fresh-JVM runs per level",""" +
       s""""images_per_sec_peak":${f"$thrPeak%.1f"},""" +
       s""""images_per_sec_local$hiN":${f"$thrHigh%.1f"},"images_per_sec_local$loN":${f"$thrLow%.1f"},""" +
       s""""scaling_levels":[$loN,$hiN],"fresh_jvm_per_level":true,""" +
