@@ -56,6 +56,12 @@ object ValidationQueries {
     "user_id" -> Profiler.Integral, "event_type" -> Profiler.Str,
     "value" -> Profiler.Fractional, "props" -> Profiler.Str)
 
+  /** FD sweep columns over `part` — the PK plus every low-NDV
+    * attribute; no non-key FD holds in this corpus, which the oracle
+    * verifies pair by pair alongside the 4 PK-determined ones. */
+  val PartFdCols: Seq[String] =
+    Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
   /** Row-level suite over lineitem whose checks genuinely fail on part
     * of the corpus — drives [[validation.CheckSuite.annotate]]/`split`
     * (per-row violation labels + quarantine routing). */
@@ -148,6 +154,13 @@ object ValidationQueries {
     "q_v_inclusion" -> ((s, dir) =>
       validation.Inclusion.inds(n => t(s, dir, n),
         validation.Inclusion.TestdataKeyAttrs)),
+
+    // Functional-dependency discovery (TANE semantics, aggregation
+    // shape) across part's columns — the PK determines everything, no
+    // non-key FD holds, and the oracle verifies BOTH outcomes plus the
+    // per-pair evidence (det_ndv, max dep ndv per det group).
+    "q_v_fds" -> ((s, dir) =>
+      validation.FunctionalDeps.fds(t(s, dir, "part"), PartFdCols)),
 
     // Quarantine side of the one-pass split: failing rows with their
     // comma-joined violation labels (pure projection + filter, no shuffle;
@@ -258,6 +271,29 @@ object ValidationQueries {
         .agg(count(lit(1)).as("n_buckets"), round(sum(col("term")), 6).as("chi2"))
     }),
 
+    // Distribution drift, PSI (population stability index): the
+    // industry-standard banded drift score Σ (p_i − q_i)·ln(p_i/q_i)
+    // over the shared bucket grid — complements chi² (count-scale
+    // sensitive) and KS (max-deviation) with a symmetric, proportion-
+    // scale score. Inner join keeps only common buckets so every term
+    // is finite (the smoothing-free variant both engines state
+    // identically); ln is the only transcendental and round(…,6)
+    // absorbs the <1-ulp libm spread between JVM and DuckDB.
+    "q_v_drift_psi" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy(floor(col("value") / 50.0).as("bucket")).agg(count(lit(1)).as("obs_p"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(floor(col("value") / 50.0).as("bucket")).agg(count(lit(1)).as("obs_v"))
+      val joined = p.join(v, Seq("bucket"), "inner")
+      val totals = joined.agg(sum("obs_p").as("tot_p"), sum("obs_v").as("tot_v"))
+      joined.crossJoin(totals)
+        .withColumn("pp", col("obs_p").cast("double") / col("tot_p").cast("double"))
+        .withColumn("pv", col("obs_v").cast("double") / col("tot_v").cast("double"))
+        .withColumn("term", (col("pp") - col("pv")) * log(col("pp") / col("pv")))
+        .agg(count(lit(1)).as("n_buckets"), round(sum(col("term")), 6).as("psi"))
+    }),
+
     // Distribution drift, KS statistic: max |CDF_a − CDF_b| over the bucket
     // grid; CDFs are exact integer ratios so the max is exact. The cumsum
     // is a triangular theta-join over the POST-AGGREGATION bucket grid (a
@@ -299,6 +335,23 @@ object ValidationQueries {
     "q_v_suggest" -> Profiler.duckSuggestSql("events", EventsProfileCols),
     "q_v_inclusion" ->
       validation.Inclusion.duckSql(validation.Inclusion.TestdataKeyAttrs),
+    "q_v_fds" -> validation.FunctionalDeps.duckSql("part", PartFdCols),
+    "q_v_drift_psi" ->
+      """WITH p AS (
+           SELECT floor(value/50.0) AS bucket, count(*) AS obs_p
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         v AS (
+           SELECT floor(value/50.0) AS bucket, count(*) AS obs_v
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+         j AS (SELECT p.bucket, obs_p, obs_v FROM p JOIN v ON p.bucket = v.bucket),
+         tot AS (SELECT sum(obs_p) AS tot_p, sum(obs_v) AS tot_v FROM j),
+         terms AS (
+           SELECT (CAST(obs_p AS DOUBLE)/CAST(tot_p AS DOUBLE)
+                 - CAST(obs_v AS DOUBLE)/CAST(tot_v AS DOUBLE))
+                * ln((CAST(obs_p AS DOUBLE)/CAST(tot_p AS DOUBLE))
+                   / (CAST(obs_v AS DOUBLE)/CAST(tot_v AS DOUBLE))) AS term
+           FROM j, tot)
+         SELECT count(*) AS n_buckets, round(sum(term), 6) AS psi FROM terms""",
     "q_v_uniqueness" ->
       """WITH g1 AS (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1),
          g2 AS (SELECT l_orderkey, l_linenumber, count(*) AS n FROM lineitem GROUP BY 1, 2),
