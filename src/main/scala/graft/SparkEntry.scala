@@ -471,6 +471,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // S2b: stratified deterministic sampling — per-stratum keep rates in
+    // 256ths (purchase 1/2, click 1/4, view 1/16, error 1/256, signup
+    // dropped); a pure scan-stage predicate over the id hash, zero
+    // shuffle (operators.Sampling).
+    "q_s3_stratified" -> ((s, dir) =>
+      operators.Sampling.stratified(t(s, dir, "events"), "event_type",
+          col("event_id"),
+          Map("purchase" -> 128, "click" -> 64, "view" -> 16, "error" -> 1))
+        .select("event_id", "event_type")
+        .orderBy("event_id")),
+
+    // S2c: exact-count-per-stratum sampling (deterministic reservoir
+    // twin): hash-rank within each stratum, keep the first 20.
+    "q_s4_stratified_k" -> ((s, dir) =>
+      operators.Sampling.stratifiedExactK(t(s, dir, "events"), "event_type",
+          col("event_id"), k = 20)
+        .select("event_id", "event_type")
+        .orderBy("event_type", "event_id")),
+
     // J4: multi-source enrichment join — reference "try ALL methods, keep
     // everything, pick best" `analysis.py:555-642`: several left joins, a
     // coalesce ladder (F15) picks the first available value.
@@ -880,6 +899,21 @@ object SparkEntry {
     "q_s2_sample_hash" ->
       """SELECT doc_id, lang FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')""",
+    "q_s3_stratified" ->
+      """SELECT event_id, event_type FROM events
+         WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) <
+           CASE event_type WHEN 'purchase' THEN '80' WHEN 'click' THEN '40'
+                WHEN 'view' THEN '10' WHEN 'error' THEN '01' ELSE '00' END
+         ORDER BY event_id""",
+    "q_s4_stratified_k" ->
+      """SELECT event_id, event_type FROM (
+           SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY substr(md5(CAST(event_id AS VARCHAR)), 1, 2),
+                        md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+           FROM events)
+         WHERE rk <= 20
+         ORDER BY event_type, event_id""",
     "q_j4_multisource" ->
       """SELECT o_orderkey,
          coalesce(n_name, c_mktsegment, 'unknown') AS region_label,

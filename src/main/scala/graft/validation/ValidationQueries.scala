@@ -221,6 +221,41 @@ object ValidationQueries {
         max(col("o_orderdate")).cast("date").cast("string").as("max_date"))
     }),
 
+    // Cross-column Pearson correlation profile: all three pairs over
+    // lineitem's numeric columns from ONE aggregation pass (the
+    // correlation analyzer of published data-quality suites). The nine
+    // moments ride exact decimal sums (order-free across any shuffle);
+    // the final r = (n·Sxy − Sx·Sy)/(√(n·Sxx − Sx²)·√(n·Syy − Sy²)) is
+    // the same scalar double expression in both engines, rounded.
+    "q_v_corr" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def m1(c: String) = sum(col(c).cast("decimal(28,6)"))
+      def m2(x: String, y: String) =
+        sum((col(x) * col(y)).cast("decimal(38,10)"))
+      val a = li.agg(
+        count(lit(1L)).as("n"),
+        m1("l_quantity").as("s_q"), m1("l_extendedprice").as("s_p"),
+        m1("l_discount").as("s_d"),
+        m2("l_quantity", "l_quantity").as("s_qq"),
+        m2("l_extendedprice", "l_extendedprice").as("s_pp"),
+        m2("l_discount", "l_discount").as("s_dd"),
+        m2("l_quantity", "l_extendedprice").as("s_qp"),
+        m2("l_quantity", "l_discount").as("s_qd"),
+        m2("l_extendedprice", "l_discount").as("s_pd"))
+      def corr(sxy: String, sx: String, sy: String,
+               sxx: String, syy: String) = {
+        val n = col("n").cast("double")
+        def d(c: String) = col(c).cast("double")
+        round((n * d(sxy) - d(sx) * d(sy)) /
+          (sqrt(n * d(sxx) - d(sx) * d(sx)) *
+           sqrt(n * d(syy) - d(sy) * d(sy))), 6)
+      }
+      a.select(col("n").as("n_rows"),
+        corr("s_qp", "s_q", "s_p", "s_qq", "s_pp").as("corr_qty_price"),
+        corr("s_qd", "s_q", "s_d", "s_qq", "s_dd").as("corr_qty_disc"),
+        corr("s_pd", "s_p", "s_d", "s_pp", "s_dd").as("corr_price_disc"))
+    }),
+
     // Row-invariant bounds + sentinel checks in one pass over lineitem —
     // bounds predicate (P3) + sentinel predicate (P4) verdicts.
     "q_v_row_invariants" -> ((s, dir) => {
@@ -336,6 +371,30 @@ object ValidationQueries {
     "q_v_inclusion" ->
       validation.Inclusion.duckSql(validation.Inclusion.TestdataKeyAttrs),
     "q_v_fds" -> validation.FunctionalDeps.duckSql("part", PartFdCols),
+    "q_v_corr" ->
+      """WITH a AS (
+           SELECT count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(28,6))) AS s_q,
+             sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS s_p,
+             sum(CAST(l_discount AS DECIMAL(28,6))) AS s_d,
+             sum(CAST(l_quantity * l_quantity AS DECIMAL(38,10))) AS s_qq,
+             sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,10))) AS s_pp,
+             sum(CAST(l_discount * l_discount AS DECIMAL(38,10))) AS s_dd,
+             sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,10))) AS s_qp,
+             sum(CAST(l_quantity * l_discount AS DECIMAL(38,10))) AS s_qd,
+             sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,10))) AS s_pd
+           FROM lineitem)
+         SELECT n AS n_rows,
+           round((CAST(n AS DOUBLE) * CAST(s_qp AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_p AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(s_pp AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))), 6) AS corr_qty_price,
+           round((CAST(n AS DOUBLE) * CAST(s_qd AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(s_dd AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))), 6) AS corr_qty_disc,
+           round((CAST(n AS DOUBLE) * CAST(s_pd AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_d AS DOUBLE))
+             / (sqrt(CAST(n AS DOUBLE) * CAST(s_pp AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+              * sqrt(CAST(n AS DOUBLE) * CAST(s_dd AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE))), 6) AS corr_price_disc
+         FROM a""",
     "q_v_drift_psi" ->
       """WITH p AS (
            SELECT floor(value/50.0) AS bucket, count(*) AS obs_p
