@@ -56,6 +56,10 @@ object ValidationQueries {
     "user_id" -> Profiler.Integral, "event_type" -> Profiler.Str,
     "value" -> Profiler.Fractional, "props" -> Profiler.Str)
 
+  /** UCC sweep columns over `orders`. */
+  val OrdersUccCols: Seq[String] = Seq("o_orderkey", "o_custkey",
+    "o_orderstatus", "o_orderdate", "o_totalprice")
+
   /** FD sweep columns over `part` — the PK plus every low-NDV
     * attribute; no non-key FD holds in this corpus, which the oracle
     * verifies pair by pair alongside the 4 PK-determined ones. */
@@ -161,6 +165,13 @@ object ValidationQueries {
     // per-pair evidence (det_ndv, max dep ndv per det group).
     "q_v_fds" -> ((s, dir) =>
       validation.FunctionalDeps.fds(t(s, dir, "part"), PartFdCols)),
+
+    // Candidate-key discovery (UCC lattice, levels 1-2 with Apriori
+    // pruning) over orders — finds the PK and the two genuinely minimal
+    // unique pairs; completes the dependency-discovery trio with
+    // q_v_inclusion (FKs) and q_v_fds (determinants).
+    "q_v_uccs" -> ((s, dir) =>
+      validation.UniqueCombos.uccs(t(s, dir, "orders"), OrdersUccCols)),
 
     // Quarantine side of the one-pass split: failing rows with their
     // comma-joined violation labels (pure projection + filter, no shuffle;
@@ -371,6 +382,7 @@ object ValidationQueries {
     "q_v_inclusion" ->
       validation.Inclusion.duckSql(validation.Inclusion.TestdataKeyAttrs),
     "q_v_fds" -> validation.FunctionalDeps.duckSql("part", PartFdCols),
+    "q_v_uccs" -> validation.UniqueCombos.duckSql("orders", OrdersUccCols),
     "q_v_corr" ->
       """WITH a AS (
            SELECT count(*) AS n,
