@@ -232,6 +232,29 @@ object ValidationQueries {
         max(col("o_orderdate")).cast("date").cast("string").as("max_date"))
     }),
 
+    // Shannon entropy of categorical columns (value-concentration
+    // profile — 0 for a constant column, ln(ndv) for uniform; the
+    // normalized form is scale-free so thresholds survive corpus
+    // growth). One groupBy per column over counts that are exact
+    // integer ratios; ln rides the same round-6 discipline as PSI.
+    "q_v_entropy" -> ((s, dir) => {
+      def one(df: DataFrame, c: String) = {
+        val counts = df.groupBy(col(c)).agg(count(lit(1L)).as("cnt"))
+        counts.agg(sum("cnt").as("n"), count(lit(1L)).as("ndv"),
+            sum(col("cnt").cast("double") * log(col("cnt").cast("double"))).as("sclc"))
+          .select(lit(c).as("column"), col("n"), col("ndv"),
+            round(log(col("n").cast("double")) -
+              col("sclc") / col("n").cast("double"), 6).as("entropy"),
+            round((log(col("n").cast("double")) -
+              col("sclc") / col("n").cast("double")) /
+              log(col("ndv").cast("double")), 6).as("entropy_norm"))
+      }
+      one(t(s, dir, "events"), "event_type")
+        .unionAll(one(t(s, dir, "orders"), "o_orderstatus"))
+        .unionAll(one(t(s, dir, "lineitem"), "l_returnflag"))
+        .orderBy("column")
+    }),
+
     // Cross-column Pearson correlation profile: all three pairs over
     // lineitem's numeric columns from ONE aggregation pass (the
     // correlation analyzer of published data-quality suites). The nine
@@ -383,6 +406,19 @@ object ValidationQueries {
       validation.Inclusion.duckSql(validation.Inclusion.TestdataKeyAttrs),
     "q_v_fds" -> validation.FunctionalDeps.duckSql("part", PartFdCols),
     "q_v_uccs" -> validation.UniqueCombos.duckSql("orders", OrdersUccCols),
+    "q_v_entropy" -> {
+      def one(table: String, c: String) =
+        s"""SELECT '$c' AS "column", n, ndv,
+           round(ln(CAST(n AS DOUBLE)) - sclc / CAST(n AS DOUBLE), 6) AS entropy,
+           round((ln(CAST(n AS DOUBLE)) - sclc / CAST(n AS DOUBLE))
+             / ln(CAST(ndv AS DOUBLE)), 6) AS entropy_norm
+           FROM (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(*) AS ndv,
+                   sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS sclc
+                 FROM (SELECT $c, count(*) AS cnt FROM $table GROUP BY $c))"""
+      Seq(one("events", "event_type"), one("orders", "o_orderstatus"),
+        one("lineitem", "l_returnflag"))
+        .mkString("", "\n UNION ALL\n ", "\n ORDER BY \"column\"")
+    },
     "q_v_corr" ->
       """WITH a AS (
            SELECT count(*) AS n,
