@@ -93,6 +93,54 @@ object Bench {
     println(f"SUITE_SEC=$sec%.3f")
   }
 
+  /** Child mode for the headline-query phase: times every query in THIS
+    * (fresh) JVM and prints one marker line per query. Forked for the
+    * same reason as the suite legs: by the time phase 3 starts the
+    * parent JVM has hosted 30+ minutes of generation sessions and the
+    * measured times were carrying its old-gen/code-cache age (the r4
+    * in-parent run recorded the simhash fallback rung 1.6× above the
+    * same binary on a fresh JVM).
+    */
+  private def queriesChild(cpus: Int, sfDir: String): Unit = {
+    val spark = session(cpus)
+    try exhaust(Tables(spark, sfDir, "lineitem").groupBy("l_returnflag").count())
+    catch { case _: Throwable => }
+    headline.foreach { name =>
+      var failed = false
+      val t = time {
+        try exhaust(SparkEntry.queries(name)(spark, sfDir))
+        catch { case e: Throwable =>
+          failed = true
+          System.err.println(s"[bench] $name: ${e.getMessage}")
+        }
+      }
+      println(f"QTIME=$name=${if (failed) -1.0 else t}%.3f")
+    }
+    spark.stop()
+  }
+
+  /** Fork the query phase; returns (name → seconds, failed names). */
+  private def forkQueries(cpus: Int, sfDir: String): (Seq[(String, Double)], List[String]) = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+      "-cp", System.getProperty("java.class.path"),
+      "graft.Bench", "queries", cpus.toString, sfDir)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    val rc = p.waitFor()
+    require(rc == 0, s"bench queries child exited $rc")
+    val got = out.linesIterator.filter(_.startsWith("QTIME=")).map { l =>
+      val Array(name, sec) = l.stripPrefix("QTIME=").split("=", 2)
+      name -> sec.toDouble
+    }.toMap
+    val times = headline.map(n => n -> got.getOrElse(n, -1.0))
+    (times, times.filter(_._2 < 0).map(_._1).toList)
+  }
+
   /** Fork a fresh JVM running `Bench suite <cpus> ...`; returns seconds.
     * Re-uses this JVM's flags (−Xmx, JDK17 add-opens) and classpath, so the
     * child sees the same runtime environment minus the accumulated heap.
@@ -120,6 +168,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("suite")) {
       suiteChild(args(1).toInt, args(2), args(3))
+      return
+    }
+    if (args.headOption.contains("queries")) {
+      queriesChild(args(1).toInt, args(2))
       return
     }
     // Dev harness: `Bench query <name> <sfDir> [reps]` times ONE headline
@@ -152,7 +204,7 @@ object Bench {
     val loN = 1; val hiN = math.min(4, cpus)
 
     // ---- phase 0: generate inputs once (untimed), in the parent ----
-    var spark = session(cpus)
+    val spark = session(cpus)
     val imageDir = ImageGen.ensure(spark, nImages)
     // JIT tier: ~20k rows ≈ 2× the C2 compile threshold per hot kernel —
     // enough to warm decode/codegen paths without inflating low-core legs
@@ -195,26 +247,9 @@ object Bench {
       if (cpus == hiN) s"aliased to the local[$hiN] scaling leg (min of 3 interleaved fresh-JVM runs)"
       else "min of 3 fresh-JVM runs, before the scaling pair"
 
-    // ---- phase 3: headline operator queries (relative numbers) ----
-    spark = session(cpus)
-    // untimed scan+agg warms session/codegen infrastructure so the first
-    // measured query isn't charged for JVM setup
-    try exhaust(Tables(spark, sfDir, "lineitem").groupBy("l_returnflag").count())
-    catch { case _: Throwable => }
-    var qErrors = List.empty[String]
-    val qTimes = headline.map { name =>
-      var failed = false
-      val t = time {
-        try exhaust(SparkEntry.queries(name)(spark, sfDir))
-        catch { case e: Throwable =>
-          failed = true
-          System.err.println(s"[bench] $name: ${e.getMessage}")
-        }
-      }
-      // a failed query must not read as a fast success
-      name -> (if (failed) { qErrors ::= name; -1.0 } else t)
-    }
-    spark.stop()
+    // ---- phase 3: headline operator queries (relative numbers), in a
+    // FRESH forked JVM like every other measured phase ----
+    val (qTimes, qErrors) = forkQueries(cpus, sfDir)
 
     val thrPeak = nImages / tPeak
     val thrHigh = nImages / tHigh
@@ -222,7 +257,7 @@ object Bench {
     val efficiency = thrHigh / (thrLow * (hiN.toDouble / loN))
 
     val qs = qTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
-    val errs = qErrors.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val errs = qErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // exclude failure sentinels (-1.0) and don't double-count the peak legs
     // when they were aliased to the 4N leg on small hosts
     val total = qTimes.map(_._2).filter(_ >= 0).sum + peakRuns.sum +
