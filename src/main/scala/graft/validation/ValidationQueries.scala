@@ -290,6 +290,43 @@ object ValidationQueries {
         corr("s_pd", "s_p", "s_d", "s_pp", "s_dd").as("corr_price_disc"))
     }),
 
+    // Mutual information between orders' two categorical columns —
+    // [[validation.Analyzers.mutualInfo]] (entropy composition
+    // MI = H(x) + H(y) − H(x,y), one corpus scan); the oracle restates
+    // the same formula over the same joint-counts CTE. Both columns
+    // are profiler-proved low-NDV, so the joint frame stays tiny.
+    "q_v_mutual_info" -> ((s, dir) =>
+      validation.Analyzers.mutualInfo(t(s, dir, "orders"),
+        "o_orderstatus", "o_orderpriority")),
+
+    // Order invariant over events: per user, ts must be non-decreasing
+    // in event_id order (event_id is unique, so the order is total and
+    // both engines see identical neighbor pairs) —
+    // [[validation.Analyzers.orderInvariant]].
+    "q_v_monotonic" -> ((s, dir) =>
+      validation.Analyzers.orderInvariant(t(s, dir, "events"),
+        key = "user_id", ord = "event_id", value = "ts")),
+
+    // Relationship-cardinality profiling of the three FK edges the
+    // inclusion sweep discovers —
+    // [[validation.Analyzers.relationshipCardinality]] classifies each
+    // edge 1:1 / N:1 / N:M from the max key multiplicity per side.
+    "q_v_rel_cardinality" -> ((s, dir) => {
+      validation.Analyzers.relationshipCardinality(
+          "lineitem.l_orderkey->orders.o_orderkey",
+          t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey")
+        .unionByName(validation.Analyzers.relationshipCardinality(
+          "lineitem.l_partkey->part.p_partkey",
+          t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey"))
+        .unionByName(validation.Analyzers.relationshipCardinality(
+          "orders.o_custkey->customer.c_custkey",
+          t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey"))
+        .orderBy("rel")
+    }),
+
     // Row-invariant bounds + sentinel checks in one pass over lineitem —
     // bounds predicate (P3) + sentinel predicate (P4) verdicts.
     "q_v_row_invariants" -> ((s, dir) => {
@@ -542,6 +579,67 @@ object ValidationQueries {
          SELECT l_returnflag, score_quantity, score_discount, score_price,
            (score_quantity + score_discount + score_price) / 3.0 AS overall_score
          FROM s""",
+    "q_v_mutual_info" ->
+      """WITH joint AS (
+           SELECT o_orderstatus AS x, o_orderpriority AS y, count(*) AS c
+           FROM orders GROUP BY 1, 2),
+         sj AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS ndv_xy,
+                  sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS sj
+                FROM joint),
+         sx AS (SELECT count(*) AS ndv_x,
+                  sum(CAST(cx AS DOUBLE) * ln(CAST(cx AS DOUBLE))) AS sx
+                FROM (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM joint GROUP BY 1)),
+         sy AS (SELECT count(*) AS ndv_y,
+                  sum(CAST(cy AS DOUBLE) * ln(CAST(cy AS DOUBLE))) AS sy
+                FROM (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM joint GROUP BY 1))
+         SELECT n, ndv_x, ndv_y, ndv_xy,
+           round(ln(CAST(n AS DOUBLE)) - sx / CAST(n AS DOUBLE), 6) AS h_x,
+           round(ln(CAST(n AS DOUBLE)) - sy / CAST(n AS DOUBLE), 6) AS h_y,
+           round(ln(CAST(n AS DOUBLE)) - sj / CAST(n AS DOUBLE), 6) AS h_xy,
+           round((ln(CAST(n AS DOUBLE)) - sx / CAST(n AS DOUBLE))
+               + (ln(CAST(n AS DOUBLE)) - sy / CAST(n AS DOUBLE))
+               - (ln(CAST(n AS DOUBLE)) - sj / CAST(n AS DOUBLE)), 6) AS mi,
+           round(((ln(CAST(n AS DOUBLE)) - sx / CAST(n AS DOUBLE))
+               + (ln(CAST(n AS DOUBLE)) - sy / CAST(n AS DOUBLE))
+               - (ln(CAST(n AS DOUBLE)) - sj / CAST(n AS DOUBLE)))
+             / least(ln(CAST(n AS DOUBLE)) - sx / CAST(n AS DOUBLE),
+                     ln(CAST(n AS DOUBLE)) - sy / CAST(n AS DOUBLE)), 6) AS mi_norm
+         FROM sj, sx, sy""",
+    "q_v_monotonic" ->
+      """WITH l AS (
+           SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+           FROM events)
+         SELECT count(DISTINCT user_id) AS n_keys,
+           count(prev_ts) AS n_pairs,
+           CAST(sum(CASE WHEN prev_ts > ts THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions,
+           CAST(sum(CASE WHEN prev_ts > ts THEN 1 ELSE 0 END) AS BIGINT) = 0 AS pass
+         FROM l""",
+    "q_v_rel_cardinality" -> {
+      def edge(rel: String, child: String, ck: String,
+               parent: String, pk: String) =
+        s"""SELECT '$rel' AS rel,
+             c.n_child, c.ndv_child, c.max_child_mult,
+             p.n_parent, p.ndv_parent, p.max_parent_mult,
+             CASE WHEN p.max_parent_mult > 1 THEN 'N:M'
+                  WHEN c.max_child_mult > 1 THEN 'N:1'
+                  ELSE '1:1' END AS cardinality
+           FROM
+             (SELECT count(*) AS ndv_child, CAST(sum(c) AS BIGINT) AS n_child,
+                max(c) AS max_child_mult
+              FROM (SELECT $ck, count(*) AS c FROM $child GROUP BY 1)) c,
+             (SELECT count(*) AS ndv_parent, CAST(sum(c) AS BIGINT) AS n_parent,
+                max(c) AS max_parent_mult
+              FROM (SELECT $pk, count(*) AS c FROM $parent GROUP BY 1)) p"""
+      Seq(
+        edge("lineitem.l_orderkey->orders.o_orderkey",
+          "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("lineitem.l_partkey->part.p_partkey",
+          "lineitem", "l_partkey", "part", "p_partkey"),
+        edge("orders.o_custkey->customer.c_custkey",
+          "orders", "o_custkey", "customer", "c_custkey"))
+        .mkString("", "\n UNION ALL\n ", "\n ORDER BY rel")
+    },
     "q_v_drift_chisq" ->
       """WITH p AS (
            SELECT floor(value/50.0) AS bucket, count(*) AS obs_p
