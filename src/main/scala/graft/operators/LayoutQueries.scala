@@ -1,0 +1,503 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-layout and planner-statistics operators — the metadata layer an
+  * Iceberg deployment runs BEFORE any scan: zone-map (file-stats) pruning
+  * estimation, clustering-layout comparison (linear vs z-order), and
+  * sketch-based join-cardinality estimation. Reference analogues: the
+  * reference prunes work with cheap precomputed keys before expensive
+  * fetches (content-keyed cache checks, `/root/reference/src/crawl_first/
+  * cache.py:27-29`, and the bounded bbox pre-filter before per-feature
+  * distance math, `osm.py:606-637`) and sizes batches from cheap counts
+  * before running them (`Makefile:124`).
+  *
+  * Why this belongs in a validation engine at 10^12 rows: the north-star
+  * table is Iceberg, and Iceberg's manifest stats (per-file min/max/null
+  * counts) are exactly a zone map. Whether a drift or key-check scan
+  * touches 1% or 100% of 100 TB is decided by these stats and by how the
+  * table is clustered — so the engine ships (a) an estimator that
+  * replays the pruning decision from the stats alone, (b) a measured
+  * comparison of ingest-order vs z-order clustering for the same
+  * predicate, and (c) a histogram-sketch join-cardinality estimator (the
+  * input a planner needs to pick broadcast vs sort-merge for the
+  * referential checks).
+  *
+  * Everything is integer/md5-deterministic and builtins-only, so every
+  * operator is DuckDB-oracle-able bit-for-bit and stays in whole-stage
+  * codegen.
+  *
+  * Scale notes (100 TB):
+  *  - zone stats are ONE narrow groupBy per layout on the zone key —
+  *    map-side partial min/max/count, output rows = zone count (~file
+  *    count), orders of magnitude smaller than the data;
+  *  - the pruning estimate then runs on the STATS ONLY (zone-count-sized
+  *    input) — this is the whole point: the decision costs nothing;
+  *  - z-values are pure per-row bit math (no shuffle); the comparison
+  *    aggregates by zone key — same single-shuffle shape;
+  *  - the join-cardinality sketch is two narrow aggregations (bucket →
+  *    count) + a bucket-count-sized merge join; the sketch (≤ 65,536
+  *    rows) broadcasts. No full join is needed to DECIDE — the exact
+  *    count here exists only to grade the estimate.
+  *
+  * Algorithms from the public literature: z-order / bit-interleaved
+  * clustering (Morton 1966; Orenstein & Merrett, PODS 1984), small-
+  * materialized-aggregates zone maps (Moerkotte, VLDB 1998), histogram
+  * join-size estimation (Ioannidis & Christodoulakis, SIGMOD 1991).
+  */
+object LayoutQueries {
+
+  private def li(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+
+  // ---------------------------------------------------------------------
+  // Zone maps: per-zone min/max stats + scan-pruning estimate
+  // ---------------------------------------------------------------------
+
+  /** Rows per ingest-order zone (a stand-in for "rows per data file"). */
+  val IngestZoneOrders = 1000L
+
+  /** Pruning-demo predicate: ship year 1997, half-open. */
+  val PredLo = "1997-01-01"
+  val PredHi = "1998-01-01"
+
+  /** Per-zone min/max/count of `l_shipdate` under a zone key — the
+    * Iceberg manifest row for that file. One narrow groupBy; stats output
+    * is zone-count-sized.
+    */
+  def zoneStats(d: DataFrame, zone: Column): DataFrame =
+    d.groupBy(zone.as("zone"))
+      .agg(min(col("l_shipdate")).as("z_min"),
+        max(col("l_shipdate")).as("z_max"),
+        count(lit(1)).as("z_rows"))
+
+  /** Replay the scanner's pruning decision from stats alone: a zone is
+    * scanned iff its [min, max] intersects [lo, hi). Runs on the
+    * zone-count-sized stats frame, NOT the data.
+    */
+  def pruningEstimate(stats: DataFrame, layout: String): DataFrame = {
+    val lo = to_timestamp(lit(PredLo))
+    val hi = to_timestamp(lit(PredHi))
+    val scanned = (col("z_max") >= lo) && (col("z_min") < hi)
+    stats.agg(
+      lit(layout).as("layout"),
+      count(lit(1)).as("zones_total"),
+      sum(scanned.cast("long")).as("zones_scanned"),
+      sum(col("z_rows")).as("rows_total"),
+      sum(when(scanned, col("z_rows")).otherwise(lit(0L))).as("rows_scanned"))
+  }
+
+  /** Two layouts of the SAME rows, same predicate, same stats model:
+    * 'ingest' zones by arrival order (l_orderkey ranges — shipdate is
+    * uncorrelated with it, so min/max straddle the predicate in every
+    * zone and nothing prunes) vs 'clustered' zones keyed by ship month
+    * (what a re-cluster on the predicate column produces — only the 12
+    * matching months scan). rows_matching and amplification quantify the
+    * win: scan_amp = rows the scanner must read per row the predicate
+    * actually wants.
+    */
+  def zoneMapCompare(s: SparkSession, dir: String): DataFrame = {
+    val d = li(s, dir)
+    val ingest = pruningEstimate(
+      zoneStats(d, floor(col("l_orderkey") / IngestZoneOrders).cast("string")),
+      "ingest")
+    val clustered = pruningEstimate(
+      zoneStats(d, date_format(col("l_shipdate"), "yyyy-MM")),
+      "clustered")
+    val lo = to_timestamp(lit(PredLo))
+    val hi = to_timestamp(lit(PredHi))
+    val matching = d.agg(
+      sum((col("l_shipdate") >= lo && col("l_shipdate") < hi).cast("long"))
+        .as("rows_matching"))
+    ingest.unionAll(clustered)
+      .crossJoin(broadcast(matching)) // 2 × 1 rows — a literal attach
+      .withColumn("scan_amp",
+        round(col("rows_scanned").cast("double") / col("rows_matching"), 4))
+      .orderBy("layout")
+  }
+
+  // ---------------------------------------------------------------------
+  // Z-order clustering: bit-interleaved layout vs ingest order
+  // ---------------------------------------------------------------------
+
+  /** Box predicate bounds in QUANTIZED (0..255) space — scale-invariant:
+    * qx/qy are quantized relative to each column's max, so the same box
+    * selects the same ~2% fraction at every scale factor. */
+  val QxLo = 51L
+  val QxHi = 76L
+  val QyLo = 51L
+  val QyHi = 101L
+
+  /** 16-bit Morton code of two 8-bit values: x bits at even positions,
+    * y bits at odd. Pure integer column math — unrolled, codegen'd, no
+    * shuffle, and replayed bit-for-bit by the oracle SQL.
+    */
+  def morton8(qx: Column, qy: Column): Column =
+    (0 until 8).map { i =>
+      shiftleft(shiftright(qx, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(qy, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** For each layout, how many zones hold at least one row matching the
+    * 2-D box predicate? 'linear' zones by l_orderkey range spread a 2%
+    * selectivity box over essentially every zone; 'zorder' zones by
+    * z-value prefix (z >> 6 — how a z-ordered rewrite range-partitions
+    * files) confine it to the zones whose bit-prefix intersects the box.
+    * touch_frac is the fraction of files a scan must open.
+    */
+  def zorderCompare(s: SparkSession, dir: String): DataFrame = {
+    val raw = li(s, dir).select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    // 8-bit quantization relative to each dimension's max — one tiny agg,
+    // broadcast back (the layout rewriter would know these bounds anyway).
+    // floor is cross-engine exact here: quotients sit ≥ 1/denominator from
+    // any integer boundary, far beyond double rounding.
+    val bounds = raw.agg(max(col("l_partkey")).as("max_pk"),
+      max(col("l_suppkey")).as("max_sk"))
+    val d = raw.crossJoin(broadcast(bounds))
+      .withColumn("qx", floor(col("l_partkey") * 256 / (col("max_pk") + 1)))
+      .withColumn("qy", floor(col("l_suppkey") * 256 / (col("max_sk") + 1)))
+      .withColumn("matches",
+        (col("qx").between(QxLo, QxHi) && col("qy").between(QyLo, QyHi))
+          .cast("long"))
+
+    def layout(name: String, zone: Column): DataFrame =
+      d.groupBy(zone.as("zone"))
+        .agg(count(lit(1)).as("z_rows"), sum(col("matches")).as("z_hits"))
+        .agg(lit(name).as("layout"),
+          count(lit(1)).as("zones_total"),
+          sum((col("z_hits") > 0).cast("long")).as("zones_touched"),
+          sum(col("z_rows")).as("rows_total"),
+          sum(col("z_hits")).as("rows_matching"))
+        .withColumn("touch_frac",
+          round(col("zones_touched").cast("double") / col("zones_total"), 4))
+
+    layout("linear", floor(col("l_orderkey") / IngestZoneOrders))
+      .unionAll(layout("zorder", shiftright(morton8(col("qx"), col("qy")), 6)))
+      .orderBy("layout")
+  }
+
+  // ---------------------------------------------------------------------
+  // Sketch-based join-cardinality estimation
+  // ---------------------------------------------------------------------
+
+  /** est(|A ⋈ B|) = Σ_b nA(b)·nB(b) over md5 hash buckets — the
+    * equi-width hash-histogram estimator. Always ≥ truth (bucket
+    * collisions only add cross products); converges to truth as buckets
+    * grow past the key count. Emitted at 256 and 65,536 buckets so the
+    * sketch-size/accuracy tradeoff is part of the contract.
+    */
+  def bucketOf(k: Column, hexDigits: Int): Column =
+    conv(substring(md5(k.cast("string")), 1, hexDigits), 16, 10).cast("long")
+
+  def joinCardEstimate(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val l = li(s, dir)
+    // graded against the exact count — a real planner would never run this
+    val truth = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .agg(count(lit(1)).as("true_rows"))
+
+    def estimate(hexDigits: Int): DataFrame = {
+      val oSketch = o.groupBy(bucketOf(col("o_orderkey"), hexDigits).as("b"))
+        .agg(count(lit(1)).as("n_o"))
+      val lSketch = l.groupBy(bucketOf(col("l_orderkey"), hexDigits).as("b"))
+        .agg(count(lit(1)).as("n_l"))
+      // sketch sizes are bucket-bounded — broadcast the smaller one
+      oSketch.join(broadcast(lSketch), "b")
+        .agg(lit(math.pow(16, hexDigits).toLong).as("n_buckets"),
+          sum(col("n_o") * col("n_l")).as("est_rows"))
+    }
+
+    estimate(2).unionAll(estimate(4))
+      .crossJoin(broadcast(truth)) // 2 × 1 rows
+      .withColumn("rel_err",
+        round((col("est_rows") - col("true_rows")).cast("double")
+          / col("true_rows"), 4))
+      .orderBy("n_buckets")
+  }
+
+  // ---------------------------------------------------------------------
+  // Per-zone Bloom data-skipping index for point lookups
+  // ---------------------------------------------------------------------
+
+  /** Bloom geometry: 8 words × 63 bits = 504 bits per zone (63 so every
+    * mask stays a positive BIGINT shift in both engines), k = 2
+    * md5-derived positions per key, zones of 20 orders (~80 rows) — sized
+    * so the filter holds a zone's key NDV at ~25% fill (fp ≈ 7%), the
+    * regime a real per-row-group Bloom is provisioned for. */
+  val BloomBits = 63
+  val BloomWords = 8
+  val BloomZoneOrders = 20L
+
+  /** Probe keys as tenths of the key-space max (scale-invariant). */
+  val ProbeTenths: Seq[Int] = Seq(1, 3, 5, 7, 9)
+
+  /** A per-zone Bloom index over `l_partkey` — the per-file Bloom a
+    * format like Parquet/Iceberg stores for point-lookup skipping on a
+    * column the table is NOT clustered by (min/max zones are useless for
+    * an uncorrelated point key; the Bloom is what prunes). The index is
+    * relational: one (zone, word, bloom) row per non-empty 63-bit word,
+    * built by ONE narrow groupBy (bit_or partial-aggregates map-side).
+    * For each probe key: zones the index cannot rule out (`zones_maybe`)
+    * vs zones that truly hold the key (`zones_actual`), and the realized
+    * false-positive rate among prunable zones. Probes run on the
+    * zone-count-sized index, never the data. All bit positions derive
+    * from md5 so the DuckDB oracle replays the index word-for-word.
+    */
+  def bloomSkipping(s: SparkSession, dir: String): DataFrame = {
+    val raw = li(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val totalBits = (BloomWords * BloomBits).toLong
+
+    // two positions per key: 3 hex digits each from disjoint md5 spans
+    def positions(key: Column): Column = array(
+      pmod(conv(substring(md5(key.cast("string")), 1, 3), 16, 10).cast("long"),
+        lit(totalBits)),
+      pmod(conv(substring(md5(key.cast("string")), 4, 3), 16, 10).cast("long"),
+        lit(totalBits)))
+
+    def toWordMasks(df: DataFrame, keyCol: String): DataFrame = df
+      .withColumn("pos", explode(positions(col(keyCol))))
+      .withColumn("word", expr(s"pos div $BloomBits"))
+      .withColumn("mask",
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pos % $BloomBits AS INT))"))
+
+    val idx = toWordMasks(
+        raw.withColumn("zone", floor(col("l_orderkey") / BloomZoneOrders)),
+        "l_partkey")
+      .groupBy("zone", "word").agg(expr("bit_or(mask)").as("bloom"))
+
+    val zones = idx.select("zone").distinct()
+
+    val probes = raw.agg(max(col("l_partkey")).as("max_pk"))
+      .select(explode(array(ProbeTenths.map(t =>
+        floor(col("max_pk") * t / 10).as(s"t$t")): _*)).as("probe_key"))
+    val pm = toWordMasks(probes, "probe_key")
+      .groupBy("probe_key", "word").agg(expr("bit_or(mask)").as("pmask"))
+
+    // a zone passes iff EVERY probe word is covered by the zone's word
+    // (a missing index word means no key ever touched it → not covered)
+    val candidate = broadcast(pm).crossJoin(zones)
+      .join(idx, Seq("zone", "word"), "left")
+      .groupBy("probe_key", "zone")
+      .agg(min(coalesce((col("bloom").bitwiseAND(col("pmask")) === col("pmask"))
+        .cast("int"), lit(0))).as("covered"))
+
+    // ground truth, only to grade the index
+    val actual = raw.withColumn("zone", floor(col("l_orderkey") / BloomZoneOrders))
+      .groupBy("zone").agg(collect_set(col("l_partkey")).as("keys_in_zone"))
+
+    candidate.join(actual, Seq("zone"))
+      .groupBy("probe_key")
+      .agg(count(lit(1)).as("zones_total"),
+        sum(col("covered").cast("long")).as("zones_maybe"),
+        sum(array_contains(col("keys_in_zone"), col("probe_key")).cast("long"))
+          .as("zones_actual"))
+      .withColumn("fp_rate",
+        round((col("zones_maybe") - col("zones_actual")).cast("double")
+          / greatest(col("zones_total") - col("zones_actual"), lit(1L)), 4))
+      .orderBy("probe_key")
+  }
+
+  // ---------------------------------------------------------------------
+  // Incremental manifest-stats maintenance (append without rescan)
+  // ---------------------------------------------------------------------
+
+  /** Append-path stats merge: the table is the union of a base and a
+    * newly appended batch (split here by `l_orderkey % 10`), and the
+    * engine computes per-zone stats by aggregating EACH PART SEPARATELY
+    * and merging partials (min of mins, max of maxes, sums of counts) —
+    * the Iceberg manifest-update path, where an append to a 10^12-row
+    * table touches only the new files' stats. The DuckDB oracle computes
+    * the same stats DIRECTLY over the whole table, so the hash match IS
+    * the proof that merge ≡ rescan. Only order-independent exact stats
+    * (min/max/count/integer sum) participate.
+    */
+  def statsMerge(s: SparkSession, dir: String): DataFrame = {
+    val d = li(s, dir)
+    val base = d.filter(pmod(col("l_orderkey"), lit(10)) =!= 0)
+    val batch = d.filter(pmod(col("l_orderkey"), lit(10)) === 0)
+
+    def partials(part: DataFrame): DataFrame =
+      part.groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("zone"))
+        .agg(min(col("l_shipdate")).as("z_min"),
+          max(col("l_shipdate")).as("z_max"),
+          count(lit(1)).as("z_rows"),
+          sum(col("l_partkey")).as("z_sum_pk"))
+
+    partials(base).unionAll(partials(batch))
+      .groupBy("zone")
+      .agg(min(col("z_min")).as("z_min"),
+        max(col("z_max")).as("z_max"),
+        sum(col("z_rows")).as("z_rows"),
+        sum(col("z_sum_pk")).as("z_sum_pk"))
+      .orderBy("zone")
+  }
+
+  // ---------------------------------------------------------------------
+  // Wiring
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_layout_zonemap" -> ((s, dir) => zoneMapCompare(s, dir)),
+    "q_layout_zorder" -> ((s, dir) => zorderCompare(s, dir)),
+    "q_layout_joincard" -> ((s, dir) => joinCardEstimate(s, dir)),
+    "q_layout_bloom" -> ((s, dir) => bloomSkipping(s, dir)),
+    "q_layout_stats_merge" -> ((s, dir) => statsMerge(s, dir)
+      .withColumn("z_min", date_format(col("z_min"), "yyyy-MM-dd HH:mm:ss"))
+      .withColumn("z_max", date_format(col("z_max"), "yyyy-MM-dd HH:mm:ss")))
+  )
+
+  /** DuckDB morton-code twin of [[morton8]], unrolled. */
+  private def mortonSql(qx: String, qy: String): String =
+    (0 until 8).map { i =>
+      s"((($qx >> $i) & 1) << ${2 * i}) + ((($qy >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q_layout_zonemap" ->
+      s"""WITH ingest_stats AS (
+            SELECT CAST(floor(l_orderkey / $IngestZoneOrders) AS VARCHAR) AS zone,
+                   min(l_shipdate) AS z_min, max(l_shipdate) AS z_max,
+                   count(*) AS z_rows
+            FROM lineitem GROUP BY 1),
+          clustered_stats AS (
+            SELECT strftime(l_shipdate, '%Y-%m') AS zone,
+                   min(l_shipdate) AS z_min, max(l_shipdate) AS z_max,
+                   count(*) AS z_rows
+            FROM lineitem GROUP BY 1),
+          m AS (
+            SELECT CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '$PredLo'
+                   AND l_shipdate < TIMESTAMP '$PredHi' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS rows_matching
+            FROM lineitem),
+          est AS (
+            SELECT 'ingest' AS layout, count(*) AS zones_total,
+              CAST(sum(CASE WHEN z_max >= TIMESTAMP '$PredLo'
+                   AND z_min < TIMESTAMP '$PredHi' THEN 1 ELSE 0 END) AS BIGINT)
+                AS zones_scanned,
+              CAST(sum(z_rows) AS BIGINT) AS rows_total,
+              CAST(sum(CASE WHEN z_max >= TIMESTAMP '$PredLo'
+                   AND z_min < TIMESTAMP '$PredHi' THEN z_rows ELSE 0 END) AS BIGINT)
+                AS rows_scanned
+            FROM ingest_stats
+            UNION ALL
+            SELECT 'clustered', count(*),
+              CAST(sum(CASE WHEN z_max >= TIMESTAMP '$PredLo'
+                   AND z_min < TIMESTAMP '$PredHi' THEN 1 ELSE 0 END) AS BIGINT),
+              CAST(sum(z_rows) AS BIGINT),
+              CAST(sum(CASE WHEN z_max >= TIMESTAMP '$PredLo'
+                   AND z_min < TIMESTAMP '$PredHi' THEN z_rows ELSE 0 END) AS BIGINT)
+            FROM clustered_stats)
+          SELECT layout, zones_total, zones_scanned, rows_total, rows_scanned,
+            rows_matching,
+            round(CAST(rows_scanned AS DOUBLE) / rows_matching, 4) AS scan_amp
+          FROM est CROSS JOIN m""",
+    "q_layout_zorder" -> {
+      val z = mortonSql("qx", "qy")
+      s"""WITH b AS (
+            SELECT max(l_partkey) AS max_pk, max(l_suppkey) AS max_sk
+            FROM lineitem),
+          quant AS (
+            SELECT l_orderkey,
+              CAST(floor(l_partkey * 256.0 / (max_pk + 1)) AS BIGINT) AS qx,
+              CAST(floor(l_suppkey * 256.0 / (max_sk + 1)) AS BIGINT) AS qy
+            FROM lineitem CROSS JOIN b),
+          base AS (
+            SELECT l_orderkey,
+              CASE WHEN qx BETWEEN $QxLo AND $QxHi
+                   AND qy BETWEEN $QyLo AND $QyHi
+                   THEN 1 ELSE 0 END AS matches,
+              ($z) AS zval
+            FROM quant),
+          per_zone AS (
+            SELECT 'linear' AS layout, floor(l_orderkey / $IngestZoneOrders) AS zone,
+                   count(*) AS z_rows, sum(matches) AS z_hits
+            FROM base GROUP BY 1, 2
+            UNION ALL
+            SELECT 'zorder', zval // 64, count(*), sum(matches)
+            FROM base GROUP BY 1, 2)
+          SELECT layout, count(*) AS zones_total,
+            CAST(sum(CASE WHEN z_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS zones_touched,
+            CAST(sum(z_rows) AS BIGINT) AS rows_total,
+            CAST(sum(z_hits) AS BIGINT) AS rows_matching,
+            round(CAST(sum(CASE WHEN z_hits > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*), 4) AS touch_frac
+          FROM per_zone GROUP BY layout"""
+    },
+    "q_layout_joincard" ->
+      s"""WITH truth AS (
+            SELECT count(*) AS true_rows
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          est AS (
+            SELECT 256 AS n_buckets,
+              CAST(sum(n_o * n_l) AS BIGINT) AS est_rows
+            FROM (SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2)) AS INT)
+                    AS b, count(*) AS n_o FROM orders GROUP BY 1) os
+            JOIN (SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 2)) AS INT)
+                    AS b, count(*) AS n_l FROM lineitem GROUP BY 1) ls USING (b)
+            UNION ALL
+            SELECT 65536,
+              CAST(sum(n_o * n_l) AS BIGINT)
+            FROM (SELECT CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS INT)
+                    AS b, count(*) AS n_o FROM orders GROUP BY 1) os
+            JOIN (SELECT CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 4)) AS INT)
+                    AS b, count(*) AS n_l FROM lineitem GROUP BY 1) ls USING (b))
+          SELECT CAST(n_buckets AS BIGINT) AS n_buckets, est_rows, true_rows,
+            round(CAST(est_rows - true_rows AS DOUBLE) / true_rows, 4) AS rel_err
+          FROM est CROSS JOIN truth""",
+    "q_layout_bloom" -> {
+      val totalBits = BloomWords * BloomBits
+      def posPair(key: String): String =
+        s"""unnest([CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 1, 3)) AS INT) % $totalBits,
+                    CAST(('0x' || substr(md5(CAST($key AS VARCHAR)), 4, 3)) AS INT) % $totalBits]) AS pos"""
+      s"""WITH b AS (SELECT max(l_partkey) AS max_pk FROM lineitem),
+          probes AS (
+            SELECT CAST(floor(max_pk * t / 10) AS BIGINT) AS probe_key
+            FROM b CROSS JOIN (VALUES ${ProbeTenths.map(t => s"($t)").mkString(", ")}) v(t)),
+          rowpos AS (
+            SELECT CAST(floor(l_orderkey / $BloomZoneOrders) AS BIGINT) AS zone,
+              l_partkey, ${posPair("l_partkey")}
+            FROM lineitem),
+          idx AS (
+            SELECT zone, pos // $BloomBits AS word,
+              bit_or(CAST(1 AS BIGINT) << CAST(pos % $BloomBits AS INT)) AS bloom
+            FROM rowpos GROUP BY 1, 2),
+          zones AS (SELECT DISTINCT zone FROM idx),
+          probepos AS (SELECT probe_key, ${posPair("probe_key")} FROM probes),
+          pm AS (
+            SELECT probe_key, pos // $BloomBits AS word,
+              bit_or(CAST(1 AS BIGINT) << CAST(pos % $BloomBits AS INT)) AS pmask
+            FROM probepos GROUP BY 1, 2),
+          candidate AS (
+            SELECT probe_key, zone,
+              min(CASE WHEN (bloom & pmask) = pmask THEN 1 ELSE 0 END) AS covered
+            FROM pm CROSS JOIN zones LEFT JOIN idx USING (zone, word)
+            GROUP BY 1, 2),
+          actual AS (
+            SELECT probe_key, count(DISTINCT zone) AS zones_actual
+            FROM probes JOIN (
+              SELECT DISTINCT CAST(floor(l_orderkey / $BloomZoneOrders) AS BIGINT)
+                AS zone, l_partkey FROM lineitem) d
+              ON d.l_partkey = probe_key GROUP BY 1),
+          agg AS (
+            SELECT probe_key, count(*) AS zones_total,
+              CAST(sum(covered) AS BIGINT) AS zones_maybe
+            FROM candidate GROUP BY 1)
+          SELECT agg.probe_key, zones_total, zones_maybe,
+            CAST(coalesce(zones_actual, 0) AS BIGINT) AS zones_actual,
+            round(CAST(zones_maybe - coalesce(zones_actual, 0) AS DOUBLE)
+              / greatest(zones_total - coalesce(zones_actual, 0), 1), 4) AS fp_rate
+          FROM agg LEFT JOIN actual USING (probe_key)"""
+    },
+    "q_layout_stats_merge" ->
+      // the DIRECT full-table stats: hash-matching the Spark side's
+      // merge-of-partials result is the mergeability proof
+      """SELECT strftime(l_shipdate, '%Y-%m') AS zone,
+           strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS z_min,
+           strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS z_max,
+           count(*) AS z_rows,
+           CAST(sum(l_partkey) AS BIGINT) AS z_sum_pk
+         FROM lineitem GROUP BY 1"""
+  )
+}

@@ -148,4 +148,22 @@ class PlanHygieneSpec extends SparkTestBase {
     assert(p.contains("might_contain"), s"bloom probe expression missing:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in bloom anti-join plan:\n$p")
   }
+
+  test("layout stats queries prune scans to the stats columns, no cartesian") {
+    // zone-map stats must never read payload-sized columns — at 10^12
+    // rows this is the difference between a metadata pass and a table scan
+    val p = planOf(SparkEntry.queries("q_layout_zonemap")(spark, dir))
+    val reads = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!reads.contains("l_extendedprice") && !reads.contains("l_returnflag"),
+      s"zone-map stats scan reads unused columns:\n$reads")
+    assert(!p.contains("CartesianProduct"), s"cartesian in zone-map plan:\n$p")
+
+    val pb = planOf(SparkEntry.queries("q_layout_bloom")(spark, dir))
+    assert(!pb.contains("CartesianProduct"),
+      s"bloom index probe must broadcast, not cartesian:\n$pb")
+
+    val pj = planOf(SparkEntry.queries("q_layout_joincard")(spark, dir))
+    assert(pj.contains("BroadcastHashJoin"),
+      s"joincard sketch merge lost its broadcast:\n$pj")
+  }
 }
