@@ -312,24 +312,29 @@ object LayoutQueries {
     * the proof that merge ≡ rescan. Only order-independent exact stats
     * (min/max/count/integer sum) participate.
     */
-  def statsMerge(s: SparkSession, dir: String): DataFrame = {
-    val d = li(s, dir)
-    val base = d.filter(pmod(col("l_orderkey"), lit(10)) =!= 0)
-    val batch = d.filter(pmod(col("l_orderkey"), lit(10)) === 0)
+  /** Per-zone stats partials of one table part — the manifest rows the
+    * writer of that part emits. Algebraic only, so partials merge. */
+  def zonePartials(part: DataFrame): DataFrame =
+    part.groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("zone"))
+      .agg(min(col("l_shipdate")).as("z_min"),
+        max(col("l_shipdate")).as("z_max"),
+        count(lit(1)).as("z_rows"),
+        sum(col("l_partkey")).as("z_sum_pk"))
 
-    def partials(part: DataFrame): DataFrame =
-      part.groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("zone"))
-        .agg(min(col("l_shipdate")).as("z_min"),
-          max(col("l_shipdate")).as("z_max"),
-          count(lit(1)).as("z_rows"),
-          sum(col("l_partkey")).as("z_sum_pk"))
-
-    partials(base).unionAll(partials(batch))
-      .groupBy("zone")
+  /** Merge stats partials: min-of-mins, max-of-maxes, sums. Associative
+    * and commutative — any grouping of parts yields the same stats. */
+  def mergeZonePartials(partials: DataFrame): DataFrame =
+    partials.groupBy("zone")
       .agg(min(col("z_min")).as("z_min"),
         max(col("z_max")).as("z_max"),
         sum(col("z_rows")).as("z_rows"),
         sum(col("z_sum_pk")).as("z_sum_pk"))
+
+  def statsMerge(s: SparkSession, dir: String): DataFrame = {
+    val d = li(s, dir)
+    val base = d.filter(pmod(col("l_orderkey"), lit(10)) =!= 0)
+    val batch = d.filter(pmod(col("l_orderkey"), lit(10)) === 0)
+    mergeZonePartials(zonePartials(base).unionAll(zonePartials(batch)))
       .orderBy("zone")
   }
 
