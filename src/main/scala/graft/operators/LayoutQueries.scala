@@ -178,6 +178,107 @@ object LayoutQueries {
   }
 
   // ---------------------------------------------------------------------
+  // Clustering advisor: (cluster-by K × predicate-on P) scan matrix
+  // ---------------------------------------------------------------------
+
+  /** Candidate clustering columns (numeric views; shipdate as epoch
+    * seconds). Buckets per hypothetical sort order, and the canonical
+    * workload predicate: the middle 20% of each column's domain. */
+  val AdvisorCols: Seq[String] = Seq("l_shipdate", "l_partkey", "l_suppkey", "l_quantity")
+  val AdvisorBuckets = 16
+  val PredBandLo = 0.4
+  val PredBandHi = 0.6
+
+  /** For every pair (cluster-by K, predicate-on P): if the table were
+    * rewritten sorted by K (approximated by `AdvisorBuckets` equal-width
+    * value zones of K), what fraction of rows must a scan with the
+    * canonical range predicate on P read, judged from per-zone min/max
+    * stats alone? The full matrix is the artifact a table owner reads to
+    * pick a sort order for their workload: the K = P diagonal prunes
+    * hard, off-diagonal pairs prune only where the columns are
+    * correlated.
+    *
+    * One exploded pass builds the whole stats cube — each row fans out
+    * to its (K, bucket) pair for all K, ONE shuffle on (K, bucket)
+    * computes min/max of every P per zone (stats output: |K| ×
+    * `AdvisorBuckets` rows) — plus one tiny bounds/matching aggregate.
+    * Two narrow scans total for a 4×4 advisor over any table size.
+    */
+  def clusteringAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val d = li(s, dir)
+    def v(c: String): Column = c match {
+      case "l_shipdate" => unix_seconds(col(c).cast("timestamp")).cast("double")
+      case _            => col(c).cast("double")
+    }
+    val base = d.select(AdvisorCols.map(c => v(c).as(s"v_$c")): _*)
+
+    val boundCols = AdvisorCols.flatMap(c => Seq(
+      min(col(s"v_$c")).as(s"min_$c"), max(col(s"v_$c")).as(s"max_$c")))
+    val bounds = base.agg(boundCols.head, boundCols.tail: _*)
+
+    def pLo(c: String): Column =
+      col(s"min_$c") + lit(PredBandLo) * (col(s"max_$c") - col(s"min_$c"))
+    def pHi(c: String): Column =
+      col(s"min_$c") + lit(PredBandHi) * (col(s"max_$c") - col(s"min_$c"))
+
+    val withBounds = base.crossJoin(broadcast(bounds))
+    def bucketOfK(k: String): Column =
+      floor((col(s"v_$k") - col(s"min_$k")) * AdvisorBuckets
+        / (col(s"max_$k") - col(s"min_$k") + 1))
+
+    // fan each row out to its zone under every hypothetical sort order
+    val expl = withBounds.select(
+      explode(array(AdvisorCols.map(k =>
+        struct(lit(k).as("cluster_col"), bucketOfK(k).as("bucket"))): _*)).as("kb")
+        +: AdvisorCols.map(c => col(s"v_$c")): _*)
+      .select(Seq(col("kb.cluster_col").as("cluster_col"),
+        col("kb.bucket").as("bucket")) ++ AdvisorCols.map(c => col(s"v_$c")): _*)
+    val stats = expl.groupBy("cluster_col", "bucket")
+      .agg(count(lit(1)).as("z_rows"),
+        AdvisorCols.flatMap(p => Seq(
+          min(col(s"v_$p")).as(s"zmin_$p"), max(col(s"v_$p")).as(s"zmax_$p"))): _*)
+
+    // ground truth per predicate column (one tiny second aggregate)
+    val matching = withBounds.agg(
+      sum((col(s"v_${AdvisorCols.head}") >= pLo(AdvisorCols.head) &&
+        col(s"v_${AdvisorCols.head}") < pHi(AdvisorCols.head)).cast("long"))
+        .as(s"match_${AdvisorCols.head}"),
+      AdvisorCols.tail.map(p =>
+        sum((col(s"v_$p") >= pLo(p) && col(s"v_$p") < pHi(p)).cast("long"))
+          .as(s"match_$p")): _*)
+
+    // fan each zone-stats row out per predicate column, decide scanned
+    val cube = stats.crossJoin(broadcast(bounds)).select(
+      col("cluster_col"), col("z_rows"),
+      explode(array(AdvisorCols.map(p =>
+        struct(lit(p).as("pred_col"),
+          (col(s"zmax_$p") >= pLo(p) && col(s"zmin_$p") < pHi(p))
+            .as("scanned"))): _*)).as("ps"))
+      .select(col("cluster_col"), col("z_rows"),
+        col("ps.pred_col").as("pred_col"), col("ps.scanned").as("scanned"))
+      .groupBy("cluster_col", "pred_col")
+      .agg(count(lit(1)).as("zones_total"),
+        sum(col("scanned").cast("long")).as("zones_scanned"),
+        sum(col("z_rows")).as("rows_total"),
+        sum(when(col("scanned"), col("z_rows")).otherwise(lit(0L)))
+          .as("rows_scanned"))
+
+    val matchLong = matching.select(
+      explode(array(AdvisorCols.map(p =>
+        struct(lit(p).as("pred_col"), col(s"match_$p").as("rows_matching"))): _*))
+        .as("m"))
+      .select(col("m.pred_col").as("pred_col"),
+        col("m.rows_matching").as("rows_matching"))
+
+    cube.join(broadcast(matchLong), "pred_col")
+      .withColumn("scan_frac",
+        round(col("rows_scanned").cast("double") / col("rows_total"), 4))
+      .select("cluster_col", "pred_col", "zones_scanned", "zones_total",
+        "rows_scanned", "rows_total", "rows_matching", "scan_frac")
+      .orderBy("cluster_col", "pred_col")
+  }
+
+  // ---------------------------------------------------------------------
   // Sketch-based join-cardinality estimation
   // ---------------------------------------------------------------------
 
@@ -347,6 +448,7 @@ object LayoutQueries {
     "q_layout_zorder" -> ((s, dir) => zorderCompare(s, dir)),
     "q_layout_joincard" -> ((s, dir) => joinCardEstimate(s, dir)),
     "q_layout_bloom" -> ((s, dir) => bloomSkipping(s, dir)),
+    "q_layout_advisor" -> ((s, dir) => clusteringAdvisor(s, dir)),
     "q_layout_stats_merge" -> ((s, dir) => statsMerge(s, dir)
       .withColumn("z_min", date_format(col("z_min"), "yyyy-MM-dd HH:mm:ss"))
       .withColumn("z_max", date_format(col("z_max"), "yyyy-MM-dd HH:mm:ss")))
@@ -494,6 +596,52 @@ object LayoutQueries {
             round(CAST(zones_maybe - coalesce(zones_actual, 0) AS DOUBLE)
               / greatest(zones_total - coalesce(zones_actual, 0), 1), 4) AS fp_rate
           FROM agg LEFT JOIN actual USING (probe_key)"""
+    },
+    "q_layout_advisor" -> {
+      def vSql(c: String): String =
+        if (c == "l_shipdate") s"CAST(epoch($c) AS DOUBLE)" else s"CAST($c AS DOUBLE)"
+      def lo(p: String) = s"(min_$p + $PredBandLo * (max_$p - min_$p))"
+      def hi(p: String) = s"(min_$p + $PredBandHi * (max_$p - min_$p))"
+      val baseCols = AdvisorCols.map(c => s"${vSql(c)} AS v_$c").mkString(", ")
+      val boundCols = AdvisorCols.map(c =>
+        s"min(v_$c) AS min_$c, max(v_$c) AS max_$c").mkString(", ")
+      val explArms = AdvisorCols.map { k =>
+        s"""SELECT '$k' AS cluster_col,
+              floor((v_$k - min_$k) * $AdvisorBuckets / (max_$k - min_$k + 1)) AS bucket,
+              ${AdvisorCols.map(c => s"v_$c").mkString(", ")}
+            FROM base CROSS JOIN b"""
+      }.mkString(" UNION ALL ")
+      val statCols = AdvisorCols.map(p =>
+        s"min(v_$p) AS zmin_$p, max(v_$p) AS zmax_$p").mkString(", ")
+      val matchCols = AdvisorCols.map(p =>
+        s"""CAST(sum(CASE WHEN v_$p >= ${lo(p)} AND v_$p < ${hi(p)}
+              THEN 1 ELSE 0 END) AS BIGINT) AS match_$p""").mkString(", ")
+      val cubeArms = AdvisorCols.map { p =>
+        s"""SELECT cluster_col, '$p' AS pred_col,
+              CAST(sum(CASE WHEN zmax_$p >= ${lo(p)} AND zmin_$p < ${hi(p)}
+                THEN 1 ELSE 0 END) AS BIGINT) AS zones_scanned,
+              count(*) AS zones_total,
+              CAST(sum(CASE WHEN zmax_$p >= ${lo(p)} AND zmin_$p < ${hi(p)}
+                THEN z_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+              CAST(sum(z_rows) AS BIGINT) AS rows_total
+            FROM stats CROSS JOIN b GROUP BY 1"""
+      }.mkString(" UNION ALL ")
+      val matchArms = AdvisorCols.map(p =>
+        s"SELECT '$p' AS pred_col, match_$p AS rows_matching FROM matching")
+        .mkString(" UNION ALL ")
+      s"""WITH base AS (SELECT $baseCols FROM lineitem),
+          b AS (SELECT $boundCols FROM base),
+          expl AS ($explArms),
+          stats AS (
+            SELECT cluster_col, bucket, count(*) AS z_rows, $statCols
+            FROM expl GROUP BY 1, 2),
+          matching AS (SELECT $matchCols FROM base CROSS JOIN b),
+          cube AS ($cubeArms),
+          m2 AS ($matchArms)
+          SELECT cluster_col, pred_col, zones_scanned, zones_total,
+            rows_scanned, rows_total, rows_matching,
+            round(CAST(rows_scanned AS DOUBLE) / rows_total, 4) AS scan_frac
+          FROM cube JOIN m2 USING (pred_col)"""
     },
     "q_layout_stats_merge" ->
       // the DIRECT full-table stats: hash-matching the Spark side's

@@ -165,6 +165,41 @@ class LayoutSpec extends SparkTestBase {
     assert(got == direct)
   }
 
+  test("q_layout_advisor: diagonal prunes, uncorrelated off-diagonal cannot") {
+    val rows = LayoutQueries.queries("q_layout_advisor")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("cluster_col"), r.getAs[String]("pred_col")) ->
+        (r.getAs[Long]("zones_scanned"), r.getAs[Long]("zones_total"),
+          r.getAs[Long]("rows_scanned"), r.getAs[Long]("rows_matching"),
+          r.getAs[Double]("scan_frac")))
+      .toMap
+    assert(rows.size == LayoutQueries.AdvisorCols.size * LayoutQueries.AdvisorCols.size)
+    rows.foreach { case ((k, p), (zs, zt, rs, rm, frac)) =>
+      // zones_total counts NON-EMPTY buckets — narrow integer domains
+      // (sf0.001 suppkey: 10 values over 16 buckets) leave some empty
+      assert(zt >= 8 && zt <= LayoutQueries.AdvisorBuckets.toLong, s"($k,$p) zones_total=$zt")
+      assert(rs >= rm, s"($k,$p) scan set must cover all matching rows")
+      if (k == p)
+        assert(frac < 0.4, s"clustering by the predicate column must prune ($k: $frac)")
+      else
+        assert(frac > 0.9,
+          s"uncorrelated pair must show (honestly) that nothing prunes ($k,$p: $frac)")
+    }
+
+    // pin one diagonal cell against a plain-Scala recomputation
+    val pks = lineitem.map(_.partkey.toDouble)
+    val (mn, mx) = (pks.min, pks.max)
+    val (lo, hi) = (mn + 0.4 * (mx - mn), mn + 0.6 * (mx - mn))
+    val zones = pks.groupBy(v => math.floor((v - mn) * 16 / (mx - mn + 1)).toLong)
+    val scannedZones = zones.filter { case (_, vs) => vs.max >= lo && vs.min < hi }
+    val expect = (scannedZones.size.toLong, zones.size.toLong,
+      scannedZones.values.map(_.size.toLong).sum,
+      pks.count(v => v >= lo && v < hi).toLong)
+    val got = rows(("l_partkey", "l_partkey"))
+    assert((got._1, got._2, got._3, got._4) ==
+      ((expect._1, expect._2, expect._3, expect._4)))
+  }
+
   test("q_layout_joincard: estimator is an upper bound and converges with buckets") {
     def md5Bucket(k: Long, hexDigits: Int): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
