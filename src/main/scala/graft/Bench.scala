@@ -39,7 +39,8 @@ object Bench {
     "q_dedup_incr_bloom", "q_pack_sequences", "q_curate_source_cap",
     "q_curate_decontaminate", "q_text_repetition", "q_dedup_substring",
     "q_layout_zonemap", "q_layout_zorder", "q_layout_bloom",
-    "q_layout_stats_merge", "q_layout_advisor", "q_layout_joincard")
+    "q_layout_stats_merge", "q_layout_advisor", "q_layout_joincard",
+    "q_sess_assign", "q_sess_stats", "q_sess_funnel")
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

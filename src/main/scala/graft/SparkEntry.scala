@@ -36,7 +36,7 @@ object SparkEntry {
     relational ++ DedupQueries.queries ++ TextQueries.queries ++ Pipeline.queries ++
       SimilarityQueries.queries ++ ValidationQueries.queries ++
       ImageSuiteQueries.queries ++ CurationQueries.queries ++ Contamination.queries ++
-      RepetitionQueries.queries ++ LayoutQueries.queries
+      RepetitionQueries.queries ++ LayoutQueries.queries ++ SessionQueries.queries
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1/A3: hash-aggregate group counts — reference `osm.py:577-585`
@@ -1007,5 +1007,6 @@ object SparkEntry {
   ) ++ DedupQueries.oracleSql ++ TextQueries.oracleSql ++ Pipeline.oracleSql ++
     SimilarityQueries.oracleSql ++ ValidationQueries.oracleSql ++
     graft.validation.ImageSuiteQueries.oracleSql ++ CurationQueries.oracleSql ++
-    Contamination.oracleSql ++ RepetitionQueries.oracleSql ++ LayoutQueries.oracleSql
+    Contamination.oracleSql ++ RepetitionQueries.oracleSql ++ LayoutQueries.oracleSql ++
+    SessionQueries.oracleSql
 }
