@@ -200,9 +200,13 @@ object LayoutQueries {
     *
     * One exploded pass builds the whole stats cube — each row fans out
     * to its (K, bucket) pair for all K, ONE shuffle on (K, bucket)
-    * computes min/max of every P per zone (stats output: |K| ×
-    * `AdvisorBuckets` rows) — plus one tiny bounds/matching aggregate.
-    * Two narrow scans total for a 4×4 advisor over any table size.
+    * computes min/max of every P per zone AND the per-zone matching
+    * counts (stats output: |K| × `AdvisorBuckets` rows). Bounds are 8
+    * doubles collected to the driver first (plan-audited: keeping them
+    * as a crossJoined frame made Catalyst rescan the table 5×) — in an
+    * Iceberg deployment they come free from table-level column stats.
+    * Two narrow scans total for a 4×4 advisor over any table size, and
+    * everything after the stats shuffle is zone-count-sized.
     */
   def clusteringAdvisor(s: SparkSession, dir: String): DataFrame = {
     val d = li(s, dir)
@@ -212,65 +216,58 @@ object LayoutQueries {
     }
     val base = d.select(AdvisorCols.map(c => v(c).as(s"v_$c")): _*)
 
+    // 8 doubles — KB-scale by construction (one min/max per candidate)
     val boundCols = AdvisorCols.flatMap(c => Seq(
       min(col(s"v_$c")).as(s"min_$c"), max(col(s"v_$c")).as(s"max_$c")))
-    val bounds = base.agg(boundCols.head, boundCols.tail: _*)
-
-    def pLo(c: String): Column =
-      col(s"min_$c") + lit(PredBandLo) * (col(s"max_$c") - col(s"min_$c"))
-    def pHi(c: String): Column =
-      col(s"min_$c") + lit(PredBandHi) * (col(s"max_$c") - col(s"min_$c"))
-
-    val withBounds = base.crossJoin(broadcast(bounds))
+    val bRow = base.agg(boundCols.head, boundCols.tail: _*).collect()(0)
+    val mn = AdvisorCols.map(c => c -> bRow.getAs[Double](s"min_$c")).toMap
+    val mx = AdvisorCols.map(c => c -> bRow.getAs[Double](s"max_$c")).toMap
+    // literal arithmetic mirrors the oracle SQL's association exactly:
+    // lo = min + band*(max-min), bucket = floor((v-min)*B/(max-min+1))
+    def pLo(c: String): Double = mn(c) + PredBandLo * (mx(c) - mn(c))
+    def pHi(c: String): Double = mn(c) + PredBandHi * (mx(c) - mn(c))
     def bucketOfK(k: String): Column =
-      floor((col(s"v_$k") - col(s"min_$k")) * AdvisorBuckets
-        / (col(s"max_$k") - col(s"min_$k") + 1))
+      floor((col(s"v_$k") - lit(mn(k))) * AdvisorBuckets
+        / lit(mx(k) - mn(k) + 1))
 
-    // fan each row out to its zone under every hypothetical sort order
-    val expl = withBounds.select(
+    // fan each row out to its zone under every hypothetical sort order;
+    // match flags ride along so truth needs no second pass
+    val expl = base.select(
       explode(array(AdvisorCols.map(k =>
         struct(lit(k).as("cluster_col"), bucketOfK(k).as("bucket"))): _*)).as("kb")
         +: AdvisorCols.map(c => col(s"v_$c")): _*)
       .select(Seq(col("kb.cluster_col").as("cluster_col"),
-        col("kb.bucket").as("bucket")) ++ AdvisorCols.map(c => col(s"v_$c")): _*)
+        col("kb.bucket").as("bucket")) ++
+        AdvisorCols.map(c => col(s"v_$c")) ++
+        AdvisorCols.map(p => (col(s"v_$p") >= pLo(p) && col(s"v_$p") < pHi(p))
+          .cast("long").as(s"m_$p")): _*)
     val stats = expl.groupBy("cluster_col", "bucket")
       .agg(count(lit(1)).as("z_rows"),
         AdvisorCols.flatMap(p => Seq(
-          min(col(s"v_$p")).as(s"zmin_$p"), max(col(s"v_$p")).as(s"zmax_$p"))): _*)
+          min(col(s"v_$p")).as(s"zmin_$p"), max(col(s"v_$p")).as(s"zmax_$p"),
+          sum(col(s"m_$p")).as(s"zmatch_$p"))): _*)
 
-    // ground truth per predicate column (one tiny second aggregate)
-    val matching = withBounds.agg(
-      sum((col(s"v_${AdvisorCols.head}") >= pLo(AdvisorCols.head) &&
-        col(s"v_${AdvisorCols.head}") < pHi(AdvisorCols.head)).cast("long"))
-        .as(s"match_${AdvisorCols.head}"),
-      AdvisorCols.tail.map(p =>
-        sum((col(s"v_$p") >= pLo(p) && col(s"v_$p") < pHi(p)).cast("long"))
-          .as(s"match_$p")): _*)
-
-    // fan each zone-stats row out per predicate column, decide scanned
-    val cube = stats.crossJoin(broadcast(bounds)).select(
+    // fan each zone-stats row out per predicate column, decide scanned;
+    // every cluster partitioning covers all rows exactly once, so
+    // sum(zmatch_P) within any cluster_col IS the corpus matching count
+    val cube = stats.select(
       col("cluster_col"), col("z_rows"),
       explode(array(AdvisorCols.map(p =>
         struct(lit(p).as("pred_col"),
-          (col(s"zmax_$p") >= pLo(p) && col(s"zmin_$p") < pHi(p))
-            .as("scanned"))): _*)).as("ps"))
+          (col(s"zmax_$p") >= pLo(p) && col(s"zmin_$p") < pHi(p)).as("scanned"),
+          col(s"zmatch_$p").as("zmatch"))): _*)).as("ps"))
       .select(col("cluster_col"), col("z_rows"),
-        col("ps.pred_col").as("pred_col"), col("ps.scanned").as("scanned"))
+        col("ps.pred_col").as("pred_col"), col("ps.scanned").as("scanned"),
+        col("ps.zmatch").as("zmatch"))
       .groupBy("cluster_col", "pred_col")
       .agg(count(lit(1)).as("zones_total"),
         sum(col("scanned").cast("long")).as("zones_scanned"),
         sum(col("z_rows")).as("rows_total"),
         sum(when(col("scanned"), col("z_rows")).otherwise(lit(0L)))
-          .as("rows_scanned"))
+          .as("rows_scanned"),
+        sum(col("zmatch")).as("rows_matching"))
 
-    val matchLong = matching.select(
-      explode(array(AdvisorCols.map(p =>
-        struct(lit(p).as("pred_col"), col(s"match_$p").as("rows_matching"))): _*))
-        .as("m"))
-      .select(col("m.pred_col").as("pred_col"),
-        col("m.rows_matching").as("rows_matching"))
-
-    cube.join(broadcast(matchLong), "pred_col")
+    cube
       .withColumn("scan_frac",
         round(col("rows_scanned").cast("double") / col("rows_total"), 4))
       .select("cluster_col", "pred_col", "zones_scanned", "zones_total",

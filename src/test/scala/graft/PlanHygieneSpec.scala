@@ -166,4 +166,24 @@ class PlanHygieneSpec extends SparkTestBase {
     assert(pj.contains("BroadcastHashJoin"),
       s"joincard sketch merge lost its broadcast:\n$pj")
   }
+
+  test("clustering advisor reads the table ONCE past the bounds collect") {
+    // plan-audit regression: crossJoined bounds made Catalyst rescan the
+    // table 5x; driver-collected literal bounds keep it to one stats pass
+    val p = planOf(SparkEntry.queries("q_layout_advisor")(spark, dir))
+    // formatted explain prints each node in the tree AND as a numbered
+    // detail header — count only the "(N) Scan parquet" detail headers
+    val scans = p.linesIterator.count(_.matches("""^\(\d+\) Scan parquet\s*.*"""))
+    assert(scans == 1, s"advisor stats pass must scan once, saw $scans:\n$p")
+  }
+
+  test("session assignment windows share ONE user shuffle") {
+    val p = planOf(SparkEntry.queries("q_sess_assign")(spark, dir))
+    // lag + running-sum windows must collapse onto the same exchange; the
+    // only other exchange allowed is the deterministic output orderBy
+    val exchanges = p.linesIterator.count(l =>
+      l.trim.startsWith("(") && l.contains("Exchange") && !l.contains("Broadcast"))
+    assert(exchanges <= 2, s"session windows re-shuffled:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
