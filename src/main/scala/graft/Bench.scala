@@ -35,7 +35,7 @@ object Bench {
     "q_ann_topk_bruteforce", "q_ann_topk_lsh", "q_ann_topk_ivf_trained",
     "q_ann_topk_pq", "q_ann_topk_ivfpq_residual", "q_sim_lsh_buckets",
     "q_v_uniqueness", "q_v_referential", "q_v_colstats", "q_v_scores",
-    "q_v_drift_chisq", "q_v_drift_ks",
+    "q_v_drift_chisq", "q_v_drift_ks", "q_v_drift_segmented",
     "q_dedup_incr_bloom", "q_pack_sequences", "q_curate_source_cap",
     "q_curate_decontaminate", "q_text_repetition", "q_dedup_substring",
     "q_layout_zonemap", "q_layout_zorder", "q_layout_bloom",

@@ -45,6 +45,48 @@ object Drift {
         floor(col("value") / BucketWidth).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Segmented drift: for EVERY segment, chi-square of the segment's
+    * bucketed value distribution against the corpus distribution —
+    * "which partition drifted", not just "did anything drift". Expected
+    * counts are the corpus bucket shares scaled to the segment total
+    * (the standard goodness-of-fit framing); buckets the corpus holds
+    * but the segment lacks contribute their full expected mass, so a
+    * COLLAPSED segment (all mass in few buckets) flags as hard as an
+    * inflated one. `drifted` thresholds chi²/n_buckets so the verdict is
+    * count-scale-stable across segments of different sizes.
+    *
+    * Scale: ONE scan → one groupBy on (segment, bucket); the corpus
+    * histogram re-aggregates the segment histogram (zone-count-sized, no
+    * second scan) and broadcasts back. Works unchanged as the per-`part`
+    * drift attribution of a 10^12-row validation run.
+    */
+  def segmentedChiSq(d: DataFrame, segCol: String, valueCol: String,
+                     bucketWidth: Double, threshold: Double): DataFrame = {
+    val seg = d.filter(col(valueCol).isNotNull)
+      .groupBy(col(segCol).as("segment"),
+        floor(col(valueCol) / bucketWidth).as("bucket"))
+      .agg(count(lit(1)).as("obs"))
+    val corpus = seg.groupBy("bucket").agg(sum("obs").as("corpus_cnt"))
+    val corpusTot = corpus.agg(sum("corpus_cnt").as("corpus_tot"))
+    val segTot = seg.groupBy("segment").agg(sum("obs").as("seg_tot"))
+    // full outer on the bucket grid per segment: corpus buckets the
+    // segment lacks still contribute (0 − e)²/e
+    val grid = segTot.crossJoin(broadcast(corpus))
+      .join(seg, Seq("segment", "bucket"), "left")
+      .na.fill(0L, Seq("obs"))
+    grid.crossJoin(broadcast(corpusTot))
+      .withColumn("e", col("seg_tot").cast("double") *
+        col("corpus_cnt").cast("double") / col("corpus_tot").cast("double"))
+      .withColumn("term",
+        (col("obs").cast("double") - col("e")) *
+          (col("obs").cast("double") - col("e")) / col("e"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_buckets"),
+        round(sum(col("term")), 6).as("chi2"))
+      .withColumn("drifted", col("chi2") / col("n_buckets") > threshold)
+      .orderBy("segment")
+  }
+
   /** Baseline snapshot: global histogram + per-column global t-digest. */
   def snapshot(spark: SparkSession, images: DataFrame, dir: String): Unit = {
     histogram(images).groupBy("colname", "bucket").agg(sum("cnt").as("cnt"))

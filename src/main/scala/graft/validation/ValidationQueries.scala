@@ -23,6 +23,9 @@ object ValidationQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Segmented-drift flag threshold: chi²/n_buckets above this drifts. */
+  val SegDriftThreshold = 2.0
+
   /** The demo [[validation.CheckSuite]] over `orders` — one declared
     * suite, one aggregation pass, DuckDB oracle generated from the same
     * definitions ([[validation.CheckSuite.duckSql]]). */
@@ -400,6 +403,18 @@ object ValidationQueries {
         .agg(count(lit(1)).as("n_buckets"), round(sum(col("term")), 6).as("psi"))
     }),
 
+    // Segmented drift attribution: WHICH segment drifted, not just
+    // whether anything did — per-event_type chi² vs the corpus value
+    // distribution via Drift.segmentedChiSq (one scan, one (segment,
+    // bucket) shuffle, corpus histogram derived from the segment
+    // histogram). On this synthetic tier every type draws from the same
+    // distribution, so the honest verdict is all-false; the planted-
+    // drift detection twin is SegmentedDriftSpec.
+    "q_v_drift_segmented" -> ((s, dir) =>
+      validation.Drift.segmentedChiSq(
+        t(s, dir, "events"), "event_type", "value",
+        bucketWidth = 50.0, threshold = SegDriftThreshold)),
+
     // Distribution drift, KS statistic: max |CDF_a − CDF_b| over the bucket
     // grid; CDFs are exact integer ratios so the max is exact. The cumsum
     // is a triangular theta-join over the POST-AGGREGATION bucket grid (a
@@ -655,6 +670,37 @@ object ValidationQueries {
                 / (CAST(tot_p AS DOUBLE)*CAST(obs_v AS DOUBLE)/CAST(tot_v AS DOUBLE)) AS term
            FROM j, tot)
          SELECT count(*) AS n_buckets, round(sum(term), 6) AS chi2 FROM terms""",
+    "q_v_drift_segmented" ->
+      s"""WITH seg AS (
+            SELECT event_type AS segment, floor(value / 50.0) AS bucket,
+              count(*) AS obs
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+          corpus AS (
+            SELECT bucket, CAST(sum(obs) AS BIGINT) AS corpus_cnt
+            FROM seg GROUP BY 1),
+          corpus_tot AS (
+            SELECT CAST(sum(corpus_cnt) AS BIGINT) AS corpus_tot FROM corpus),
+          seg_tot AS (
+            SELECT segment, CAST(sum(obs) AS BIGINT) AS seg_tot
+            FROM seg GROUP BY 1),
+          grid AS (
+            SELECT st.segment, c.bucket, st.seg_tot, c.corpus_cnt,
+              coalesce(s.obs, 0) AS obs
+            FROM seg_tot st CROSS JOIN corpus c
+            LEFT JOIN seg s ON s.segment = st.segment AND s.bucket = c.bucket),
+          terms AS (
+            SELECT segment,
+              (CAST(obs AS DOUBLE)
+                 - CAST(seg_tot AS DOUBLE) * CAST(corpus_cnt AS DOUBLE) / CAST(corpus_tot AS DOUBLE))
+              * (CAST(obs AS DOUBLE)
+                 - CAST(seg_tot AS DOUBLE) * CAST(corpus_cnt AS DOUBLE) / CAST(corpus_tot AS DOUBLE))
+              / (CAST(seg_tot AS DOUBLE) * CAST(corpus_cnt AS DOUBLE) / CAST(corpus_tot AS DOUBLE))
+                AS term
+            FROM grid CROSS JOIN corpus_tot)
+          SELECT segment, count(*) AS n_buckets,
+            round(sum(term), 6) AS chi2,
+            round(sum(term), 6) / count(*) > $SegDriftThreshold AS drifted
+          FROM terms GROUP BY segment""",
     "q_v_drift_ks" ->
       """WITH b AS (
            SELECT floor(value/10.0) AS bucket,
