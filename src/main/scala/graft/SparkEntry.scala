@@ -532,6 +532,31 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // A14: multi-level rollup in ONE pass — native `rollup` emits the
+    // (flag, status), (flag), and grand-total levels from a single
+    // shuffle (Spark expands grouping sets map-side; no per-level
+    // re-scan). grouping_id() disambiguates levels where the grouped
+    // value is NULL; summed quantities ride exact decimals. Reference
+    // analogue: the per-category AND overall counts the analysis report
+    // prints side by side (`analysis.py:1175-1189`).
+    "q_a14_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          grouping_id().cast("long").as("lvl"))
+        .orderBy(col("lvl"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // A15: full cube over the same keys — all four grouping sets,
+    // still one shuffle.
+    "q_a15_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), grouping_id().cast("long").as("lvl"))
+        .orderBy(col("lvl"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
+
     // W2: rank/dense_rank with real ties (integer key) — reference
     // dominant-type ranking `biosample.py:117-126`.
     "q_w2_rank" -> ((s, dir) => {
@@ -937,6 +962,15 @@ object SparkEntry {
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_v,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_v
          FROM events GROUP BY 1""",
+    "q_a14_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS lvl
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_a15_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS lvl
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     "q_w2_rank" ->
       """SELECT p_brand, p_partkey, p_size, rk, drk FROM (
            SELECT p_brand, p_partkey, p_size,
