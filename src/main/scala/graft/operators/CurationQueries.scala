@@ -137,8 +137,64 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"),
           round(sum("tok").cast("double") / PackBudget, 6).as("fill"))
         .orderBy("shard", "bin")
+    }),
+
+    "q_curate_token_budget" -> ((s, dir) =>
+      tokenBudget(docs(s, dir)).orderBy("source", "cum")),
+
+    // Mixture audit: what the budgeted selection actually achieved —
+    // per-source selected docs/tokens, fill vs budget, and the realized
+    // share of the composed corpus (the number the mixture spec is ABOUT).
+    "q_curate_mixture_audit" -> ((s, dir) => {
+      val sel = tokenBudget(docs(s, dir))
+        .groupBy("source")
+        .agg(max("budget").as("budget"), count(lit(1)).as("n_docs"),
+          sum("tok").as("tok_sel"))
+      sel.withColumn("fill",
+          round(col("tok_sel").cast("double") / col("budget"), 6))
+        .withColumn("share",
+          round(col("tok_sel").cast("double") /
+            sum("tok_sel").over(Window.partitionBy()), 6))
+        .orderBy("source")
     })
   )
+
+  /** Per-source TOKEN budgets for mixture composition: even-numbered
+    * sources get [[BudgetEven]] tokens, odd [[BudgetOdd]] — the shape of a
+    * real mixture spec ("30% web, 10% code, …" expressed as absolute
+    * token targets per source). A pure function of the source name so
+    * both engines derive it without a side table. */
+  val BudgetEven = 400L
+  val BudgetOdd = 150L
+
+  /** Token-budget mixture composition — the op that turns a mixture spec
+    * into a concrete document selection: within each source, walk docs in
+    * deterministic hash order (md5(doc_id) — an unbiased shuffle both
+    * engines replay) accumulating tokens, and keep every doc that STARTS
+    * before the source's budget is exhausted (overflow ≤ one doc, the
+    * same convention as sequence packing). One shuffle on `source`; a hot
+    * source is one reducer's streaming scan. At 10^12 docs you pre-thin
+    * each source first with the md5-prefix gate at rate ≈ safety ×
+    * budget / (avg_tok × |source|) (the [[stratifiedSample]] predicate),
+    * so the window only ever sorts a budget-proportional candidate set —
+    * the same two-phase shape documented on `stratifiedExactK`.
+    */
+  def tokenBudget(d: DataFrame): DataFrame = {
+    val budget = when(substring(col("source"), 4, 10).cast("int") % 2 === 0,
+      lit(BudgetEven)).otherwise(lit(BudgetOdd))
+    val w = Window.partitionBy("source")
+      .orderBy(col("hx"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(regexp_extract_all(col("text"), lit(TextQueries.TokenPattern), lit(0)))
+          .cast("long").as("tok"),
+        md5(col("doc_id").cast("string")).as("hx"))
+      .withColumn("budget", budget)
+      .withColumn("cum", sum("tok").over(w))
+      .filter(col("cum") - col("tok") < col("budget"))
+      .select("doc_id", "source", "tok", "cum", "budget")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_curate_source_cap" ->
@@ -189,6 +245,45 @@ object CurationQueries {
             FROM toks)
           SELECT shard, bin, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens,
             round(CAST(sum(tok) AS DOUBLE) / $PackBudget, 6) AS fill
-          FROM binned GROUP BY shard, bin"""
+          FROM binned GROUP BY shard, bin""",
+    "q_curate_token_budget" ->
+      s"""WITH t AS (
+            SELECT doc_id, source,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS tok,
+              md5(CAST(doc_id AS VARCHAR)) AS hx,
+              CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                   THEN $BudgetEven ELSE $BudgetOdd END AS budget
+            FROM documents WHERE text IS NOT NULL),
+          c AS (
+            SELECT doc_id, source, tok, budget,
+              sum(tok) OVER (PARTITION BY source ORDER BY hx, doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t)
+          SELECT doc_id, source, tok, CAST(cum AS BIGINT) AS cum,
+            CAST(budget AS BIGINT) AS budget
+          FROM c WHERE cum - tok < budget""",
+    "q_curate_mixture_audit" ->
+      s"""WITH t AS (
+            SELECT doc_id, source,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS tok,
+              md5(CAST(doc_id AS VARCHAR)) AS hx,
+              CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                   THEN $BudgetEven ELSE $BudgetOdd END AS budget
+            FROM documents WHERE text IS NOT NULL),
+          c AS (
+            SELECT doc_id, source, tok, budget,
+              sum(tok) OVER (PARTITION BY source ORDER BY hx, doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t),
+          sel AS (
+            SELECT source, CAST(max(budget) AS BIGINT) AS budget,
+              count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS tok_sel
+            FROM c WHERE cum - tok < budget GROUP BY source)
+          SELECT source, budget, n_docs, tok_sel,
+            round(CAST(tok_sel AS DOUBLE) / budget, 6) AS fill,
+            round(CAST(tok_sel AS DOUBLE) / sum(tok_sel) OVER (), 6) AS share
+          FROM sel"""
   )
 }

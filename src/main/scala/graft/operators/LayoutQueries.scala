@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table-layout and planner-statistics operators — the metadata layer an
@@ -437,10 +438,55 @@ object LayoutQueries {
   }
 
   // ---------------------------------------------------------------------
+  // Compaction advisor (small-file bin-packing from manifest stats)
+  // ---------------------------------------------------------------------
+
+  /** Target compacted-file size (synthetic bytes). */
+  val CompactTarget = 256000L
+
+  /** Small-file compaction plan — the other standing Iceberg maintenance
+    * job: streaming ingest leaves many sub-target files per partition;
+    * the advisor bin-packs them into ≥target-size rewrite groups, NEVER
+    * across partitions (a rewrite that merged partitions would break
+    * partition pruning — the invariant real compactors keep).
+    *
+    * The manifest is synthesized from lineitem: partition = ship month,
+    * file = (month, l_orderkey % 8) — eight small ingest batches per
+    * month — with deterministic integer byte sizes. The plan itself runs
+    * ON THE MANIFEST ONLY (file-count-sized): first-fit by file id within
+    * the partition, group = floor(prev_cum / target). Windows partition
+    * by month, so at 10^6 files this is still a per-partition streaming
+    * sum, not a global sort. Emits one row per rewrite group: the job
+    * list a compaction scheduler would execute.
+    */
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val manifest = li(s, dir)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("part"),
+        pmod(col("l_orderkey"), lit(8)).as("batch"))
+      .agg(count(lit(1)).as("f_rows"),
+        // per-row term cast to long BEFORE the sum: integer aggregation is
+        // order-independent, so the bytes figure is engine/partitioning-proof
+        sum((col("l_quantity") * 17 + col("l_linenumber") * 5 + 83)
+          .cast("long")).as("f_bytes"))
+    val w = Window.partitionBy("part").orderBy("batch")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    manifest
+      .withColumn("cum", sum("f_bytes").over(w))
+      .withColumn("grp",
+        floor((col("cum") - col("f_bytes")).cast("double") / CompactTarget))
+      .groupBy("part", "grp")
+      .agg(count(lit(1)).as("n_files"), sum("f_rows").as("g_rows"),
+        sum("f_bytes").as("g_bytes"),
+        round(sum("f_bytes").cast("double") / CompactTarget, 6).as("fill"))
+      .orderBy("part", "grp")
+  }
+
+  // ---------------------------------------------------------------------
   // Wiring
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_layout_compaction" -> ((s, dir) => compactionPlan(s, dir)),
     "q_layout_zonemap" -> ((s, dir) => zoneMapCompare(s, dir)),
     "q_layout_zorder" -> ((s, dir) => zorderCompare(s, dir)),
     "q_layout_joincard" -> ((s, dir) => joinCardEstimate(s, dir)),
@@ -458,6 +504,25 @@ object LayoutQueries {
     }.mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
+    "q_layout_compaction" ->
+      s"""WITH manifest AS (
+            SELECT strftime(l_shipdate, '%Y-%m') AS part,
+              l_orderkey % 8 AS batch, count(*) AS f_rows,
+              CAST(sum(CAST(l_quantity * 17 + l_linenumber * 5 + 83 AS BIGINT))
+                AS BIGINT) AS f_bytes
+            FROM lineitem GROUP BY 1, 2),
+          packed AS (
+            SELECT part, batch, f_rows, f_bytes,
+              CAST(floor(CAST(sum(f_bytes) OVER (PARTITION BY part ORDER BY batch
+                  ROWS UNBOUNDED PRECEDING) - f_bytes AS DOUBLE)
+                / $CompactTarget) AS BIGINT) AS grp
+            FROM manifest)
+          SELECT part, grp, count(*) AS n_files,
+            CAST(sum(f_rows) AS BIGINT) AS g_rows,
+            CAST(sum(f_bytes) AS BIGINT) AS g_bytes,
+            round(CAST(sum(f_bytes) AS DOUBLE) / $CompactTarget, 6) AS fill
+          FROM packed GROUP BY 1, 2
+          ORDER BY 1, 2""",
     "q_layout_zonemap" ->
       s"""WITH ingest_stats AS (
             SELECT CAST(floor(l_orderkey / $IngestZoneOrders) AS VARCHAR) AS zone,

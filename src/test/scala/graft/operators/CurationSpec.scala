@@ -115,4 +115,49 @@ class CurationSpec extends SparkTestBase {
     }
     assert(got == expected)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Plain-Scala replay of the token-budget selection: per source, walk
+    * docs in (md5(id), id) order, keep every doc that starts below budget. */
+  private def expectBudgetSel: Map[Long, (Long, Long)] =
+    docs.filter(_.text != null).groupBy(_.source).flatMap { case (src, ds) =>
+      val budget =
+        if (src.drop(3).toInt % 2 == 0) CurationQueries.BudgetEven
+        else CurationQueries.BudgetOdd
+      var cum = 0L
+      ds.sortBy(d => (md5hex(d.id.toString), d.id)).flatMap { d =>
+        val tok = tokCount(d.text)
+        val start = cum
+        cum += tok
+        if (start < budget) Some(d.id -> (tok, cum)) else None
+      }
+    }
+
+  test("q_curate_token_budget matches the plain-Scala prefix walk") {
+    val got = CurationQueries.queries("q_curate_token_budget")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("tok"), r.getAs[Long]("cum")))
+      .toMap
+    assert(got == expectBudgetSel)
+    assert(got.nonEmpty)
+  }
+
+  test("token budget: every source overflows its budget by at most one doc") {
+    val rows = CurationQueries.queries("q_curate_token_budget")(spark, dir)
+      .collect()
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val budget = rs.head.getAs[Long]("budget")
+      // kept iff the doc STARTS below budget — so cumulative tokens can
+      // exceed the budget on at most the one straddling doc
+      assert(rs.count(_.getAs[Long]("cum") > budget) <= 1,
+        s"$src overflows by more than one doc")
+      rs.foreach(r =>
+        assert(r.getAs[Long]("cum") - r.getAs[Long]("tok") < budget,
+          s"$src kept a doc that starts past the budget"))
+    }
+  }
 }

@@ -234,4 +234,51 @@ class LayoutSpec extends SparkTestBase {
     assert(rows(65536L)._1 - truth < truth,
       "at 65k buckets over ~1.5k keys the estimate should be within 2x of truth")
   }
+
+  test("q_layout_compaction: groups cover every file once, never cross partitions, and respect first-fit") {
+    // plain-Scala manifest: (month, batch) → bytes from the same integer term
+    val liQ = graft.Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+      .collect()
+      .map { r =>
+        val month = r.getAs[java.time.LocalDateTime]("l_shipdate")
+          .toLocalDate.toString.substring(0, 7)
+        val bytes = (r.getAs[Double]("l_quantity") * 17 +
+          r.getAs[Int]("l_linenumber") * 5 + 83).toLong
+        ((month, r.getAs[Long]("l_orderkey") % 8), bytes)
+      }
+    val manifest = liQ.groupBy(_._1).view
+      .mapValues(vs => (vs.size.toLong, vs.map(_._2).sum)).toMap
+    // first-fit within each month by batch order
+    val expected = manifest.keys.groupBy(_._1).flatMap { case (month, ks) =>
+      var cum = 0L
+      ks.toSeq.sortBy(_._2).map { k =>
+        val grp = math.floor(cum.toDouble / LayoutQueries.CompactTarget).toLong
+        cum += manifest(k)._2
+        (k, grp)
+      }
+    }
+    val expGroups = expected.groupBy { case ((month, _), grp) => (month, grp) }
+      .map { case (mg, fs) =>
+        // NB: fs.keys is a Set — map through an iterator so files with
+        // EQUAL row counts don't collapse before the sum
+        mg -> (fs.size.toLong,
+          fs.keys.iterator.map(k => manifest(k)._1).sum,
+          fs.keys.iterator.map(k => manifest(k)._2).sum)
+      }
+    val got = LayoutQueries.queries("q_layout_compaction")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[String]("part"), r.getAs[Long]("grp")) ->
+        (r.getAs[Long]("n_files"), r.getAs[Long]("g_rows"), r.getAs[Long]("g_bytes")))
+      .toMap
+    assert(got == expGroups)
+    // every file lands in exactly one group
+    assert(got.values.map(_._1).sum == manifest.size.toLong)
+    // a group never straddles months by construction of the key; and no
+    // group except a month's last can START above target (first-fit)
+    got.keys.groupBy(_._1).foreach { case (_, gs) =>
+      val ids = gs.map(_._2).toSeq.sorted
+      assert(ids == (0L until ids.size).toSeq, "group ids are dense per month")
+    }
+  }
 }
