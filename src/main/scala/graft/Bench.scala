@@ -40,7 +40,9 @@ object Bench {
     "q_curate_decontaminate", "q_text_repetition", "q_dedup_substring",
     "q_layout_zonemap", "q_layout_zorder", "q_layout_bloom",
     "q_layout_stats_merge", "q_layout_advisor", "q_layout_joincard",
-    "q_sess_assign", "q_sess_stats", "q_sess_funnel")
+    "q_sess_assign", "q_sess_stats", "q_sess_funnel",
+    "q_snap_dirty_parts", "q_snap_diff", "q_snap_diff_pruned",
+    "q_curate_token_budget", "q_layout_compaction")
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()

@@ -114,6 +114,19 @@ object SnapshotQueries {
         expr("bit_xor(h48)").as("fp_xor"),
         sum(col("h32")).as("fp_sum"))
 
+  /** Merge fingerprint PARTIALS (e.g. one per streamed micro-batch or per
+    * appended file) into the same rows [[partitionFingerprints]] computes
+    * directly: all three components are associative and commutative
+    * (sum-of-counts, xor-of-xors, sum-of-sums), so the baseline
+    * fingerprint table can be maintained incrementally on append — no
+    * rescan — exactly like an Iceberg manifest. Spec-proven equal to the
+    * direct computation in StreamingSnapshotSpec. */
+  def mergeFingerprints(partials: DataFrame): DataFrame =
+    partials.groupBy(col("part"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        expr("bit_xor(fp_xor)").as("fp_xor"),
+        sum(col("fp_sum")).as("fp_sum"))
+
   /** Level 2: fingerprint join → per-partition status. Runs on two
     * partition-count-sized frames; cost is nil at any table size. */
   def dirtyPartitions(baseFp: DataFrame, curFp: DataFrame): DataFrame = {
