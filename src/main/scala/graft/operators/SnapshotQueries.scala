@@ -221,6 +221,50 @@ object SnapshotQueries {
     j.agg(sums.head, sums.tail: _*)
   }
 
+  /** Revalidation planner — the glue between reconciliation and the
+    * validation engine's resume path: given the checkpoint's DONE
+    * partitions (ImageSuite's key-index semantics) and the fingerprint
+    * verdicts vs the new snapshot, decide per partition what the next
+    * validation run does:
+    *
+    *   - `skip`        clean AND already validated (the resume fast path)
+    *   - `validate`    never validated (clean-but-new-to-the-checkpoint,
+    *                   or a brand-new partition)
+    *   - `revalidate`  content changed under a validated partition — the
+    *                   case plain resume GETS WRONG (it would skip stale
+    *                   verdicts); the fingerprints are what make staleness
+    *                   detectable without a rescan
+    *   - `retire`      partition disappeared; its verdicts/violations
+    *                   should be tombstoned
+    *
+    * Runs entirely on partition-count-sized frames (fingerprint verdicts
+    * × done set) — the plan costs nothing at any table size, exactly like
+    * the decision it feeds. */
+  def revalidationPlan(verdicts: DataFrame, doneParts: DataFrame): DataFrame = {
+    val done = doneParts.select(col("part")).distinct()
+      .withColumn("is_done", lit(true))
+    verdicts.join(done, Seq("part"), "left_outer")
+      .withColumn("action",
+        when(col("status") === "part_removed", lit("retire"))
+          .when(col("status") === "dirty", lit("revalidate"))
+          .when(col("status") === "part_added", lit("validate"))
+          .when(col("is_done").isNotNull, lit("skip"))
+          .otherwise(lit("validate")))
+      .select(col("part"), col("status"), col("action"))
+  }
+
+  /** q_snap_reval_plan: the planner over a deterministic done set (months
+    * before 1996-07 — a checkpoint that stopped mid-1996, covering the
+    * whole rewritten 1995 range plus six clean months, so the plan
+    * exercises all four actions against the 1995 rewrite). */
+  def revalPlanQuery(s: SparkSession, dir: String): DataFrame = {
+    val verdicts = dirtyPartitions(
+      partitionFingerprints(baseSnapshot(s, dir)),
+      partitionFingerprints(curSnapshot(s, dir)))
+    val done = verdicts.filter(col("part") < "1996-07").select("part")
+    revalidationPlan(verdicts, done).orderBy("part")
+  }
+
   /** Schema diff — metadata only, no scan: added / removed / type-changed
     * columns between two snapshot schemas. The "schema" half of the north
     * rule's "schema + constraint validation", applied across snapshots
@@ -246,7 +290,8 @@ object SnapshotQueries {
     "q_snap_dirty_parts" -> ((s, dir) => dirtyPartsQuery(s, dir)),
     "q_snap_diff" -> ((s, dir) => diffCountsQuery(s, dir)),
     "q_snap_diff_pruned" -> ((s, dir) => prunedDiffCounts(s, dir)),
-    "q_snap_changed_cols" -> ((s, dir) => changedColsQuery(s, dir))
+    "q_snap_changed_cols" -> ((s, dir) => changedColsQuery(s, dir)),
+    "q_snap_reval_plan" -> ((s, dir) => revalPlanQuery(s, dir))
   )
 
   /** DuckDB replay of the snapshot synthesis + both fingerprint levels. */
@@ -329,6 +374,22 @@ object SnapshotQueries {
           FROM pb b FULL OUTER JOIN pc c ON b.k = c.k
           WHERE b.k IS NULL OR c.k IS NULL OR b.h48 <> c.h48
           GROUP BY 1 ORDER BY 1""",
+    "q_snap_reval_plan" ->
+      s"""WITH $SnapCte,
+            verdicts AS (
+              SELECT COALESCE(b.part, c.part) AS part,
+                CASE WHEN c.part IS NULL THEN 'part_removed'
+                     WHEN b.part IS NULL THEN 'part_added'
+                     WHEN b.base_rows = c.cur_rows AND b.bx = c.cx AND b.bs = c.cs
+                       THEN 'clean' ELSE 'dirty' END AS status
+              FROM bfp b FULL OUTER JOIN cfp c ON b.part = c.part)
+          SELECT part, status,
+            CASE WHEN status = 'part_removed' THEN 'retire'
+                 WHEN status = 'dirty' THEN 'revalidate'
+                 WHEN status = 'part_added' THEN 'validate'
+                 WHEN part < '1996-07' THEN 'skip'
+                 ELSE 'validate' END AS action
+          FROM verdicts ORDER BY part""",
     "q_snap_changed_cols" ->
       s"""WITH $SnapCte
           SELECT

@@ -113,6 +113,37 @@ class SnapshotDiffSpec extends SparkTestBase {
     assert(dirty.toSeq == Seq(expectPart))
   }
 
+  test("revalidation plan: skip done-clean, validate new-clean, revalidate dirty") {
+    val rows = SnapshotQueries.queries("q_snap_reval_plan")(spark, dir).collect()
+    rows.foreach { r =>
+      val (part, status, action) = (r.getAs[String]("part"),
+        r.getAs[String]("status"), r.getAs[String]("action"))
+      val expect =
+        if (status == "dirty") "revalidate"
+        else if (part < "1996-07") "skip"
+        else "validate"
+      assert(action == expect, s"$part ($status): $action != $expect")
+    }
+    // all 1995 months are dirty → revalidated even where the checkpoint
+    // claims them done (Jan–Jun 1995): stale verdicts never survive
+    assert(rows.count(_.getAs[String]("action") == "revalidate") == 12)
+    assert(rows.exists(_.getAs[String]("action") == "skip"))
+    assert(rows.exists(_.getAs[String]("action") == "validate"))
+  }
+
+  test("revalidation plan handles retired and added partitions") {
+    import spark.implicits._
+    val verdicts = Seq(
+      ("p1", "clean"), ("p2", "dirty"), ("p3", "part_removed"),
+      ("p4", "part_added"), ("p5", "clean"))
+      .toDF("part", "status")
+    val done = Seq("p1", "p2", "p3").toDF("part")
+    val got = SnapshotQueries.revalidationPlan(verdicts, done)
+      .collect().map(r => r.getAs[String]("part") -> r.getAs[String]("action")).toMap
+    assert(got == Map("p1" -> "skip", "p2" -> "revalidate",
+      "p3" -> "retire", "p4" -> "validate", "p5" -> "validate"))
+  }
+
   test("schemaDiff reports added/removed/type-changed columns") {
     val a = StructType(Seq(
       StructField("id", LongType), StructField("w", IntegerType),
