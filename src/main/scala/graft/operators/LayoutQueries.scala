@@ -482,11 +482,69 @@ object LayoutQueries {
   }
 
   // ---------------------------------------------------------------------
+  // Skew advisor (heavy-key detection + salt-factor sizing)
+  // ---------------------------------------------------------------------
+
+  /** Reducer-task model for the advisor: how many tasks share a shuffle. */
+  val SkewTasks = 32L
+
+  /** Heavy-key multiple: a key is "hot" above this × the fair share. */
+  val SkewHotFactor = 2L
+
+  /** Skew advisor — detect the hot keys of a prospective shuffle and size
+    * the salt that fixes them, BEFORE running the join/agg. The north
+    * star names exactly this hazard ("skew on fmt/phash hot keys …
+    * explicit salting"); the existing `SaltedAggregate` rule and AQE
+    * skew-join splitting APPLY the fix — this advisor is the missing
+    * first step that DECIDES it from one narrow stats pass:
+    *
+    *   - per-key counts (one map-combinable groupBy on the key — the
+    *     same pass any shuffle would do, but output is key-count-sized);
+    *   - fair share = ceil(total / tasks): the rows one reducer task
+    *     owns under perfect hashing;
+    *   - a key is hot above [[SkewHotFactor]]× fair share; its salt
+    *     factor = ceil(count / share) — the number of subkeys that
+    *     restores the fair share per task (the `repartition(salt)`/
+    *     two-phase-agg fan-out to request);
+    *   - non-hot keys report salt 1 and collapse into one 'OTHER' row,
+    *     so the advisor's OUTPUT is hot-key-sized, never key-sized.
+    *
+    * Integer math throughout — DuckDB replays it bit-for-bit. Scale: the
+    * stats pass is the only data scan; everything after runs on the
+    * key histogram. Demonstrated on lineitem's return flag — three
+    * values across the whole table, so every key is hot at 32 tasks:
+    * the shape a status/fmt-keyed shuffle of a 10^12-row fact table
+    * actually has (the north star's fmt hot keys).
+    */
+  def skewAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val counts = li(s, dir).groupBy(col("l_returnflag").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy()
+    val share = greatest(ceil(sum(col("n")).over(w) / SkewTasks), lit(1L))
+    counts
+      .withColumn("fair_share", share.cast("long"))
+      .withColumn("is_hot", col("n") > lit(SkewHotFactor) * col("fair_share"))
+      .withColumn("grp_key",
+        when(col("is_hot"), col("key").cast("string")).otherwise(lit("OTHER")))
+      .groupBy("grp_key")
+      .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("fair_share")).as("fair_share"),
+        max(when(col("is_hot"),
+          ceil(col("n").cast("double") / col("fair_share")).cast("long"))
+          .otherwise(lit(1L))).as("salt"))
+      .withColumn("share_pct",
+        round(col("n_rows").cast("double") * 100 /
+          sum(col("n_rows")).over(Window.partitionBy()), 4))
+      .orderBy(col("grp_key"))
+  }
+
+  // ---------------------------------------------------------------------
   // Wiring
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_layout_compaction" -> ((s, dir) => compactionPlan(s, dir)),
+    "q_layout_skew_advisor" -> ((s, dir) => skewAdvisor(s, dir)),
     "q_layout_zonemap" -> ((s, dir) => zoneMapCompare(s, dir)),
     "q_layout_zorder" -> ((s, dir) => zorderCompare(s, dir)),
     "q_layout_joincard" -> ((s, dir) => joinCardEstimate(s, dir)),
@@ -504,6 +562,31 @@ object LayoutQueries {
     }.mkString(" + ")
 
   def oracleSql: Map[String, String] = Map(
+    "q_layout_skew_advisor" ->
+      s"""WITH counts AS (
+            SELECT l_returnflag AS key, count(*) AS n FROM lineitem GROUP BY 1),
+          shared AS (
+            SELECT key, n,
+              greatest(CAST(ceil(CAST(sum(n) OVER () AS DOUBLE) / $SkewTasks)
+                AS BIGINT), 1) AS fair_share
+            FROM counts),
+          grouped AS (
+            SELECT CASE WHEN n > $SkewHotFactor * fair_share
+                        THEN CAST(key AS VARCHAR) ELSE 'OTHER' END AS grp_key,
+              n, fair_share,
+              CASE WHEN n > $SkewHotFactor * fair_share
+                   THEN CAST(ceil(CAST(n AS DOUBLE) / fair_share) AS BIGINT)
+                   ELSE 1 END AS salt
+            FROM shared),
+          agged AS (
+            SELECT grp_key, CAST(sum(n) AS BIGINT) AS n_rows,
+              count(*) AS n_keys, max(fair_share) AS fair_share,
+              max(salt) AS salt
+            FROM grouped GROUP BY 1)
+          SELECT grp_key, n_rows, n_keys, fair_share, salt,
+            round(CAST(n_rows AS DOUBLE) * 100 / sum(n_rows) OVER (), 4)
+              AS share_pct
+          FROM agged ORDER BY grp_key""",
     "q_layout_compaction" ->
       s"""WITH manifest AS (
             SELECT strftime(l_shipdate, '%Y-%m') AS part,

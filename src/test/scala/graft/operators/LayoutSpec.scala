@@ -235,6 +235,36 @@ class LayoutSpec extends SparkTestBase {
       "at 65k buckets over ~1.5k keys the estimate should be within 2x of truth")
   }
 
+  test("q_layout_skew_advisor matches the plain-Scala histogram math") {
+    val flags = graft.Tables(spark, dir, "lineitem")
+      .select("l_returnflag").collect().map(_.getString(0))
+    val counts = flags.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = counts.values.sum
+    val share = math.max(math.ceil(total.toDouble / LayoutQueries.SkewTasks).toLong, 1L)
+    val rows = counts.toSeq.map { case (k, n) =>
+      val hot = n > LayoutQueries.SkewHotFactor * share
+      (if (hot) k else "OTHER", n,
+        if (hot) math.ceil(n.toDouble / share).toLong else 1L)
+    }
+    assert(rows.exists(_._1 != "OTHER"), "demo table must have hot keys")
+    val expect = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> (vs.iterator.map(_._2).sum, vs.size.toLong, vs.iterator.map(_._3).max)
+    }
+    val got = LayoutQueries.queries("q_layout_skew_advisor")(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("grp_key") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"), r.getAs[Long]("salt")))
+      .toMap
+    assert(got == expect)
+    // the advisor's contract: salting a hot key at the recommended factor
+    // restores <= hot-factor x fair share per subkey
+    got.foreach { case (g, (n, keys, salt)) =>
+      if (g != "OTHER")
+        assert(math.ceil(n.toDouble / salt) <= LayoutQueries.SkewHotFactor * share,
+          s"key $g salted at $salt still overflows")
+    }
+  }
+
   test("q_layout_compaction: groups cover every file once, never cross partitions, and respect first-fit") {
     // plain-Scala manifest: (month, batch) → bytes from the same integer term
     val liQ = graft.Tables(spark, dir, "lineitem")
