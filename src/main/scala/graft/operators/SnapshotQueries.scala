@@ -97,22 +97,31 @@ object SnapshotQueries {
     date_format(col("o_orderdate"), "yyyy-MM-dd"),
     col("o_orderpriority"))
 
-  /** 48-bit and 32-bit integer views of the row-content md5. */
-  private def withHashes(d: DataFrame): DataFrame =
-    d.withColumn("_hx", md5(canon))
+  /** 48-bit and 32-bit integer views of a row-content md5 — generic over
+    * the canonical content column, so any table (orders here, the image
+    * facts table in ImageSuiteQueries) fingerprints the same way. */
+  def withHashesOf(d: DataFrame, canonCol: Column): DataFrame =
+    d.withColumn("_hx", md5(canonCol))
       .withColumn("h48", expr("cast(conv(substring(_hx, 1, 12), 16, 10) as bigint)"))
       .withColumn("h32", expr("cast(conv(substring(_hx, 13, 8), 16, 10) as bigint)"))
       .drop("_hx")
+
+  private def withHashes(d: DataFrame): DataFrame = withHashesOf(d, canon)
+
+  /** Generic per-partition fingerprint of any table carrying a `part`
+    * column: the reusable core behind [[partitionFingerprints]]. */
+  def fingerprintsOf(df: DataFrame, canonCol: Column): DataFrame =
+    withHashesOf(df, canonCol).groupBy(col("part"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h48)").as("fp_xor"),
+        sum(col("h32")).as("fp_sum"))
 
   /** Level 1: per-partition (count, xor, sum) fingerprint. One narrow
     * groupBy — partial-aggregates map-side, output is partition-count-
     * sized. This is the frame you'd persist as the snapshot's "manifest
     * digest" next to Iceberg's own stats. */
   def partitionFingerprints(snap: DataFrame): DataFrame =
-    withHashes(snap).groupBy(col("part"))
-      .agg(count(lit(1)).as("n_rows"),
-        expr("bit_xor(h48)").as("fp_xor"),
-        sum(col("h32")).as("fp_sum"))
+    fingerprintsOf(snap, canon)
 
   /** Merge fingerprint PARTIALS (e.g. one per streamed micro-batch or per
     * appended file) into the same rows [[partitionFingerprints]] computes

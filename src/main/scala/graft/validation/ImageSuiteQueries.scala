@@ -1,7 +1,8 @@
 package graft.validation
 
+import graft.SnapshotQueries
 import graft.images.ImageGen
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** North-rule engine surfaced through the driver contract: each query runs
@@ -120,6 +121,17 @@ object ImageSuiteQueries {
     "phash_hamming" -> Profiler.Integral, "psnr_db" -> Profiler.Fractional,
     "w" -> Profiler.Integral)
 
+  /** Canonical content string of the image light columns — every nullable
+    * field coalesced to a sentinel so concat_ws keeps positions stable
+    * (concat_ws SKIPS nulls, which would let different rows collide). */
+  private val imageCanon: Column = concat_ws("|",
+    col("image_id"),
+    coalesce(col("fmt"), lit("~")),
+    coalesce(col("caption"), lit("~")),
+    coalesce(col("w").cast("string"), lit("~")),
+    coalesce(col("h").cast("string"), lit("~")),
+    coalesce(col("phash").cast("string"), lit("~")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Single-pass column profile of the decoded-facts table — the
@@ -147,6 +159,28 @@ object ImageSuiteQueries {
       ImageSuite.keyChecks(light, caps, "verify")._1.orderBy("part", "check")
     }),
 
+
+    // Snapshot reconciliation instantiated on the NORTH-STAR table shape
+    // (image_id/fmt/caption/w/h/phash): baseline = the persisted facts
+    // light columns; "current" = the same rows with a deterministic
+    // caption rewrite confined to partition p3 (md5(image_id) byte < 64).
+    // The fingerprint triple (count / xor / sum of the canonicalized row
+    // md5 — SnapshotQueries.fingerprintsOf) must flag EXACTLY p3 dirty;
+    // DuckDB replays synthesis + fingerprints from the same parquet.
+    // This is the decision input for ImageSuite's revalidation: a caption
+    // backfill re-validates one partition, not 10^12 rows.
+    "q_i_snap_dirty" -> ((s, dir) => {
+      val base = ensureFacts(s, dir)
+        .select("image_id", "part", "fmt", "caption", "w", "h", "phash")
+      val cur = base.withColumn("caption",
+        when(col("part") === "p3" &&
+          expr("cast(conv(substring(md5(image_id), 1, 2), 16, 10) as int)") < 64,
+          concat(col("caption"), lit("!"))).otherwise(col("caption")))
+      SnapshotQueries.dirtyPartitions(
+          SnapshotQueries.fingerprintsOf(base, imageCanon),
+          SnapshotQueries.fingerprintsOf(cur, imageCanon))
+        .orderBy("part")
+    }),
 
     // Oracle-backed verdict math (the q_i_* family): every aggregation the
     // suite derives from decoded facts, recomputed by DuckDB from the same
@@ -250,7 +284,40 @@ object ImageSuiteQueries {
   private val factsCte =
     s"WITH f AS (SELECT * FROM read_parquet('$FactsPath/*.parquet'))"
 
+  /** DuckDB twin of [[imageCanon]] over relation alias-free columns. */
+  private val imageCanonSql =
+    """concat_ws('|', image_id, COALESCE(fmt, '~'), COALESCE(caption, '~'),
+       COALESCE(CAST(w AS VARCHAR), '~'), COALESCE(CAST(h AS VARCHAR), '~'),
+       COALESCE(CAST(phash AS VARCHAR), '~'))"""
+
   def oracleSql: Map[String, String] = Map(
+    "q_i_snap_dirty" ->
+      s"""$factsCte,
+          b AS (SELECT image_id, part, fmt, caption, w, h, phash FROM f),
+          c AS (SELECT image_id, part, fmt,
+                  CASE WHEN part = 'p3'
+                        AND CAST(('0x' || substr(md5(image_id), 1, 2)) AS INT) < 64
+                       THEN caption || '!' ELSE caption END AS caption,
+                  w, h, phash FROM b),
+          bh AS (SELECT part, md5($imageCanonSql) AS hx FROM b),
+          ch AS (SELECT part, md5($imageCanonSql) AS hx FROM c),
+          bf AS (SELECT part, count(*) AS base_rows,
+                   bit_xor(CAST(('0x' || substr(hx, 1, 12)) AS BIGINT)) AS bx,
+                   CAST(sum(CAST(('0x' || substr(hx, 13, 8)) AS BIGINT)) AS BIGINT) AS bs
+                 FROM bh GROUP BY 1),
+          cf AS (SELECT part, count(*) AS cur_rows,
+                   bit_xor(CAST(('0x' || substr(hx, 1, 12)) AS BIGINT)) AS cx,
+                   CAST(sum(CAST(('0x' || substr(hx, 13, 8)) AS BIGINT)) AS BIGINT) AS cs
+                 FROM ch GROUP BY 1)
+          SELECT COALESCE(bf.part, cf.part) AS part,
+            CASE WHEN cf.part IS NULL THEN 'part_removed'
+                 WHEN bf.part IS NULL THEN 'part_added'
+                 WHEN base_rows = cur_rows AND bx = cx AND bs = cs THEN 'clean'
+                 ELSE 'dirty' END AS status,
+            COALESCE(base_rows, 0) AS base_rows,
+            COALESCE(cur_rows, 0) AS cur_rows
+          FROM bf FULL OUTER JOIN cf ON bf.part = cf.part
+          ORDER BY 1""",
     "q_i_profile" -> Profiler.duckProfileSql(
       s"read_parquet('$FactsPath/*.parquet')", FactsProfileCols),
     "q_i_suggest" -> Profiler.duckSuggestSql(

@@ -186,4 +186,22 @@ class PlanHygieneSpec extends SparkTestBase {
     assert(exchanges <= 2, s"session windows re-shuffled:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("partition fingerprints partial-aggregate map-side (combiner before the shuffle)") {
+    val p = planOf(SnapshotQueries.queries("q_snap_dirty_parts")(spark, dir))
+    // both fingerprint groupBys must plan partial_count/xor/sum below the
+    // exchange — the property that keeps the stats pass one narrow scan
+    assert(p.contains("partial_count") || p.contains("Functions [partial"),
+      s"fingerprint aggregation lost its map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("pruned snapshot diff semi-joins the broadcast dirty set before the key shuffle") {
+    val df = SnapshotQueries.queries("q_snap_diff_pruned")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"dirty-set prune is not a broadcast semi-join:\n$p")
+    assert(p.contains("FullOuter"), "key diff must remain a full outer join")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

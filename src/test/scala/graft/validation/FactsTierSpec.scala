@@ -18,4 +18,17 @@ class FactsTierSpec extends SparkTestBase {
     assert(a == 2000L && b == 2500L)
     assert(a2 == a, s"stale facts after tier switch: got $a2 rows, expected $a")
   }
+
+  test("image-table snapshot fingerprints flag exactly the rewritten partition") {
+    val rows = ImageSuiteQueries.queries("q_i_snap_dirty")(spark, "/x/sf0.0005")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (part, status) = (r.getAs[String]("part"), r.getAs[String]("status"))
+      val expect = if (part == "p3") "dirty" else "clean"
+      assert(status == expect, s"$part: $status != $expect")
+      // caption rewrite changes content, never cardinality
+      assert(r.getAs[Long]("base_rows") == r.getAs[Long]("cur_rows"))
+    }
+  }
 }
