@@ -842,4 +842,29 @@ object ImageSuite {
       spark.read.parquet(stateDir).filter(col("status") === "done")
         .select("part").as[String].collect().toSet
     }
+
+  /** Invalidate partitions whose CONTENT changed under a done checkpoint —
+    * the execution of the revalidation planner's `revalidate` action
+    * (SnapshotQueries.revalidationPlan): crash-safely rewrite the state
+    * table without those parts' rows, so the next [[runAndCheckpoint]]
+    * re-validates exactly them. ONLY state moves: the keys / drift-partial
+    * / HLL side stores self-heal, because every read of them filters by
+    * the (now smaller) done set and the re-run replaces their `part=`
+    * directories via dynamic partition overwrite; verdict/violation tables
+    * are append-only history — the stale run's rows stay, distinguished by
+    * run_id (the reference keeps superseded assessments the same way,
+    * validation_agent.py:787-812). `parts` is dirty-partition-sized (the
+    * fingerprint join's output), so the isin literal stays small by
+    * construction. */
+  def invalidateParts(spark: SparkSession, outDir: String,
+                      parts: Set[String]): Unit = {
+    if (parts.isEmpty) return
+    val stateDir = s"$outDir/state"
+    if (!pathExists(spark, stateDir)) return
+    PartitionedStore.rewriteAside(spark, stateDir)(true) { legacy =>
+      spark.read.parquet(legacy)
+        .filter(!col("part").isin(parts.toSeq: _*))
+        .coalesce(1).write.mode(SaveMode.Overwrite).parquet(stateDir)
+    }
+  }
 }
