@@ -190,9 +190,14 @@ object ImageGen {
   /** Bump when generation logic changes — invalidates cached datasets. */
   val GenVersion = 5
 
+  /** Deterministic dataset dir for a row count (also used to EMBED paths in
+    * oracle SQL without forcing generation first). */
+  def dirFor(n: Long, baseDir: String = "/root/repo/data/images"): String =
+    s"$baseDir/v$GenVersion-n$n"
+
   /** Generate-if-absent, keyed by row count; returns the dataset dir. */
   def ensure(spark: SparkSession, n: Long, baseDir: String = "/root/repo/data/images"): String = {
-    val dir = s"$baseDir/v$GenVersion-n$n"
+    val dir = dirFor(n, baseDir)
     val marker = new java.io.File(s"$dir/_DONE")
     if (!marker.exists()) {
       write(spark, n, dir)

@@ -1,0 +1,299 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic byte-pair-encoding tokenizer (Sennrich, Haddow & Birch,
+  * "Neural Machine Translation of Rare Words with Subword Units", ACL 2016)
+  * — the VERDICT r4 #5 directive: token counts that match what an actual
+  * pretraining pipeline meters, instead of whitespace splits.
+  *
+  * Reference analogue: the deterministic normalization ladder the reference
+  * applies before any text measurement (analysis.py:61-104) — here the
+  * ladder is lowercase → whitespace words → character symbols → k greedy
+  * merge rounds, every step a pure function of the corpus so both engines
+  * replay it bit-for-bit.
+  *
+  * Training: classic BPE over the corpus word-frequency table — each round
+  * counts adjacent symbol pairs (weighted by word frequency), merges the
+  * most frequent pair everywhere (ties broken lexicographically on (a, b)
+  * so the argmax is total-ordered), bounded at [[MergeRounds]] rounds. Each
+  * round is one groupBy + a single-row collect; the DuckDB oracle replays
+  * the same rounds as chained CTEs — the training itself is hash-verified,
+  * not just the encode.
+  *
+  * Encoding: greedy left-to-right merge passes in learned order, expressed
+  * as `aggregate` folds over the symbol list (first element seeds the
+  * accumulator — exactly DuckDB's 2-arg `list_reduce` semantics, so the
+  * twin is the same fold verbatim). No UDF anywhere.
+  *
+  * Scale (10^12 docs): training runs on a bounded corpus SAMPLE (a vocab is
+  * trained once, not per-row — amortized exactly like the IVF/PQ codebooks),
+  * and the encode is a narrow per-row projection: no shuffle, no state, the
+  * merge list is a compile-time literal in the plan (a few hundred bytes
+  * broadcast with the task binary). Counting shuffles nothing.
+  */
+object BpeTokenizer {
+
+  /** Bounded merge rounds — enough to learn multi-character subwords on the
+    * synthetic corpus while keeping the oracle's CTE chain readable. */
+  val MergeRounds = 8
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  /** Word symbols at round 0: one single-character string per char. */
+  private def charsOf(w: Column): Column =
+    regexp_extract_all(w, lit("."), lit(0))
+
+  /** Normalization ladder: lowercase, whitespace words, drop empties. */
+  def wordsOf(text: Column): Column =
+    filter(split(lower(text), "\\s+"), w => length(w) > 0)
+
+  /** One greedy left-to-right merge pass over a symbol list: fold into a
+    * space-joined string, gluing adjacent (a, b) into ab. The first symbol
+    * seeds the accumulator (2-arg list_reduce semantics); "aaa" under
+    * (a, a) becomes [aa, a] — the standard non-overlapping leftmost merge.
+    */
+  def mergePass(toks: Column, a: Column, b: Column): Column =
+    aggregate(
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      element_at(toks, 1),
+      (acc, x) =>
+        when((acc === a || acc.endsWith(concat(lit(" "), a))) && x === b,
+          concat(acc, b))
+        .otherwise(concat_ws(" ", acc, x)))
+
+  /** Train `k` merges on a corpus. Driver actions: k single-row collects
+    * (the per-round argmax pair) — bounded by construction, never O(rows).
+    */
+  def train(corpus: DataFrame, k: Int = MergeRounds): Seq[(String, String)] = {
+    var words = corpus.select(explode(wordsOf(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("toks", charsOf(col("word")))
+      .persist()
+    words.count()
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    for (_ <- 1 to k) {
+      val pairs = words.select(col("freq"),
+          explode(transform(
+            slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+            (x, i) => struct(x.as("a"),
+              element_at(col("toks"), i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("freq").as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val next = words.withColumn("toks",
+          split(mergePass(col("toks"), lit(a), lit(b)), " ")).persist()
+        next.count()
+        words.unpersist()
+        words = next
+      }
+    }
+    words.unpersist()
+    merges.toSeq
+  }
+
+  // Trained merge lists per dataset dir — a vocab is a pure function of the
+  // corpus, trained once and reused by every consumer (the codebook-
+  // amortization pattern; merges are tiny driver values, not DataFrames,
+  // so no session keying is needed).
+  private val vocabCache = scala.collection.mutable.Map[String, Seq[(String, String)]]()
+
+  def mergesFor(s: SparkSession, dir: String): Seq[(String, String)] =
+    vocabCache.synchronized {
+      vocabCache.getOrElseUpdate(dir, train(docs(s, dir)))
+    }
+
+  /** Token count of one word under the learned merges (applied in order).
+    *
+    * NOT the [[mergePass]] fold: chaining k folds builds an expression tree
+    * that re-embeds the previous round's whole tree ~4× per round (~4^k
+    * nodes — the optimizer alone took minutes at k=8). Each merge round is
+    * instead ONE `regexp_replace` over the space-joined symbol string:
+    * `(^|(?<= ))a b(?= |$)` → `ab`. The zero-width lookaround keeps the
+    * shared separator available to the next match, which makes the
+    * left-to-right non-overlapping replacement semantics IDENTICAL to the
+    * fold ("a a a" under (a,a) → "aa a"; "a b a b" → "ab ab") —
+    * BpeTokenizerSpec pins the equivalence against a plain-Scala fold.
+    * Tree size is O(k); the whole encode stays a narrow projection.
+    */
+  def tokensPerWord(w: Column, merges: Seq[(String, String)]): Column = {
+    var s: Column = array_join(charsOf(w), " ")
+    merges.foreach { case (a, b) =>
+      val qa = java.util.regex.Pattern.quote(a)
+      val qb = java.util.regex.Pattern.quote(b)
+      val repl = (a + b).replace("\\", "\\\\").replace("$", "\\$")
+      s = regexp_replace(s, s"(^|(?<= ))$qa $qb(?= |$$)", repl)
+    }
+    size(split(s, " "))
+  }
+
+  /** Per-document BPE token count — a narrow codegen-friendly projection. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    aggregate(transform(wordsOf(text), w => tokensPerWord(w, merges)),
+      lit(0), (acc, x) => acc + x).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The learned merge table itself — the strongest oracle here: DuckDB
+    // replays all k training rounds as chained CTEs and must land on the
+    // identical (round, a, b) sequence.
+    "q_text_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      mergesFor(s, dir).zipWithIndex
+        .map { case ((a, b), i) => (i + 1, a, b) }
+        .toDF("rnd", "a", "b").orderBy("rnd")
+    }),
+
+    // Per-doc token counts under the trained vocab, beside the whitespace
+    // count they replace.
+    "q_text_bpe_tokens" -> ((s, dir) => {
+      val m = mergesFor(s, dir)
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(wordsOf(col("text"))).cast("long").as("n_ws_tokens"),
+          bpeTokenCount(col("text"), m).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // Sequence packing metered in BPE tokens (the unit a real pretraining
+    // batch is budgeted in) — same greedy concat-and-chunk as
+    // q_pack_sequences, tok swapped to the trained count.
+    "q_pack_sequences_bpe" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = mergesFor(s, dir)
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(CurationQueries.PackShards)).as("shard"),
+          bpeTokenCount(col("text"), m).as("tok"))
+        .withColumn("cum", sum("tok").over(w))
+        .select(col("doc_id"), col("shard"), col("tok"),
+          floor((col("cum") - col("tok")) / lit(CurationQueries.PackBudget)).as("bin"))
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget mixture composition in BPE tokens — same budgets and
+    // hash-order walk as q_curate_token_budget.
+    "q_curate_token_budget_bpe" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = mergesFor(s, dir)
+      val budget = when(substring(col("source"), 4, 10).cast("int") % 2 === 0,
+        lit(CurationQueries.BudgetEven)).otherwise(lit(CurationQueries.BudgetOdd))
+      val w = Window.partitionBy("source").orderBy(col("hx"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          bpeTokenCount(col("text"), m).as("tok"),
+          md5(col("doc_id").cast("string")).as("hx"))
+        .withColumn("budget", budget)
+        .withColumn("cum", sum("tok").over(w))
+        .filter(col("cum") - col("tok") < col("budget"))
+        .select("doc_id", "source", "tok", "cum", "budget")
+        .orderBy("source", "cum")
+    })
+  )
+
+  // ---------- DuckDB twins (generated: k training rounds as CTEs) ----------
+
+  /** Training CTE chain: w0 (word freqs as char symbols), then per round i
+    * the pair counts p_i, the argmax m_i, and the merged words w_i. */
+  private def trainCteSql(k: Int): String = {
+    val sb = new StringBuilder(
+      """d AS (SELECT doc_id, source, text FROM documents WHERE text IS NOT NULL),
+        w0 AS (
+          SELECT word, count(*) AS freq, regexp_extract_all(word, '.') AS toks
+          FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM d)
+          WHERE length(word) > 0
+          GROUP BY 1)""")
+    for (i <- 1 to k) {
+      val p = i - 1
+      sb.append(s""",
+        p$i AS (
+          SELECT s1 AS a, s2 AS b, sum(freq) AS cnt FROM (
+            SELECT freq, unnest(toks[1:len(toks)-1]) AS s1,
+              unnest(toks[2:len(toks)]) AS s2 FROM w$p)
+          GROUP BY 1, 2),
+        m$i AS (SELECT a AS a$i, b AS b$i FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+        w$i AS (
+          SELECT word, freq,
+            string_split(list_reduce(toks, (acc, x) ->
+              CASE WHEN (acc = a$i OR ends_with(acc, ' ' || a$i)) AND x = b$i
+                   THEN acc || b$i ELSE acc || ' ' || x END), ' ') AS toks
+          FROM w$p CROSS JOIN m$i)""")
+    }
+    sb.append(s""",
+        mm AS (SELECT * FROM ${(1 to k).map("m" + _).mkString(" CROSS JOIN ")})""")
+    sb.toString
+  }
+
+  /** Per-word encode expression (nested folds in merge order) over `w`. */
+  private def encodeSqlExpr(k: Int): String = {
+    var s = "regexp_extract_all(w, '.')"
+    for (i <- 1 to k) {
+      val in = if (i == 1) s else s"string_split($s, ' ')"
+      s = s"""list_reduce($in, (acc, x) ->
+          CASE WHEN (acc = a$i OR ends_with(acc, ' ' || a$i)) AND x = b$i
+               THEN acc || b$i ELSE acc || ' ' || x END)"""
+    }
+    s"len(string_split($s, ' '))"
+  }
+
+  /** Per-doc BPE token count CTE (`bpe`: doc_id, source, tok). */
+  private def bpeCountCteSql(k: Int): String =
+    s"""${trainCteSql(k)},
+       bpe AS (
+         SELECT doc_id, source,
+           CAST(coalesce(list_sum(list_transform(
+             list_filter(string_split_regex(lower(text), '\\s+'),
+               x -> length(x) > 0),
+             w -> ${encodeSqlExpr(k)})), 0) AS BIGINT) AS tok
+         FROM d CROSS JOIN mm)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q_text_bpe_merges" ->
+      s"""WITH ${trainCteSql(MergeRounds)}
+          ${(1 to MergeRounds).map(i =>
+            s"SELECT $i AS rnd, a$i AS a, b$i AS b FROM m$i")
+            .mkString(" UNION ALL ")}""",
+    "q_text_bpe_tokens" ->
+      s"""WITH ${bpeCountCteSql(MergeRounds)}
+          SELECT d.doc_id,
+            CAST(len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+              x -> length(x) > 0)) AS BIGINT) AS n_ws_tokens,
+            bpe.tok AS n_bpe_tokens
+          FROM d JOIN bpe ON bpe.doc_id = d.doc_id""",
+    "q_pack_sequences_bpe" ->
+      s"""WITH ${bpeCountCteSql(MergeRounds)},
+          toks AS (
+            SELECT doc_id, doc_id % ${CurationQueries.PackShards} AS shard, tok
+            FROM bpe)
+          SELECT doc_id, shard, tok,
+            CAST(floor(CAST(sum(tok) OVER (PARTITION BY shard ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - tok AS DOUBLE)
+              / ${CurationQueries.PackBudget}) AS BIGINT) AS bin
+          FROM toks""",
+    "q_curate_token_budget_bpe" ->
+      s"""WITH ${bpeCountCteSql(MergeRounds)},
+          t AS (
+            SELECT doc_id, source, tok,
+              md5(CAST(doc_id AS VARCHAR)) AS hx,
+              CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                   THEN ${CurationQueries.BudgetEven}
+                   ELSE ${CurationQueries.BudgetOdd} END AS budget
+            FROM bpe),
+          c AS (
+            SELECT doc_id, source, tok, budget,
+              sum(tok) OVER (PARTITION BY source ORDER BY hx, doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t)
+          SELECT doc_id, source, tok, CAST(cum AS BIGINT) AS cum,
+            CAST(budget AS BIGINT) AS budget
+          FROM c WHERE cum - tok < budget"""
+  )
+}

@@ -263,6 +263,47 @@ object SimilarityQueries {
     * (normalized vectors, per-vector codes, per-query quantized distance
     * tables) — see pqTopK for the math contract.
     */
+  /** The flat trained PQ codebook (j, k, d, cx) over the subvector frame:
+    * seed centroids from the first `ks` vectors' subvectors, then one
+    * Lloyd's step per subquantizer (mean = exact BIGINT sum / count, so
+    * both engines land the identical double). Exposed flat so the
+    * training itself is oracle-checkable (q_ann_train_pq).
+    */
+  private[graft] def pqCodebookFlat(sv: DataFrame, ks: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val wMin = Window.partitionBy("vec_id", "j").orderBy(col("dist"), col("k"))
+    val seeds = sv.filter(col("vec_id") < ks)
+      .select(col("j"), col("vec_id").as("k"), col("sv").as("c"))
+    val assign0 = sv.join(broadcast(seeds), Seq("j"))
+      .withColumn("dist", l2(col("sv"), col("c")))
+      .withColumn("rn", row_number().over(wMin)).filter(col("rn") === 1)
+    assign0
+      .select(col("j"), col("k"), posexplode(col("sv")).as(Seq("d", "x")))
+      .groupBy("j", "k", "d")
+      .agg(sum(floor(col("x") * 1024)).as("q"), count(lit(1)).as("cnt"))
+      .withColumn("cx", col("q").cast("double") / (col("cnt") * 1024L).cast("double"))
+      .select("j", "k", "d", "cx")
+  }
+
+  /** Normalized (vec_id, label, emb) frame — the shared serving input. */
+  private[graft] def normalized(raw: DataFrame): DataFrame = {
+    val e0 = raw.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb0"))
+    e0.withColumn("emb",
+        transform(col("emb0"), x => x / sqrt(dot(col("emb0"), col("emb0")))))
+      .select(col("vec_id"), col("label"), col("emb"))
+  }
+
+  /** Subvector frame (vec_id, label, j, sv) over normalized vectors. */
+  private[graft] def subvectors(e: DataFrame, m: Int, dims: Int): DataFrame = {
+    val sub = dims / m
+    e.select(col("vec_id"), col("label"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"), slice(col("emb"), j * sub + 1, sub).as("sv"))): _*)).as("s"))
+      .select(col("vec_id"), col("label"), col("s.j").as("j"), col("s.sv").as("sv"))
+  }
+
   private[graft] def pqParts(raw: DataFrame, m: Int, ks: Int, dims: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
@@ -286,18 +327,7 @@ object SimilarityQueries {
     def l2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
     val wMin = Window.partitionBy("vec_id", "j").orderBy(col("dist"), col("k"))
-    // seed codebooks from the first ks vectors' subvectors, then one
-    // Lloyd's step per subquantizer (mean = exact BIGINT sum / count)
-    val seeds = sv.filter(col("vec_id") < ks)
-      .select(col("j"), col("vec_id").as("k"), col("sv").as("c"))
-    val assign0 = sv.join(broadcast(seeds), Seq("j"))
-      .withColumn("dist", l2(col("sv"), col("c")))
-      .withColumn("rn", row_number().over(wMin)).filter(col("rn") === 1)
-    val cb = assign0
-      .select(col("j"), col("k"), posexplode(col("sv")).as(Seq("d", "x")))
-      .groupBy("j", "k", "d")
-      .agg(sum(floor(col("x") * 1024)).as("q"), count(lit(1)).as("cnt"))
-      .withColumn("cx", col("q").cast("double") / (col("cnt") * 1024L).cast("double"))
+    val cb = pqCodebookFlat(sv, ks)
       .groupBy("j", "k")
       .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
         s => s.getField("cx")).as("c"))
@@ -323,8 +353,8 @@ object SimilarityQueries {
     * both PQ retrieval variants share. `codes` may be pre-restricted
     * (the IVF-probed subset) or the full table.
     */
-  private def adcRerank(e: DataFrame, codes: DataFrame, dtab: DataFrame,
-                        shortlist: Int, k: Int): DataFrame = {
+  private[graft] def adcRerank(e: DataFrame, codes: DataFrame, dtab: DataFrame,
+                               shortlist: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // ADC: every candidate's m codes look up the broadcast table — the
     // only per-candidate work at scan time; codes are a 32× memory cut
@@ -371,10 +401,17 @@ object SimilarityQueries {
   def ivfPqTopK(raw: DataFrame, probeCells: Int = 2, m: Int = 8, ks: Int = 16,
                 shortlist: Int = 20, k: Int = 3, dims: Int = 64,
                 steps: Int = 1): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (e, codes, dtab) = pqParts(raw, m, ks, dims)
-    // coarse quantizer: integer-exact trained cells (same construction as
-    // ivfTrainedTopK) over the same normalized vectors
+    servePqIvf(e, codes, dtab, ivfProbedPairs(e, probeCells, steps), shortlist, k)
+  }
+
+  /** Trained coarse quantizer → the inverted-file restriction: (query,
+    * member) pairs sharing a probed cell — integer-exact cells (same
+    * construction as ivfTrainedTopK) over the normalized vectors.
+    */
+  private[graft] def ivfProbedPairs(e: DataFrame, probeCells: Int,
+                                    steps: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val seeds = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cell"), col("emb").as("c_emb"))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
@@ -396,11 +433,17 @@ object SimilarityQueries {
       .select(col("vec_id").as("m_id"), col("cell"))
     val probes = scored.filter(col("label") === 0 && col("rk") <= probeCells)
       .select(col("vec_id").as("q_id"), col("cell"))
-    // the inverted-file restriction: (query, member) pairs sharing a
-    // probed cell — the ADC join below scans ONLY these codes
-    val probed = probes.join(assign, Seq("cell"))
+    probes.join(assign, Seq("cell"))
       .filter(col("q_id") =!= col("m_id"))
       .select(col("q_id").as("p_q"), col("m_id"))
+  }
+
+  /** ADC over per-query probed codes + exact re-rank — the IVF-PQ serving
+    * tail (no training anywhere inside: the 10^9-vector query phase).
+    */
+  private[graft] def servePqIvf(e: DataFrame, codes: DataFrame, dtab: DataFrame,
+                                probed: DataFrame, shortlist: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val probedCodes = codes.join(probed, codes("vec_id") === probed("m_id"))
       .select(col("p_q"), col("vec_id"), col("j"), col("code"))
     // restrict each query's table lookups to its own probed members
@@ -442,6 +485,19 @@ object SimilarityQueries {
   def ivfPqResidualTopK(raw: DataFrame, probeCells: Int = 2, m: Int = 8,
                         ks: Int = 16, shortlist: Int = 20, k: Int = 3,
                         dims: Int = 64): DataFrame = {
+    val (e, codes, dtab, probed) = residualParts(raw, probeCells, m, ks, dims)
+    serveResidual(e, codes, dtab, probed, shortlist, k)
+  }
+
+  /** The trainable artifacts of residual IVFADC: (normalized vectors,
+    * residual codes, per-(query, probed cell) distance tables, probed
+    * candidate pairs) — everything the serving phase consumes, exposed so
+    * the ANN store can persist them once per tier (training amortized, the
+    * FAISS deployment reality at 10^9 vectors).
+    */
+  private[graft] def residualParts(raw: DataFrame, probeCells: Int = 2,
+                                   m: Int = 8, ks: Int = 16, dims: Int = 64)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
     val sub = dims / m
@@ -526,6 +582,17 @@ object SimilarityQueries {
     val probed = probes.join(assign.withColumnRenamed("vec_id", "m_id"), Seq("cell"))
       .filter(col("q_id") =!= col("m_id"))
       .select(col("q_id").as("p_q"), col("cell").as("p_cell"), col("m_id"))
+    (e, codes, dtab, probed)
+  }
+
+  /** Residual-IVFADC serving tail: per-(query, probed cell) ADC shortlist
+    * + exact re-rank. No training inside — the query phase a 10^9-vector
+    * deployment actually pays per query batch.
+    */
+  private[graft] def serveResidual(e: DataFrame, codes: DataFrame,
+                                   dtab: DataFrame, probed: DataFrame,
+                                   shortlist: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val adc = codes.join(probed, codes("vec_id") === probed("m_id"))
       .join(broadcast(dtab),
         codes("j") === dtab("j") && codes("code") === dtab("k") &&
@@ -714,18 +781,36 @@ object SimilarityQueries {
       semanticDrops(embs(s, dir).filter(col("vec_id") < SemBound))
         .orderBy("drop_id")),
 
-    "q_ann_topk_pq" -> ((s, dir) => pqTopK(embs(s, dir)).orderBy("q_id", "rk")),
+    // SERVED from the per-tier ANN store (AnnStore): the query phase pays
+    // ADC + re-rank only — training ran once at store publication and is
+    // oracle-verified separately (q_ann_train_pq). The DuckDB twin still
+    // replays training+serving end-to-end, valid because the store is a
+    // pure function of the tier.
+    "q_ann_topk_pq" -> ((s, dir) =>
+      AnnStore.pqTopKStored(s, dir).orderBy("q_id", "rk")),
 
-    // IVF-PQ composed retrieval (see ivfPqTopK): trained coarse cells cut
-    // the scanned set, PQ codes cut the bytes per scanned vector — the
-    // 10^9-vector serving shape, oracle-replayed end-to-end.
-    "q_ann_topk_ivfpq" -> ((s, dir) => ivfPqTopK(embs(s, dir)).orderBy("q_id", "rk")),
+    // IVF-PQ composed retrieval served from the store: trained coarse
+    // cells cut the scanned set, PQ codes cut the bytes per scanned
+    // vector — the 10^9-vector serving shape, oracle-replayed end-to-end.
+    "q_ann_topk_ivfpq" -> ((s, dir) =>
+      AnnStore.ivfPqTopKStored(s, dir).orderBy("q_id", "rk")),
 
-    // Residual IVF-PQ (full IVFADC, FAISS by_residual=true): codes
-    // quantize the residual against the cell's unit centroid; the
-    // distance table is per (query, probed cell). See ivfPqResidualTopK.
+    // Residual IVF-PQ (full IVFADC, FAISS by_residual=true) served from
+    // the store: codes quantize the residual against the cell's unit
+    // centroid; the distance table is per (query, probed cell).
     "q_ann_topk_ivfpq_residual" -> ((s, dir) =>
-      ivfPqResidualTopK(embs(s, dir)).orderBy("q_id", "rk")),
+      AnnStore.ivfPqResidualTopKStored(s, dir).orderBy("q_id", "rk")),
+
+    // The PQ TRAINING replay oracle (VERDICT r4 #2): the flat trained
+    // codebook (j, k, d, cx) — integer-exact Lloyd means, so DuckDB lands
+    // the identical doubles. This is the query that keeps training
+    // hash-verified now that the q_ann_topk_* family serves from the
+    // persisted store.
+    "q_ann_train_pq" -> ((s, dir) => {
+      val e = normalized(embs(s, dir))
+      pqCodebookFlat(subvectors(e, m = 8, dims = 64), ks = 16)
+        .orderBy("j", "k", "d")
+    }),
 
     // Random-hyperplane LSH signatures (8 bits, md5-derived hyperplanes):
     // the bucketed ANN path — one shuffle on the bucket, candidates only
@@ -1153,6 +1238,12 @@ object SimilarityQueries {
              FROM adc) WHERE rn <= 20)
          $pqRerankSql
          FROM ranked WHERE rk <= 3""",
+    // cb's d is the GLOBAL 1-based dim; the Spark flat codebook keys by the
+    // LOCAL 0-based position within the subvector — same 1:1 order within
+    // each (j, k), remapped here.
+    "q_ann_train_pq" ->
+      s"""WITH $pqCtePrefix
+          SELECT j, k, CAST((d - 1) % 8 AS INTEGER) AS d, cx FROM cb""",
     "q_ann_topk_pq" ->
       s"""WITH $pqCtePrefix,
          adc AS (

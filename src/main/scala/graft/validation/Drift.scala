@@ -87,6 +87,71 @@ object Drift {
       .orderBy("segment")
   }
 
+  /** PSI threshold (industry-standard banded drift score: <0.1 stable,
+    * 0.1–0.2 moderate, >0.2 significant shift). */
+  val DriftPsiMax = 0.2
+
+  /** Oracle-able relational twin of the chi² leg of [[finalizeOne]] against
+    * a persisted baseline histogram: per (part, colname), the normalized
+    * smoothed chi² over the UNION of baseline and partition buckets —
+    * buckets the baseline holds but the partition lacks contribute their
+    * full expected mass, buckets observed outside the baseline's support
+    * get the half-count smoothed expectation. Bit-for-bit the same
+    * statistic the sketch path computes (integer histograms, no sketch
+    * approximation in the chi² leg — DriftBaselineSpec pins equality);
+    * being pure relational math it is DuckDB-replayable, which the
+    * t-digest KS leg is not. Scale: one (part, colname, bucket) groupBy
+    * over the scan + broadcast of the zone-count-sized baseline.
+    */
+  def baselineChiSq(images: DataFrame, baselineHist: DataFrame): DataFrame = {
+    val ph = histogram(images).withColumnRenamed("cnt", "obs")
+    val ptot = ph.groupBy("part", "colname").agg(sum("obs").as("p_tot"))
+    val g = baselineHist.select(col("colname"), col("bucket"), col("cnt").as("g_cnt"))
+    val gtot = g.groupBy("colname").agg(sum("g_cnt").as("g_tot"))
+    // every baseline bucket instantiated per partition, full-outer'd with
+    // the observed buckets so novel support survives
+    val bgrid = ptot.select("part", "colname").join(broadcast(g), Seq("colname"))
+    val u = bgrid.join(ph, Seq("part", "colname", "bucket"), "full_outer")
+      .na.fill(0L, Seq("obs", "g_cnt"))
+    u.join(ptot, Seq("part", "colname"))
+      .join(broadcast(gtot), Seq("colname"))
+      .withColumn("e", when(col("g_cnt") > 0,
+          col("p_tot").cast("double") * col("g_cnt").cast("double") /
+            col("g_tot").cast("double"))
+        .otherwise(col("p_tot").cast("double") * 0.5 / col("g_tot").cast("double")))
+      .withColumn("term",
+        (col("obs").cast("double") - col("e")) *
+          (col("obs").cast("double") - col("e")) / col("e"))
+      .groupBy("part", "colname")
+      .agg(count(lit(1)).as("n_buckets"),
+        round(sum(col("term")) /
+          greatest(max("p_tot"), lit(1L)).cast("double"), 6).as("chi2"))
+      .withColumn("drifted", col("chi2") > ImageSuite.DriftChi2Max)
+  }
+
+  /** PSI (population stability index) per (part, colname) against a
+    * persisted baseline histogram: Σ (p_i − q_i)·ln(p_i/q_i) over the
+    * COMMON bucket grid (inner join — the smoothing-free variant both
+    * engines state identically; proportions renormalized over the shared
+    * support so every term is finite). Complements chi² (count-scale
+    * sensitive) and KS (max-deviation) exactly as the events-table PSI
+    * (q_v_drift_psi) does, here on the north-star image table's w/h.
+    */
+  def baselinePsi(images: DataFrame, baselineHist: DataFrame): DataFrame = {
+    val ph = histogram(images).withColumnRenamed("cnt", "obs")
+    val g = baselineHist.select(col("colname"), col("bucket"), col("cnt").as("g_cnt"))
+    val joined = ph.join(broadcast(g), Seq("colname", "bucket"))
+    val tot = joined.groupBy("part", "colname")
+      .agg(sum("obs").as("p_tot"), sum("g_cnt").as("g_tot"))
+    joined.join(tot, Seq("part", "colname"))
+      .withColumn("pp", col("obs").cast("double") / col("p_tot").cast("double"))
+      .withColumn("pg", col("g_cnt").cast("double") / col("g_tot").cast("double"))
+      .withColumn("term", (col("pp") - col("pg")) * log(col("pp") / col("pg")))
+      .groupBy("part", "colname")
+      .agg(count(lit(1)).as("n_buckets"), round(sum(col("term")), 6).as("psi"))
+      .withColumn("drifted", col("psi") > DriftPsiMax)
+  }
+
   /** Baseline snapshot: global histogram + per-column global t-digest. */
   def snapshot(spark: SparkSession, images: DataFrame, dir: String): Unit = {
     histogram(images).groupBy("colname", "bucket").agg(sum("cnt").as("cnt"))

@@ -34,46 +34,81 @@ object ImageSuiteQueries {
       })
     }
 
-  /** Fixed absolute location of the persisted decoded-facts table: decode
-    * cannot run in DuckDB, but its OUTPUT can — persisting `decodeFactsExpr`
-    * (already bytes-free) lets the entire downstream verdict / score /
-    * overall aggregation be oracle-checked from the same parquet both
-    * engines read (reference verdict assembly validation_agent.py:600-650).
-    * The path must be a process-lifetime constant because `oracleSql`
-    * embeds it as literal SQL text — but the CONSTANT is resolved once at
-    * class-init from `-Dgraft.facts.dir` / `$GRAFT_FACTS_DIR`, so a
-    * checkout at any other location (or a run that shouldn't write into
-    * the source tree) can redirect it; the default keeps the driver
-    * contract unchanged.
+  /** Root of the persisted decoded-facts tables: decode cannot run in
+    * DuckDB, but its OUTPUT can — persisting `decodeFactsExpr` (already
+    * bytes-free) lets the entire downstream verdict / score / overall
+    * aggregation be oracle-checked from the same parquet both engines read
+    * (reference verdict assembly validation_agent.py:600-650). Each tier
+    * lives in its own content-keyed subdirectory (`tier=<md5(sfDir)>`, the
+    * reference's content-addressed cache-key pattern cache.py:27-29), so
+    * two JVMs on DIFFERENT tiers touch disjoint paths, and publication is
+    * write-once-atomic ([[publishOnce]]) so two JVMs on the SAME tier
+    * cannot serve each other partial files either. The root is resolved
+    * from `-Dgraft.facts.dir` / `$GRAFT_FACTS_DIR` for out-of-tree runs.
     */
-  val FactsPath: String = sys.props.get("graft.facts.dir")
+  val FactsRoot: String = sys.props.get("graft.facts.dir")
     .orElse(sys.env.get("GRAFT_FACTS_DIR"))
     .getOrElse("/root/repo/data/image_facts")
 
-  // Which TIER the single FactsPath currently holds. Keyed by tier alone
-  // (the write is a pure function of the tier — deterministic generator),
-  // and a VAR, not a written-set: a set keyed by (session, tier) kept its
-  // mark after ANOTHER tier overwrote the parquet, so revisiting the first
-  // tier in the same JVM silently served the other tier's facts (and the
-  // oracle, reading the same file, could not catch it). None on process
-  // start = one redundant (bit-identical) rewrite per JVM. Single-process
-  // discipline: the driver runs one Verify at a time; two concurrent JVMs
-  // would race the overwrite.
-  private var factsTier: Option[String] = None
+  private def tierKey(sfDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
 
-  /** Persist decoded facts for the tier (once per tier switch); both the
-    * Spark q_i_* queries and their DuckDB oracles read this table back, so
-    * the compared aggregations run over bit-identical input.
+  def factsPath(sfDir: String): String = s"$FactsRoot/tier=${tierKey(sfDir)}"
+
+  // The tier whose paths `oracleSql` resolves: Verify runs every query
+  // (setting this) BEFORE dumping oracle_sql.json, so the embedded SQL
+  // text always points at the tier the Spark results were computed from.
+  // The default only matters for dev runs that dump SQL without touching
+  // any q_i_* query — it names the driver's correctness tier.
+  @volatile private var lastTier: String = "/root/testdata/sf0.01"
+
+  /** Tier-resolved facts path for oracle SQL generation. */
+  def FactsPath: String = factsPath(lastTier)
+
+  /** Write-once atomic publication: if `dst/_SUCCESS` exists the content
+    * (a pure function of the tier — deterministic generator) is already
+    * published and the write is skipped; otherwise write to a unique
+    * sibling temp dir and atomically rename into place. A concurrent JVM
+    * that loses the rename race deletes its temp and reads the winner's
+    * bit-identical output — no reader can ever observe `_temporary` or a
+    * half-written table.
     */
-  def ensureFacts(s: SparkSession, sfDir: String): DataFrame = synchronized {
-    if (!factsTier.contains(sfDir)) {
-      val dir = ImageGen.ensure(s, rowsFor(sfDir))
-      ImageSuite.decodeFactsExpr(ImageGen.images(s, dir))
-        .coalesce(4).write.mode("overwrite").parquet(FactsPath)
-      s.catalog.refreshByPath(FactsPath)
-      factsTier = Some(sfDir)
+  def publishOnce(dst: String)(write: String => Unit): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dstP = Paths.get(dst)
+    if (Files.exists(dstP.resolve("_SUCCESS"))) return
+    Files.createDirectories(dstP.getParent)
+    val tmp = dstP.resolveSibling(
+      dstP.getFileName.toString + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    write(tmp.toString)
+    try Files.move(tmp, dstP, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileSystemException =>
+        // another JVM published the same (bit-identical) content first
+        import scala.jdk.CollectionConverters._
+        Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
-    s.read.parquet(FactsPath)
+  }
+
+  /** Persist decoded facts for the tier (write-once per tier directory);
+    * both the Spark q_i_* queries and their DuckDB oracles read this table
+    * back, so the compared aggregations run over bit-identical input.
+    */
+  def ensureFacts(s: SparkSession, sfDir: String): DataFrame = {
+    val path = factsPath(sfDir)
+    synchronized {
+      lastTier = sfDir
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS"))) {
+        val dir = ImageGen.ensure(s, rowsFor(sfDir))
+        publishOnce(path) { tmp =>
+          ImageSuite.decodeFactsExpr(ImageGen.images(s, dir))
+            .coalesce(4).write.mode("overwrite").parquet(tmp)
+        }
+        s.catalog.refreshByPath(path)
+      }
+    }
+    s.read.parquet(path)
   }
 
   /** Root for the persisted key-check inputs (same bridge pattern as
@@ -84,25 +119,36 @@ object ImageSuiteQueries {
     * gap: these four checks were the last verdict family verified only by
     * spec (reference resume/orphan semantics validation_agent.py:787-812).
     */
-  val KeysPath: String = sys.props.get("graft.keys.dir")
+  val KeysRoot: String = sys.props.get("graft.keys.dir")
     .orElse(sys.env.get("GRAFT_KEYS_DIR"))
     .getOrElse("/root/repo/data/image_keycheck")
 
-  private var keysTier: Option[String] = None
+  def keysPath(sfDir: String): String = s"$KeysRoot/tier=${tierKey(sfDir)}"
 
-  /** Persist (once per tier switch) and read back (light, captions). */
-  def ensureKeyTables(s: SparkSession, sfDir: String): (DataFrame, DataFrame) = synchronized {
-    if (!keysTier.contains(sfDir)) {
-      val dir = ImageGen.ensure(s, rowsFor(sfDir))
-      ImageGen.images(s, dir).select("image_id", "part", "w", "h", "caption")
-        .coalesce(4).write.mode("overwrite").parquet(s"$KeysPath/light")
-      ImageGen.captions(s, dir).select("image_id", "part", "caption")
-        .coalesce(4).write.mode("overwrite").parquet(s"$KeysPath/captions")
-      s.catalog.refreshByPath(s"$KeysPath/light")
-      s.catalog.refreshByPath(s"$KeysPath/captions")
-      keysTier = Some(sfDir)
+  /** Tier-resolved key-tables path for oracle SQL generation. */
+  def KeysPath: String = keysPath(lastTier)
+
+  /** Persist (write-once per tier directory) and read back (light, captions). */
+  def ensureKeyTables(s: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val path = keysPath(sfDir)
+    synchronized {
+      lastTier = sfDir
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "light", "_SUCCESS")) ||
+          !java.nio.file.Files.exists(java.nio.file.Paths.get(path, "captions", "_SUCCESS"))) {
+        val dir = ImageGen.ensure(s, rowsFor(sfDir))
+        publishOnce(s"$path/light") { tmp =>
+          ImageGen.images(s, dir).select("image_id", "part", "w", "h", "caption")
+            .coalesce(4).write.mode("overwrite").parquet(tmp)
+        }
+        publishOnce(s"$path/captions") { tmp =>
+          ImageGen.captions(s, dir).select("image_id", "part", "caption")
+            .coalesce(4).write.mode("overwrite").parquet(tmp)
+        }
+        s.catalog.refreshByPath(s"$path/light")
+        s.catalog.refreshByPath(s"$path/captions")
+      }
     }
-    (s.read.parquet(s"$KeysPath/light"), s.read.parquet(s"$KeysPath/captions"))
+    (s.read.parquet(s"$path/light"), s.read.parquet(s"$path/captions"))
   }
 
   /** Static column/kind list for the facts-table profile: the hash-
@@ -203,7 +249,8 @@ object ImageSuiteQueries {
     // V8 composition over the oracle-able families (row + coverage +
     // quality): mean/min/failing-count of graded scores per partition.
     // Drift and key checks keep their sketch/index paths (not DuckDB-
-    // expressible); their composition is covered by qi_overall_scores.
+    // expressible); the full-suite composition stays visible per-check in
+    // qi_verdicts (score column).
     "q_i_overall" -> ((s, dir) => {
       val f = ensureFacts(s, dir)
       val verdicts = ImageSuite.rowVerdicts(f, ImageSuite.rowViolations(f), "verify")
@@ -219,26 +266,36 @@ object ImageSuiteQueries {
         .orderBy("part")
     }),
 
+    // Typed violation ROWS (issues[] twin, validation_agent.py:600-650)
+    // from the oracle-able families: every row-invariant violation over the
+    // persisted facts bridge plus every key-check violation (uniqueness,
+    // referential both ways, caption consistency — the production fused
+    // full-outer-join path) over the light+captions bridge, with DuckDB
+    // recomputing the same rows INCLUDING the observed/expected strings.
+    // Converts the r4 rows-only qi_violations: only drift violations
+    // (sketch-derived) stay outside — their verdicts are covered by
+    // qi_verdicts and the q_i_drift_* legs below.
+    "q_i_violations" -> ((s, dir) => {
+      val f = ensureFacts(s, dir)
+      val (light, caps) = ensureKeyTables(s, dir)
+      ImageSuite.rowViolations(f)
+        .unionByName(ImageSuite.keyChecks(light, caps, "verify")._2)
+        .orderBy("part", "image_id", "check", "observed")
+    }),
+    // Per-partition metric rows (PerformanceTimer twin) recounted by DuckDB
+    // from the facts bridge — n_rows / bytes_total exact, psnr_mean rounded
+    // to 6 (the one FP-order-sensitive mean; ±Inf parts are deterministic
+    // on both engines). Converts the r4 rows-only qi_metrics.
+    "q_i_metrics" -> ((s, dir) => {
+      val f = ensureFacts(s, dir)
+      ImageSuite.metricsOf(f, "verify")
+        .withColumn("value", round(col("value"), 6))
+        .orderBy("part", "metric")
+    }),
     // Full verdict table: one row per (partition, check), always emitted.
     "qi_verdicts" -> ((s, dir) => {
       val (v, _, _) = suite(s, dir)
       v.orderBy("part", "check")
-    }),
-    // Typed violation rows (issues[] twin).
-    "qi_violations" -> ((s, dir) => {
-      val (_, viol, _) = suite(s, dir)
-      viol.orderBy("part", "check", "image_id")
-    }),
-    // V8: per-partition overall score composed from the graded sub-scores
-    // (ValidationResult.overall_score twin, validation_agent.py:422-424).
-    "qi_overall_scores" -> ((s, dir) => {
-      val (v, _, _) = suite(s, dir)
-      Scoring.overallScores(v).orderBy("part")
-    }),
-    // Per-partition metric rows (PerformanceTimer twin).
-    "qi_metrics" -> ((s, dir) => {
-      val (_, _, m) = suite(s, dir)
-      m.orderBy("part", "metric")
     }),
     // Column-stats family incl. the sketch aggregates that have no DuckDB
     // twin (approx_count_distinct HLL++, percentile_approx GK).
@@ -266,22 +323,58 @@ object ImageSuiteQueries {
         countDistinct("phash").as("ndv_phash"))
         .orderBy("kind", "sniffed")
     }),
-    // Drift snapshot + check against a persisted clean baseline — the
-    // baseline-snapshot-table path (vs the default global baseline).
-    "qi_drift_vs_baseline" -> ((s, dir) => {
+    // The r4 rows-only qi_drift_vs_baseline, SPLIT (VERDICT r4 #4): the
+    // chi² and PSI legs against the persisted clean-baseline histogram are
+    // exact relational math (oracle-backed below); only the t-digest KS
+    // leg keeps a rows-only check — the sketch is genuinely un-replayable
+    // in SQL.
+    "q_i_drift_chisq_baseline" -> ((s, dir) => {
       val d = ImageGen.ensure(s, rowsFor(dir))
+      val base = ensureBaseline(s, dir)
+      Drift.baselineChiSq(ImageGen.images(s, d).select("part", "w", "h"),
+          Drift.readBaseline(s, base))
+        .orderBy("part", "colname")
+    }),
+    "q_i_drift_psi_baseline" -> ((s, dir) => {
+      val d = ImageGen.ensure(s, rowsFor(dir))
+      val base = ensureBaseline(s, dir)
+      Drift.baselinePsi(ImageGen.images(s, d).select("part", "w", "h"),
+          Drift.readBaseline(s, base))
+        .orderBy("part", "colname")
+    }),
+    "qi_drift_ks_baseline" -> ((s, dir) => {
+      val d = ImageGen.ensure(s, rowsFor(dir))
+      val base = ensureBaseline(s, dir)
       val images = ImageGen.images(s, d).select("image_id", "part", "w", "h", "caption")
-      val clean = images.filter(!col("part").isin(ImageGen.DriftedParts.map("p" + _): _*))
-      val base = s"$d/baseline"
-      if (!new java.io.File(s"$base/histogram").exists())
-        Drift.snapshot(s, clean, base)
       val (verd, _) = Drift.check(images, "baseline", Some(base))
-      verd.orderBy("part", "check")
+      verd.filter(col("check").startsWith("drift_ks_")).orderBy("part", "check")
     })
   )
 
-  /** Facts CTE shared by every q_i_* oracle. */
-  private val factsCte =
+  /** Clean-partition baseline snapshot (histogram + digests) for the
+    * tier's image table, write-once atomic under the generated-dataset
+    * dir — the persisted reference the q_i_drift_* legs and the rows-only
+    * KS leg all check against.
+    */
+  def ensureBaseline(s: SparkSession, sfDir: String): String = {
+    val d = ImageGen.ensure(s, rowsFor(sfDir))
+    val base = baselinePath(sfDir)
+    publishOnce(base) { tmp =>
+      val images = ImageGen.images(s, d).select("image_id", "part", "w", "h", "caption")
+      val clean = images.filter(!col("part").isin(ImageGen.DriftedParts.map("p" + _): _*))
+      Drift.snapshot(s, clean, tmp)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(tmp, "_SUCCESS"), "")
+    }
+    base
+  }
+
+  /** Deterministic baseline dir (embedded in oracle SQL). */
+  def baselinePath(sfDir: String): String =
+    s"${ImageGen.dirFor(rowsFor(sfDir))}/baseline"
+
+  /** Facts CTE shared by every q_i_* oracle (a def — the embedded path is
+    * tier-resolved at dump time, after the queries have run). */
+  private def factsCte =
     s"WITH f AS (SELECT * FROM read_parquet('$FactsPath/*.parquet'))"
 
   /** DuckDB twin of [[imageCanon]] over relation alias-free columns. */
@@ -290,7 +383,145 @@ object ImageSuiteQueries {
        COALESCE(CAST(w AS VARCHAR), '~'), COALESCE(CAST(h AS VARCHAR), '~'),
        COALESCE(CAST(phash AS VARCHAR), '~'))"""
 
+  /** Hive-partitioned image-table glob + persisted baseline histogram for
+    * the drift oracles (tier-resolved at dump time, like [[factsCte]]). */
+  private def imagesGlob =
+    s"${ImageGen.dirFor(rowsFor(lastTier))}/images/*/*.parquet"
+  private def baselineHistGlob = s"${baselinePath(lastTier)}/histogram/*.parquet"
+
+  /** Shared CTE: melt the image table's w/h into long form and bucket —
+    * the DuckDB twin of Drift.histogram. */
+  private def imageHistCte =
+    s"""img AS (SELECT part, w, h
+          FROM read_parquet('$imagesGlob', hive_partitioning=1)),
+        m AS (SELECT part, 'w' AS colname, CAST(w AS DOUBLE) AS value FROM img
+              UNION ALL
+              SELECT part, 'h', CAST(h AS DOUBLE) FROM img),
+        ph AS (SELECT part, colname, CAST(floor(value / 8.0) AS BIGINT) AS bucket,
+                 count(*) AS obs
+               FROM m GROUP BY 1, 2, 3),
+        g AS (SELECT colname, bucket, cnt AS g_cnt
+              FROM read_parquet('$baselineHistGlob'))"""
+
   def oracleSql: Map[String, String] = Map(
+    "q_i_violations" ->
+      s"""$factsCte,
+         rv AS (
+           SELECT part, image_id, 'bytes_present' AS check,
+             'empty' AS observed, 'non-empty bytes' AS expected
+           FROM f WHERE NOT has_bytes
+           UNION ALL
+           SELECT part, image_id, 'decodable',
+             'undecodable n_bytes=' || n_bytes, 'decodable image'
+           FROM f WHERE has_bytes AND NOT decode_ok
+           UNION ALL
+           SELECT part, image_id, 'dims_positive',
+             'w=' || w || ' h=' || h, 'w>0 and h>0'
+           FROM f WHERE w <= 0 OR h <= 0
+           UNION ALL
+           SELECT part, image_id, 'dims_match_decoded',
+             'asserted=' || w || 'x' || h || ' decoded=' || dec_w || 'x' || dec_h,
+             'asserted dims equal decoded dims'
+           FROM f WHERE decode_ok AND (w <> dec_w OR h <> dec_h)
+           UNION ALL
+           SELECT part, image_id, 'sentinel_row',
+             'w=h=0, empty bytes', 'no sentinel rows'
+           FROM f WHERE w = 0 AND h = 0 AND NOT has_bytes
+           UNION ALL
+           SELECT part, image_id, 'psnr_allclose',
+             CAST(round(psnr_db, 2) AS VARCHAR), 'PSNR >= 40.0 dB vs ground truth'
+           FROM f WHERE decode_ok AND NOT isnan(psnr_db) AND psnr_db < 40.0
+           UNION ALL
+           SELECT part, image_id, 'phash_consistent',
+             CAST(phash_hamming AS VARCHAR), 'hamming(phash, recomputed) <= 10'
+           FROM f WHERE decode_ok AND phash_hamming > 10
+           UNION ALL
+           SELECT part, image_id, 'fmt_matches_magic',
+             'fmt=' || fmt || ' magic=' || fmt_sniffed, 'fmt tag equals magic bytes'
+           FROM f WHERE fmt_sniffed <> 'none' AND fmt <> fmt_sniffed
+           UNION ALL
+           SELECT part, image_id, 'caption_equality',
+             caption, 'caption bit-for-bit equal to source'
+           FROM f WHERE caption IS NOT NULL AND caption <> caption_expected),
+         l AS (SELECT * FROM read_parquet('$KeysPath/light/*.parquet')),
+         c AS (SELECT image_id AS cap_id, part AS cap_part, caption AS cap_caption
+               FROM read_parquet('$KeysPath/captions/*.parquet')),
+         idc AS (SELECT image_id, count(*) AS n_img FROM l GROUP BY 1),
+         kv AS (
+           SELECT l.part, l.image_id, 'uniqueness_image_id' AS check,
+             'key seen ' || idc.n_img || ' times' AS observed,
+             'unique image_id' AS expected
+           FROM l JOIN idc USING (image_id) WHERE idc.n_img > 1
+           UNION ALL
+           SELECT part, image_id, 'referential_caption_exists',
+             'no caption row', 'caption row exists'
+           FROM l WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.cap_id = l.image_id)
+           UNION ALL
+           SELECT cap_part, cap_id, 'referential_image_exists',
+             'caption without image', 'image row exists'
+           FROM c WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.image_id = c.cap_id)
+           UNION ALL
+           SELECT l.part, l.image_id, 'caption_consistent',
+             c.cap_caption, l.caption
+           FROM l JOIN c ON c.cap_id = l.image_id
+           WHERE l.caption IS NOT NULL AND c.cap_caption IS NOT NULL
+             AND l.caption <> c.cap_caption)
+         SELECT part, image_id, "check", observed, expected FROM rv
+         UNION ALL
+         SELECT part, image_id, "check", observed, expected FROM kv""",
+    "q_i_metrics" ->
+      s"""$factsCte,
+         a AS (SELECT part, count(*) AS nr,
+                 CAST(sum(n_bytes) AS DOUBLE) AS bt,
+                 avg(CASE WHEN decode_ok THEN psnr_db END) AS pm
+               FROM f GROUP BY 1)
+         SELECT part, metric, round(value, 6) AS value, 'verify' AS run_id
+         FROM (
+           SELECT part, 'n_rows' AS metric, CAST(nr AS DOUBLE) AS value FROM a
+           UNION ALL SELECT part, 'bytes_total', bt FROM a
+           UNION ALL SELECT part, 'psnr_mean', pm FROM a)""",
+    "q_i_drift_chisq_baseline" ->
+      s"""WITH $imageHistCte,
+         ptot AS (SELECT part, colname, sum(obs) AS p_tot FROM ph GROUP BY 1, 2),
+         gtot AS (SELECT colname, sum(g_cnt) AS g_tot FROM g GROUP BY 1),
+         bgrid AS (SELECT p.part, p.colname, g.bucket, g.g_cnt
+                   FROM (SELECT DISTINCT part, colname FROM ptot) p
+                   JOIN g ON g.colname = p.colname),
+         u AS (SELECT COALESCE(b.part, ph.part) AS part,
+                 COALESCE(b.colname, ph.colname) AS colname,
+                 COALESCE(b.g_cnt, 0) AS g_cnt, COALESCE(ph.obs, 0) AS obs
+               FROM bgrid b FULL OUTER JOIN ph
+                 ON ph.part = b.part AND ph.colname = b.colname
+                AND ph.bucket = b.bucket),
+         t AS (SELECT u.part, u.colname, CAST(obs AS DOUBLE) AS o, p_tot,
+                 CASE WHEN g_cnt > 0
+                   THEN CAST(p_tot AS DOUBLE) * CAST(g_cnt AS DOUBLE)
+                        / CAST(g_tot AS DOUBLE)
+                   ELSE CAST(p_tot AS DOUBLE) * 0.5 / CAST(g_tot AS DOUBLE)
+                 END AS e
+               FROM u JOIN ptot USING (part, colname) JOIN gtot USING (colname))
+         SELECT part, colname, count(*) AS n_buckets,
+           round(sum((o - e) * (o - e) / e)
+             / CAST(greatest(max(p_tot), 1) AS DOUBLE), 6) AS chi2,
+           round(sum((o - e) * (o - e) / e)
+             / CAST(greatest(max(p_tot), 1) AS DOUBLE), 6) > 0.5 AS drifted
+         FROM t GROUP BY 1, 2""",
+    "q_i_drift_psi_baseline" ->
+      s"""WITH $imageHistCte,
+         j AS (SELECT ph.part, ph.colname, ph.bucket, ph.obs, g.g_cnt
+               FROM ph JOIN g ON g.colname = ph.colname AND g.bucket = ph.bucket),
+         tot AS (SELECT part, colname, sum(obs) AS p_tot, sum(g_cnt) AS g_tot
+                 FROM j GROUP BY 1, 2),
+         t AS (SELECT j.part, j.colname,
+                 (CAST(obs AS DOUBLE) / CAST(p_tot AS DOUBLE)
+                  - CAST(g_cnt AS DOUBLE) / CAST(g_tot AS DOUBLE))
+                 * ln((CAST(obs AS DOUBLE) / CAST(p_tot AS DOUBLE))
+                      / (CAST(g_cnt AS DOUBLE) / CAST(g_tot AS DOUBLE))) AS term
+               FROM j JOIN tot USING (part, colname))
+         SELECT part, colname, count(*) AS n_buckets,
+           round(sum(term), 6) AS psi,
+           round(sum(term), 6) > 0.2 AS drifted
+         FROM t GROUP BY 1, 2""",
     "q_i_snap_dirty" ->
       s"""$factsCte,
           b AS (SELECT image_id, part, fmt, caption, w, h, phash FROM f),
