@@ -55,14 +55,25 @@ object Pipeline {
       .withColumn("content_md5", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
       .observe(obsEnrich, count(lit(1)).as("n_rows"))
 
-    // 3. quality gate — cached: every later stage (and the final write)
-    // would otherwise re-run the scan+enrich chain per action
+    // 3. quality gate, then the model-based classifier gate (hashed-ngram
+    // linear scorer, QualityClassifier — both pure row predicates, fused
+    // into the scan). Cached: every later stage (and the final write)
+    // would otherwise re-run the scan+enrich chain per action. The
+    // quality-gate count rides an observe() on the pre-classifier frame,
+    // so BOTH gates report lineage from the cache-building count — still
+    // one scan, still exactly 4 count actions per curate (spec-pinned).
+    val obsQuality = Observation("quality_gate")
     val gated = enriched.filter(
       col("n_tokens") >= 5 && col("punct_ratio") <= 0.2 && col("stopword_ratio") <= 0.8)
+      .observe(obsQuality, count(lit(1)).as("n_rows"))
+      .filter(QualityClassifier.keep(col("text")))
       .cache()
-    // the ONE scan before the gate: builds the cache and fires both
+    // the ONE scan before the gates: builds the cache and fires all three
     // upstream observations
-    stages += StageCount("quality_gate", gated.count(),
+    stages += StageCount("classifier_gate", gated.count(),
+      s"hashed-ngram linear scorer, mean weight > ${QualityClassifier.KeepMeanMin}")
+    stages += StageCount("quality_gate",
+      obsQuality.get("n_rows").asInstanceOf[Long],
       "n_tokens>=5, punct<=0.2, stopword<=0.8")
     stages += StageCount("ingest",
       obsIngest.get("n_rows").asInstanceOf[Long], "documents with text")
@@ -110,8 +121,8 @@ object Pipeline {
     repGated.unpersist(); exactDeduped.unpersist()
 
     // deterministic presentation order (observe() reordered the appends)
-    val order = Seq("ingest", "enrich", "quality_gate", "repetition_gate",
-      "dedup_exact", "dedup_near")
+    val order = Seq("ingest", "enrich", "quality_gate", "classifier_gate",
+      "repetition_gate", "dedup_exact", "dedup_near")
     (curated, stages.result().sortBy(s => order.indexOf(s.stage)))
   }
 
@@ -176,9 +187,14 @@ object Pipeline {
            CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
              / CAST(length(text) AS DOUBLE) AS punct_ratio
          FROM docs0),
-       gated AS (
+       qgated AS (
          SELECT doc_id, text FROM enr
          WHERE n_tokens >= 5 AND punct_ratio <= 0.2 AND stop_ratio <= 0.8),
+       ${QualityClassifier.scoreCteSql("qgated")},
+       gated AS (
+         SELECT q.doc_id, q.text FROM qgated q
+         JOIN clf ON clf.doc_id = q.doc_id
+         WHERE clf.raw > ${QualityClassifier.KeepMeanMin} * clf.n_grams),
        ${RepetitionQueries.repetitionCteSql("gated")},
        repgated AS (
          SELECT g.doc_id, g.text FROM gated g
@@ -216,7 +232,8 @@ object Pipeline {
       s"""WITH RECURSIVE $pipelineCte
          SELECT 'ingest' AS stage, (SELECT count(*) FROM docs0) AS n_rows
          UNION ALL SELECT 'enrich', (SELECT count(*) FROM docs0)
-         UNION ALL SELECT 'quality_gate', (SELECT count(*) FROM gated)
+         UNION ALL SELECT 'quality_gate', (SELECT count(*) FROM qgated)
+         UNION ALL SELECT 'classifier_gate', (SELECT count(*) FROM gated)
          UNION ALL SELECT 'repetition_gate', (SELECT count(*) FROM repgated)
          UNION ALL SELECT 'dedup_exact', (SELECT count(*) FROM exact)
          UNION ALL SELECT 'dedup_near', (SELECT count(*) FROM curated)"""

@@ -37,7 +37,7 @@ object SparkEntry {
       SimilarityQueries.queries ++ ValidationQueries.queries ++
       ImageSuiteQueries.queries ++ CurationQueries.queries ++ Contamination.queries ++
       RepetitionQueries.queries ++ LayoutQueries.queries ++ SessionQueries.queries ++
-      SnapshotQueries.queries ++ BpeTokenizer.queries
+      SnapshotQueries.queries ++ BpeTokenizer.queries ++ QualityClassifier.queries
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1/A3: hash-aggregate group counts — reference `osm.py:577-585`
@@ -1043,5 +1043,6 @@ object SparkEntry {
     SimilarityQueries.oracleSql ++ ValidationQueries.oracleSql ++
     graft.validation.ImageSuiteQueries.oracleSql ++ CurationQueries.oracleSql ++
     Contamination.oracleSql ++ RepetitionQueries.oracleSql ++ LayoutQueries.oracleSql ++
-    SessionQueries.oracleSql ++ SnapshotQueries.oracleSql ++ BpeTokenizer.oracleSql
+    SessionQueries.oracleSql ++ SnapshotQueries.oracleSql ++ BpeTokenizer.oracleSql ++
+    QualityClassifier.oracleSql
 }

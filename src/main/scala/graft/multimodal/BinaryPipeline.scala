@@ -8,13 +8,13 @@ import org.apache.spark.sql.functions._
   * metadata, processed in fixed-size batches inside partitions — the Scala
   * twin of a `mapInPandas` Arrow-batch pipeline (the shape a Python
   * feature-extraction UDF would see). Image ops are real (ImageCodec,
-  * ImageIO); since round 3 audio is REAL too (AudioCodec,
-  * javax.sound.sampled — RIFF/WAVE PCM16 encode/decode + RMS +
-  * band-energy fingerprint), and video gets a REAL container-metadata
-  * parse (Mp4Meta, hand-rolled ISO BMFF boxes — dimensions/duration
-  * from moov, the no-decode pattern large video columns use). Only
-  * video FRAME decode remains a deterministic stub behind the same
-  * batch interface (the JDK ships no video codec).
+  * ImageIO); audio is REAL (AudioCodec, javax.sound.sampled — RIFF/WAVE
+  * PCM16 encode/decode + RMS + band-energy fingerprint); and since round
+  * 5 video FRAME decode is REAL too: MJPEG tracks (JPEG samples in the
+  * hand-rolled ISO BMFF container, sliced via the stsz sample table) are
+  * decoded frame-by-frame through ImageIO — no stub remains. H.264/AV1
+  * tracks would still need a codec the JDK does not ship; those
+  * containers take the metadata-only path (moov parse, no decode).
   *
   * Scale design: payloads never cross a shuffle — every derived column is
   * computed in the scan stage, then `bytes` is dropped (SURVEY.md §7.4);
@@ -68,16 +68,34 @@ object BinaryPipeline {
                     0, 0, 0, 0L, batch.size)
               }
             case "video" =>
-              // REAL container-metadata parse (Mp4Meta, hand-rolled ISO
-              // BMFF boxes — the cheap no-decode pattern a 100 TB video
-              // column actually uses): dimensions + duration from the
-              // moov header, frame-sample count = every 1000 ms of PARSED
-              // duration. Frame DECODE stays stubbed (no JDK video
-              // codec): phash is the payload digest stand-in.
+              // REAL container parse (Mp4Meta, hand-rolled ISO BMFF boxes)
+              // AND real frame decode for MJPEG tracks: mdat sliced into
+              // JPEG samples via the stsz table, each frame through
+              // ImageIO — the r4 "video frame decode" stub is gone.
+              // Containers WITHOUT a sample table keep the cheap
+              // metadata-only path (dimensions + duration from moov,
+              // frame-sample count from duration — the no-decode pattern
+              // a 100 TB video column uses for stats passes). Corrupt
+              // frames decode to None and are dropped from the count; an
+              // all-corrupt track yields a zeroed row, never a task
+              // failure.
               Mp4Meta.parse(r.bytes) match {
                 case Some((w, h, durMs)) =>
-                  MediaFeatures(r.media_id, r.kind, nb, "mp4-meta", w, h,
-                    math.max(1, durMs / 1000), stubDigest(r.bytes), batch.size)
+                  val fr = Mp4Meta.frames(r.bytes)
+                  if (fr.nonEmpty) {
+                    val decoded = fr.flatMap(ImageCodec.decode)
+                    decoded.headOption match {
+                      case Some((px0, fw, fh)) =>
+                        MediaFeatures(r.media_id, r.kind, nb, "mp4-mjpeg",
+                          fw, fh, decoded.size, Phash.phash64(px0, fw, fh),
+                          batch.size)
+                      case None =>
+                        MediaFeatures(r.media_id, r.kind, nb,
+                          "mp4-mjpeg-corrupt", 0, 0, 0, 0L, batch.size)
+                    }
+                  } else
+                    MediaFeatures(r.media_id, r.kind, nb, "mp4-meta", w, h,
+                      math.max(1, durMs / 1000), payloadDigest(r.bytes), batch.size)
                 case None =>
                   MediaFeatures(r.media_id, r.kind, nb,
                     if (Mp4Meta.sniffMp4(r.bytes)) "mp4-corrupt" else "none",
@@ -91,13 +109,29 @@ object BinaryPipeline {
     }
   }
 
-  /** Deterministic stand-in for a real media hash. */
-  def stubDigest(bytes: Array[Byte]): Long = {
+  /** Deterministic payload digest for the metadata-only (no-decode) path. */
+  def payloadDigest(bytes: Array[Byte]): Long = {
     if (bytes == null) return 0L
     var h = 1125899906842597L
     var i = 0
     while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
     h
+  }
+
+  /** Per-frame sampling of MJPEG video rows: (media_id, frame_idx,
+    * frame_w, frame_h, phash) — one row per DECODED frame (corrupt frames
+    * are dropped, idx keeps the container position). The frame-sample
+    * operator of SURVEY §2's multimodal set, now on real decoded pixels.
+    */
+  def videoFramePhashes(rows: Dataset[MediaRow]): Dataset[(String, Int, Int, Int, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.filter(_.kind == "video").mapPartitions(_.flatMap { r =>
+      Mp4Meta.frames(r.bytes).iterator.zipWithIndex.flatMap { case (f, i) =>
+        ImageCodec.decode(f).map { case (px, w, h) =>
+          (r.media_id, i, w, h, Phash.phash64(px, w, h))
+        }
+      }
+    })
   }
 
   /** Resize (real, images only): decode → area-average to (tw, th) →
@@ -143,12 +177,14 @@ object BinaryPipeline {
             (StrictMath.sin(2 * StrictMath.PI * freq * k / 8000.0) * 12000).toShort)
           MediaRow(f"med-$i%08d", "audio", AudioCodec.encodeWav(samples, 8000), 0, 0, 250)
         case _ =>
-          // REAL MP4 container skeleton (ftyp + moov(mvhd, trak(tkhd)) +
-          // mdat) with a deterministic fake payload — dimensions and
-          // duration are parsed back from the boxes, not trusted metadata
-          val mdat = Array.tabulate[Byte](512)(k => (ImageCodec.mix64(i * 31 + k) & 0xff).toByte)
+          // REAL MJPEG-in-MP4: ftyp + moov(mvhd, trak(tkhd, mdia/minf/
+          // stbl/stsz)) + mdat holding 3 actual JPEG frames (deterministic
+          // synthetic pixels, id-seeded per frame) — frame count, dims and
+          // per-frame phash are DECODED back, not trusted metadata
+          val frames = (0 until 3).map(f =>
+            ImageCodec.encode(ImageCodec.synthPixels(i * 3 + f, 64, 48), 64, 48, "jpg"))
           MediaRow(f"med-$i%08d", "video",
-            Mp4Meta.encode(640, 480, 5000, mdat, withAudioTrack = true), 640, 480, 5000)
+            Mp4Meta.encodeMjpeg(64, 48, 3000, frames, withAudioTrack = true), 64, 48, 3000)
       }
     }
   }

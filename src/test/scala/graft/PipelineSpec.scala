@@ -13,13 +13,18 @@ class PipelineSpec extends SparkTestBase {
 
   test("stage counts are monotone non-increasing after enrichment") {
     assert(stages.map(_.stage) == Seq("ingest", "enrich", "quality_gate",
-      "repetition_gate", "dedup_exact", "dedup_near"))
+      "classifier_gate", "repetition_gate", "dedup_exact", "dedup_near"))
     assert(counts("ingest") == counts("enrich"), "enrichment must not drop rows")
     assert(counts("enrich") >= counts("quality_gate"))
-    assert(counts("quality_gate") >= counts("repetition_gate"))
+    assert(counts("quality_gate") >= counts("classifier_gate"))
+    assert(counts("classifier_gate") >= counts("repetition_gate"))
     assert(counts("repetition_gate") >= counts("dedup_exact"))
     assert(counts("dedup_exact") >= counts("dedup_near"))
     assert(counts("dedup_near") > 0)
+  }
+
+  test("classifier gate enforces the integer-exact keep rule") {
+    assert(curated.filter(!QualityClassifier.keep(col("text"))).count() == 0)
   }
 
   test("curated output carries no duplicate content digests") {

@@ -17,10 +17,59 @@ class BinaryPipelineSpec extends SparkTestBase {
     // javax.sound.sampled, nonzero RMS and fingerprint for a sine
     assert(byKind("audio").forall(f => f.sniffed == "wav-pcm16" &&
       f.n_frames == 2000 && f.feat_w == 8000 && f.feat_h > 0 && f.phash != 0L))
-    // video dims/duration come from a REAL container parse of the moov
-    // boxes, not from trusted row metadata
-    assert(byKind("video").forall(f => f.sniffed == "mp4-meta" &&
-      f.n_frames == 5 && f.feat_w == 640 && f.feat_h == 480))
+    // video rows are MJPEG tracks now: dims, frame count and phash come
+    // from REAL frame decode (stsz-sliced JPEG samples through ImageIO)
+    assert(byKind("video").forall(f => f.sniffed == "mp4-mjpeg" &&
+      f.n_frames == 3 && f.feat_w == 64 && f.feat_h == 48 && f.phash != 0L))
+  }
+
+  test("MJPEG frames decode with real dims + per-frame phash; corrupt frames drop") {
+    import spark.implicits._
+    val frames = (0 until 4).map(f =>
+      ImageCodec.encode(ImageCodec.synthPixels(100 + f, 48, 32), 48, 32, "jpg"))
+    val ok = Mp4Meta.encodeMjpeg(48, 32, 4000, frames)
+    assert(Mp4Meta.frames(ok).length == 4)
+    // one frame's bytes garbled: that frame drops, the other three decode
+    val garbled = frames.updated(2, Array.fill[Byte](frames(2).length)(0x11))
+    val partial = Mp4Meta.encodeMjpeg(48, 32, 4000, garbled)
+    // all frames garbled: zeroed feature row, never a failure
+    val allBad = Mp4Meta.encodeMjpeg(48, 32, 4000,
+      frames.map(fr => Array.fill[Byte](fr.length)(0x22)))
+    val rows = Seq(
+      BinaryPipeline.MediaRow("ok", "video", ok, 0, 0, 0),
+      BinaryPipeline.MediaRow("part", "video", partial, 0, 0, 0),
+      BinaryPipeline.MediaRow("bad", "video", allBad, 0, 0, 0)).toDS()
+    val feats = BinaryPipeline.extractFeatures(rows).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats("ok").sniffed == "mp4-mjpeg" && feats("ok").n_frames == 4 &&
+      feats("ok").feat_w == 48 && feats("ok").feat_h == 32 && feats("ok").phash != 0L)
+    assert(feats("part").sniffed == "mp4-mjpeg" && feats("part").n_frames == 3)
+    assert(feats("bad").sniffed == "mp4-mjpeg-corrupt" && feats("bad").n_frames == 0 &&
+      feats("bad").feat_w == 0 && feats("bad").phash == 0L)
+    // per-frame sampling: one row per decoded frame, index preserves the
+    // container position across the dropped frame
+    val pf = BinaryPipeline.videoFramePhashes(rows).collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+    assert(pf("ok").length == 4 && pf("ok").map(_._2).toSeq == Seq(0, 1, 2, 3))
+    assert(pf("part").map(_._2).toSeq == Seq(0, 1, 3))
+    assert(!pf.contains("bad"))
+    assert(pf("ok").forall(r => r._3 == 48 && r._4 == 32))
+    // phash comes from pixels: the same synthetic frame planted twice
+    // hashes identically, different seeds hash differently
+    assert(pf("ok").map(_._5).distinct.length > 1)
+    assert(pf("part").map(_._5).toSeq == Seq(0, 1, 3).map(i => pf("ok")(i)._5))
+  }
+
+  test("metadata-only containers (no sample table) keep the no-decode path") {
+    import spark.implicits._
+    val meta = Mp4Meta.encode(640, 480, 5000,
+      Array.tabulate[Byte](512)(k => (ImageCodec.mix64(k.toLong) & 0xff).toByte),
+      withAudioTrack = true)
+    assert(Mp4Meta.frames(meta).isEmpty)
+    val rows = Seq(BinaryPipeline.MediaRow("m", "video", meta, 0, 0, 0)).toDS()
+    val f = BinaryPipeline.extractFeatures(rows).collect()(0)
+    assert(f.sniffed == "mp4-meta" && f.feat_w == 640 && f.feat_h == 480 &&
+      f.n_frames == 5)
   }
 
   test("MP4 metadata round-trips; corrupt containers never fail") {
