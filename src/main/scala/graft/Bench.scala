@@ -25,7 +25,13 @@ import scala.jdk.CollectionConverters._
   */
 object Bench {
 
-  private val headline = Seq(
+  /** FROZEN round-4 headline list (`suite_v4`, VERDICT r4 #1a): this exact
+    * set defines the round-over-round comparable per-query sum
+    * (`suite_v4_query_sec_total`). Append new queries to [[headlineNew]],
+    * NEVER here — changing this list breaks comparability with every
+    * earlier round's artifact.
+    */
+  private val suiteV4 = Seq(
     "q_a1_groupcount", "q_a2_condcounts", "q_j1_join_agg", "q_j6_asof_nearest",
     "q_w1_topk_per_brand", "q_w5_running_sum",
     "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash64_prod",
@@ -43,6 +49,14 @@ object Bench {
     "q_sess_assign", "q_sess_stats", "q_sess_funnel",
     "q_snap_dirty_parts", "q_snap_diff", "q_snap_diff_pruned",
     "q_curate_token_budget", "q_layout_compaction")
+
+  /** Round-5 additions (reported in the full sweep, excluded from the
+    * suite_v4 comparable sum). */
+  private val headlineNew = Seq(
+    "q_ann_topk_ivfpq", "q_ann_train_pq", "q_text_bpe_tokens",
+    "q_pack_sequences_bpe", "q_curate_classifier", "q_dedup_phash_banded")
+
+  private val headline = suiteV4 ++ headlineNew
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -110,8 +124,14 @@ object Bench {
     val spark = session(cpus)
     try exhaust(Tables(spark, sfDir, "lineitem").groupBy("l_returnflag").count())
     catch { case _: Throwable => }
-    headline.foreach { name =>
+    // MIN-OF-2 per query, the two passes INTERLEAVED as full rounds
+    // (VERDICT r4 #1b): a host-load window must now cover the whole sweep
+    // twice to bias a query's minimum, and the raw pair is emitted so
+    // drift is visible per query in the artifact.
+    val rounds = Array.fill(2)(scala.collection.mutable.Map[String, Double]())
+    for (r <- 0 to 1; name <- headline) {
       var failed = false
+      spark.catalog.clearCache()
       val t = time {
         try exhaust(SparkEntry.queries(name)(spark, sfDir))
         catch { case e: Throwable =>
@@ -119,13 +139,20 @@ object Bench {
           System.err.println(s"[bench] $name: ${e.getMessage}")
         }
       }
-      println(f"QTIME=$name=${if (failed) -1.0 else t}%.3f")
+      rounds(r)(name) = if (failed) -1.0 else t
+    }
+    headline.foreach { name =>
+      val (a, b) = (rounds(0)(name), rounds(1)(name))
+      println(f"QTIME=$name=$a%.3f,$b%.3f")
     }
     spark.stop()
   }
 
-  /** Fork the query phase; returns (name → seconds, failed names). */
-  private def forkQueries(cpus: Int, sfDir: String): (Seq[(String, Double)], List[String]) = {
+  /** Fork the query phase; returns (name → (run1, run2) raw pair, failed
+    * names). Per-query time = min of the pair (any failed run poisons the
+    * query to −1). */
+  private def forkQueries(cpus: Int, sfDir: String)
+      : (Seq[(String, (Double, Double))], List[String]) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
@@ -139,11 +166,12 @@ object Bench {
     val rc = p.waitFor()
     require(rc == 0, s"bench queries child exited $rc")
     val got = out.linesIterator.filter(_.startsWith("QTIME=")).map { l =>
-      val Array(name, sec) = l.stripPrefix("QTIME=").split("=", 2)
-      name -> sec.toDouble
+      val Array(name, secs) = l.stripPrefix("QTIME=").split("=", 2)
+      val Array(a, b) = secs.split(",", 2).map(_.toDouble)
+      name -> (a, b)
     }.toMap
-    val times = headline.map(n => n -> got.getOrElse(n, -1.0))
-    (times, times.filter(_._2 < 0).map(_._1).toList)
+    val pairs = headline.map(n => n -> got.getOrElse(n, (-1.0, -1.0)))
+    (pairs, pairs.filter(p => p._2._1 < 0 || p._2._2 < 0).map(_._1).toList)
   }
 
   /** Fork a fresh JVM running `Bench suite <cpus> ...`; returns seconds.
@@ -177,6 +205,26 @@ object Bench {
     }
     if (args.headOption.contains("queries")) {
       queriesChild(args(1).toInt, args(2))
+      return
+    }
+    // Skew stress row (VERDICT r4 #8): uniform vs skew-adversarial tier
+    // (30% duplicate ids on 2 hot keys in p0) through the FULL
+    // runAndCheckpoint engine at local[cpus]; prints one BENCH.md row.
+    if (args.headOption.contains("skewstress")) {
+      val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+      val n = if (args.length > 1) args(1).toLong else 100000L
+      val spark = session(cpus)
+      val uniDir = ImageGen.ensure(spark, n)
+      val skewDir = graft.validation.SkewStress.ensureSkewedTier(spark, n)
+      def wall(dataDir: String, tag: String): Double = {
+        val out = java.nio.file.Files.createTempDirectory(s"skewbench-$tag").toString
+        spark.catalog.clearCache()
+        time(graft.validation.ImageSuite.runAndCheckpoint(spark, dataDir, out, tag))
+      }
+      wall(uniDir, "warm-u"); wall(skewDir, "warm-s") // symmetric JIT warm
+      val tU = wall(uniDir, "uni"); val tS = wall(skewDir, "skew")
+      println(f"SKEWSTRESS n=$n cpus=$cpus uniform_sec=$tU%.1f skewed_sec=$tS%.1f ratio=${tS / tU}%.2f")
+      spark.stop()
       return
     }
     // Dev harness: `Bench query <name> <sfDir> [reps]` times ONE headline
@@ -214,6 +262,16 @@ object Bench {
     // JIT tier: ~20k rows ≈ 2× the C2 compile threshold per hot kernel —
     // enough to warm decode/codegen paths without inflating low-core legs
     val warmDir = ImageGen.ensure(spark, math.min(nImages, 20000L))
+    // One-time per-tier index/vocab publication (write-once no-op when
+    // already on disk): the PQ-family queries SERVE from the ANN store and
+    // the BPE queries read the published vocab, so the sweep prices the
+    // query phase — the deployment reality (an index is trained once and
+    // served for months). Build costs are emitted separately below so the
+    // one-time work is visible, not hidden.
+    val annBuildSec = time { AnnStore.ensure(spark, sfDir) }
+    val bpeTrainSec = time { BpeTokenizer.mergesFor(spark, sfDir) }
+    // facts bridge for the image near-dup query (same write-once pattern)
+    graft.validation.ImageSuiteQueries.ensureFacts(spark, sfDir)
     spark.stop()
 
     // ---- phase 1: peak suite throughput at local[cpus] — FIRST (before
@@ -253,24 +311,42 @@ object Bench {
       else "min of 3 fresh-JVM runs, before the scaling pair"
 
     // ---- phase 3: headline operator queries (relative numbers), in a
-    // FRESH forked JVM like every other measured phase ----
-    val (qTimes, qErrors) = forkQueries(cpus, sfDir)
+    // FRESH forked JVM like every other measured phase; min-of-2 with the
+    // raw pair emitted per query (VERDICT r4 #1b) ----
+    val (qPairs, qErrors) = forkQueries(cpus, sfDir)
+    val qTimes: Seq[(String, Double)] = qPairs.map { case (k, (a, b)) =>
+      k -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
+    val qMap = qTimes.toMap
 
     val thrPeak = nImages / tPeak
     val thrHigh = nImages / tHigh
     val thrLow = nImages / tLow
     val efficiency = thrHigh / (thrLow * (hiN.toDouble / loN))
 
+    // the frozen-work comparable: sum of min times over the suite_v4 list
+    // (constant across rounds by construction — r4's un-attributable
+    // drift hid in a growing list and single-execution times)
+    val v4Times = suiteV4.map(n => qMap.getOrElse(n, -1.0)).filter(_ >= 0)
+    val v4Total = v4Times.sum
+
     val qs = qTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
+    val qRuns = qPairs.map { case (k, (a, b)) =>
+      s""""$k":[${f"$a%.3f"},${f"$b%.3f"}]""" }.mkString("{", ",", "}")
     val errs = qErrors.map("\"" + _ + "\"").mkString("[", ",", "]")
     // exclude failure sentinels (-1.0) and don't double-count the peak legs
     // when they were aliased to the 4N leg on small hosts
-    val total = qTimes.map(_._2).filter(_ >= 0).sum + peakRuns.sum +
-      lowRuns.result().sum + highRuns.result().sum
+    val total = qPairs.flatMap(p => Seq(p._2._1, p._2._2)).filter(_ >= 0).sum +
+      peakRuns.sum + lowRuns.result().sum + highRuns.result().sum +
+      annBuildSec + bpeTrainSec
     val peakRunsJson = peakRuns.map(t => f"$t%.2f").mkString("[", ",", "]")
     def runsJson(xs: Seq[Double]) = xs.map(t => f"$t%.2f").mkString("[", ",", "]")
     val json =
       s"""{"metric":"validated images/sec (full constraint suite)","value":${f"$thrPeak%.1f"},"unit":"images/sec",""" +
+      s""""suite_version":"v4","images_per_sec_suite_v4":${f"$thrPeak%.1f"},""" +
+      s""""suite_v4_query_sec_total":${f"$v4Total%.1f"},"suite_v4_query_count":${v4Times.length},""" +
+      s""""query_runs":$qRuns,"query_protocol":"min of 2, two interleaved full rounds, fresh JVM",""" +
+      s""""ann_store_build_sec":${f"$annBuildSec%.1f"},"bpe_train_sec":${f"$bpeTrainSec%.1f"},""" +
       s""""queries":$qs,"query_errors":$errs,"sf":"$sfDir","total_sec":${f"$total%.1f"},""" +
       s""""n_images":$nImages,"peak_cpus":$cpus,"suite_sec_peak":${f"$tPeak%.2f"},""" +
       s""""suite_sec_peak_runs":$peakRunsJson,"peak_protocol":"$peakProtocol",""" +

