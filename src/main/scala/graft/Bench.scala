@@ -131,7 +131,14 @@ object Bench {
     val rounds = Array.fill(2)(scala.collection.mutable.Map[String, Double]())
     for (r <- 0 to 1; name <- headline) {
       var failed = false
+      // catalog cache AND RDD-level blocks: localCheckpoint()ed frames
+      // (CC rounds, snapshot pins, decontamination's benchmark table) are
+      // NOT catalog-managed, and 50+ queries of leaked blocks measurably
+      // poison late queries (q_curate_decontaminate read 22 s in-sweep vs
+      // 8.3 s isolated before this line existed)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
       val t = time {
         try exhaust(SparkEntry.queries(name)(spark, sfDir))
         catch { case e: Throwable =>
@@ -238,6 +245,8 @@ object Bench {
       catch { case _: Throwable => }
       val ts = (1 to reps).map { _ =>
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.valuesIterator
+          .foreach(_.unpersist(blocking = false))
         time(exhaust(SparkEntry.queries(name)(spark, dir)))
       }
       println(f"QUERY_SEC name=$name reps=${ts.map(t => f"$t%.3f").mkString(",")} min=${ts.min}%.3f")
