@@ -50,6 +50,15 @@ object Bench {
     "q_snap_dirty_parts", "q_snap_diff", "q_snap_diff_pruned",
     "q_curate_token_budget", "q_layout_compaction")
 
+  /** suite_v4 members whose WORK was redefined after r4 (training moved
+    * out of the query into the per-tier ANN store): their r4→r5 deltas
+    * measure re-pricing, not engine speed, so the CONSTANT-WORK sum
+    * excludes them. Freezing names does not freeze work — any future
+    * re-priced query must be added here with the round it changed.
+    */
+  private val suiteV4Repriced = Set(
+    "q_ann_topk_pq", "q_ann_topk_ivfpq_residual") // r5: store-amortized training
+
   /** Round-5 additions (reported in the full sweep, excluded from the
     * suite_v4 comparable sum). */
   private val headlineNew = Seq(
@@ -333,11 +342,15 @@ object Bench {
     val thrLow = nImages / tLow
     val efficiency = thrHigh / (thrLow * (hiN.toDouble / loN))
 
-    // the frozen-work comparable: sum of min times over the suite_v4 list
-    // (constant across rounds by construction — r4's un-attributable
-    // drift hid in a growing list and single-execution times)
+    // the frozen-NAME comparable: sum of min times over the suite_v4 list
+    // (r4's un-attributable drift hid in a growing list and
+    // single-execution times) — and the stricter frozen-WORK sum, which
+    // additionally excludes queries whose internal work was redefined
+    // (suiteV4Repriced): only the latter isolates engine speed
     val v4Times = suiteV4.map(n => qMap.getOrElse(n, -1.0)).filter(_ >= 0)
     val v4Total = v4Times.sum
+    val v4ConstTotal = suiteV4.filterNot(suiteV4Repriced)
+      .map(n => qMap.getOrElse(n, -1.0)).filter(_ >= 0).sum
 
     val qs = qTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val qRuns = qPairs.map { case (k, (a, b)) =>
@@ -354,6 +367,8 @@ object Bench {
       s"""{"metric":"validated images/sec (full constraint suite)","value":${f"$thrPeak%.1f"},"unit":"images/sec",""" +
       s""""suite_version":"v4","images_per_sec_suite_v4":${f"$thrPeak%.1f"},""" +
       s""""suite_v4_query_sec_total":${f"$v4Total%.1f"},"suite_v4_query_count":${v4Times.length},""" +
+      s""""suite_v4_constant_work_sec_total":${f"$v4ConstTotal%.1f"},""" +
+      s""""suite_v4_repriced":${suiteV4Repriced.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""query_runs":$qRuns,"query_protocol":"min of 2, two interleaved full rounds, fresh JVM",""" +
       s""""ann_store_build_sec":${f"$annBuildSec%.1f"},"bpe_train_sec":${f"$bpeTrainSec%.1f"},""" +
       s""""queries":$qs,"query_errors":$errs,"sf":"$sfDir","total_sec":${f"$total%.1f"},""" +

@@ -25,9 +25,17 @@ object AnnStore {
     .orElse(sys.env.get("GRAFT_ANN_DIR"))
     .getOrElse("/root/repo/data/ann_store")
 
+  /** Bump when the training math or its parameters (m, ks, dims, probe
+    * cells, Lloyd steps) change — versions the tier key so published
+    * artifacts can never be served by newer training code (the DuckDB
+    * twin replays the NEW training; stale artifacts would hash-mismatch
+    * confusingly in Verify and silently mis-price the bench). */
+  val StoreVersion = 1
+
   private def tierKey(sfDir: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(s"ann$StoreVersion:$sfDir".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
 
   def tierPath(sfDir: String): String = s"$Root/tier=${tierKey(sfDir)}"
 

@@ -109,8 +109,11 @@ object BpeTokenizer {
     .getOrElse("/root/repo/data/bpe_store")
 
   private def vocabDir(dir: String): String = {
+    // MergeRounds in the key: a changed round count must never serve a
+    // stale published vocab (the oracle replays the NEW training)
     val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(s"bpe$MergeRounds:$dir".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
     s"$VocabRoot/tier=$key"
   }
 

@@ -131,21 +131,36 @@ object Drift {
 
   /** PSI (population stability index) per (part, colname) against a
     * persisted baseline histogram: Σ (p_i − q_i)·ln(p_i/q_i) over the
-    * COMMON bucket grid (inner join — the smoothing-free variant both
-    * engines state identically; proportions renormalized over the shared
-    * support so every term is finite). Complements chi² (count-scale
-    * sensitive) and KS (max-deviation) exactly as the events-table PSI
-    * (q_v_drift_psi) does, here on the north-star image table's w/h.
+    * UNION bucket grid with half-count smoothing — p_i = (obs_i + 0.5) /
+    * (p_tot + 0.5·nb) and likewise for the baseline, so every term is
+    * finite AND mass that moved into buckets the other side lacks still
+    * carries signal. (An earlier inner-join-and-renormalize variant was
+    * mathematically blind to pure support SHIFTS: the generator's planted
+    * drift moves w/h by two whole bucket widths, the shared support
+    * renormalized to ≈(0.5, 0.5) on both sides, and PSI read ≈0 on the
+    * very partitions planted as drifted — DriftBaselineSpec now pins the
+    * detection.) Every input is an exact integer, so both engines land
+    * the identical doubles; ln rides the round-6 discipline. Complements
+    * chi² (count-scale sensitive) and KS (max-deviation) on the
+    * north-star image table's w/h.
     */
   def baselinePsi(images: DataFrame, baselineHist: DataFrame): DataFrame = {
     val ph = histogram(images).withColumnRenamed("cnt", "obs")
+    val ptot = ph.groupBy("part", "colname").agg(sum("obs").as("p_tot"))
     val g = baselineHist.select(col("colname"), col("bucket"), col("cnt").as("g_cnt"))
-    val joined = ph.join(broadcast(g), Seq("colname", "bucket"))
-    val tot = joined.groupBy("part", "colname")
-      .agg(sum("obs").as("p_tot"), sum("g_cnt").as("g_tot"))
-    joined.join(tot, Seq("part", "colname"))
-      .withColumn("pp", col("obs").cast("double") / col("p_tot").cast("double"))
-      .withColumn("pg", col("g_cnt").cast("double") / col("g_tot").cast("double"))
+    val gtot = g.groupBy("colname").agg(sum("g_cnt").as("g_tot"))
+    val bgrid = ptot.select("part", "colname").join(broadcast(g), Seq("colname"))
+    val u = bgrid.join(ph, Seq("part", "colname", "bucket"), "full_outer")
+      .na.fill(0L, Seq("obs", "g_cnt"))
+    val withNb = u.join(ptot, Seq("part", "colname"))
+      .join(broadcast(gtot), Seq("colname"))
+      .withColumn("nb", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("part", "colname")))
+    withNb
+      .withColumn("pp", (col("obs").cast("double") + lit(0.5)) /
+        (col("p_tot").cast("double") + lit(0.5) * col("nb").cast("double")))
+      .withColumn("pg", (col("g_cnt").cast("double") + lit(0.5)) /
+        (col("g_tot").cast("double") + lit(0.5) * col("nb").cast("double")))
       .withColumn("term", (col("pp") - col("pg")) * log(col("pp") / col("pg")))
       .groupBy("part", "colname")
       .agg(count(lit(1)).as("n_buckets"), round(sum(col("term")), 6).as("psi"))

@@ -50,9 +50,17 @@ object ImageSuiteQueries {
     .orElse(sys.env.get("GRAFT_FACTS_DIR"))
     .getOrElse("/root/repo/data/image_facts")
 
+  /** Bump when decodeFactsExpr's OUTPUT (columns or semantics) changes —
+    * versioning the tier key the way ImageGen.GenVersion versions the
+    * generated datasets. Without it a code change would silently serve
+    * stale published facts to BOTH engines (the oracle reads the same
+    * parquet, so Verify could not catch the staleness). */
+  val FactsVersion = 1
+
   private def tierKey(sfDir: String): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      .digest(s"g${ImageGen.GenVersion}f$FactsVersion:$sfDir".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
 
   def factsPath(sfDir: String): String = s"$FactsRoot/tier=${tierKey(sfDir)}"
 
@@ -368,9 +376,13 @@ object ImageSuiteQueries {
     base
   }
 
-  /** Deterministic baseline dir (embedded in oracle SQL). */
+  /** Deterministic baseline dir (embedded in oracle SQL). Versioned path:
+    * the r4 layout at `$d/baseline` has no top-level `_SUCCESS`, so
+    * publishOnce against it would rebuild the snapshot and discard the
+    * rename on EVERY call (the legacy dir is non-empty) — a fresh
+    * versioned directory makes write-once actually converge. */
   def baselinePath(sfDir: String): String =
-    s"${ImageGen.dirFor(rowsFor(sfDir))}/baseline"
+    s"${ImageGen.dirFor(rowsFor(sfDir))}/baseline_v5"
 
   /** Facts CTE shared by every q_i_* oracle (a def — the embedded path is
     * tier-resolved at dump time, after the queries have run). */
@@ -508,19 +520,28 @@ object ImageSuiteQueries {
          FROM t GROUP BY 1, 2""",
     "q_i_drift_psi_baseline" ->
       s"""WITH $imageHistCte,
-         j AS (SELECT ph.part, ph.colname, ph.bucket, ph.obs, g.g_cnt
-               FROM ph JOIN g ON g.colname = ph.colname AND g.bucket = ph.bucket),
-         tot AS (SELECT part, colname, sum(obs) AS p_tot, sum(g_cnt) AS g_tot
-                 FROM j GROUP BY 1, 2),
-         t AS (SELECT j.part, j.colname,
-                 (CAST(obs AS DOUBLE) / CAST(p_tot AS DOUBLE)
-                  - CAST(g_cnt AS DOUBLE) / CAST(g_tot AS DOUBLE))
-                 * ln((CAST(obs AS DOUBLE) / CAST(p_tot AS DOUBLE))
-                      / (CAST(g_cnt AS DOUBLE) / CAST(g_tot AS DOUBLE))) AS term
-               FROM j JOIN tot USING (part, colname))
+         ptot AS (SELECT part, colname, sum(obs) AS p_tot FROM ph GROUP BY 1, 2),
+         gtot AS (SELECT colname, sum(g_cnt) AS g_tot FROM g GROUP BY 1),
+         bgrid AS (SELECT p.part, p.colname, g.bucket, g.g_cnt
+                   FROM (SELECT DISTINCT part, colname FROM ptot) p
+                   JOIN g ON g.colname = p.colname),
+         u AS (SELECT COALESCE(b.part, ph.part) AS part,
+                 COALESCE(b.colname, ph.colname) AS colname,
+                 COALESCE(b.g_cnt, 0) AS g_cnt, COALESCE(ph.obs, 0) AS obs
+               FROM bgrid b FULL OUTER JOIN ph
+                 ON ph.part = b.part AND ph.colname = b.colname
+                AND ph.bucket = b.bucket),
+         nbt AS (SELECT part, colname, count(*) AS nb FROM u GROUP BY 1, 2),
+         t AS (SELECT u.part, u.colname,
+                 (CAST(obs AS DOUBLE) + 0.5)
+                   / (CAST(p_tot AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)) AS pp,
+                 (CAST(g_cnt AS DOUBLE) + 0.5)
+                   / (CAST(g_tot AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)) AS pg
+               FROM u JOIN ptot USING (part, colname)
+                 JOIN gtot USING (colname) JOIN nbt USING (part, colname))
          SELECT part, colname, count(*) AS n_buckets,
-           round(sum(term), 6) AS psi,
-           round(sum(term), 6) > 0.2 AS drifted
+           round(sum((pp - pg) * ln(pp / pg)), 6) AS psi,
+           round(sum((pp - pg) * ln(pp / pg)), 6) > 0.2 AS drifted
          FROM t GROUP BY 1, 2""",
     "q_i_snap_dirty" ->
       s"""$factsCte,

@@ -4,8 +4,9 @@ import graft.SparkTestBase
 import graft.images.ImageGen
 import org.apache.spark.sql.functions._
 
-/** Adversarial skew tier through the real engine (VERDICT r4 #8): 30%
-  * duplicate image_ids on 8 hot keys concentrated in p0, 90% one fmt.
+/** Adversarial skew tier through the real engine (VERDICT r4 #8): ~30%
+  * duplicate image_ids on SkewStress.HotKeys (2) hot keys concentrated in
+  * p0, 90% one fmt.
   * Asserts (1) AQE skew splitting fires on the skew-splittable incremental
   * key-check join, (2) the fused full-outer path still completes with
   * correct counts (FullOuter is not splittable — its defense is shape, see
@@ -56,7 +57,8 @@ class SkewStressSpec extends SparkTestBase {
       val plan = qe.executedPlan.toString
       assert(plan.contains("skewed"),
         s"expected AQE skew-split markers in the executed plan:\n${plan.take(6000)}")
-      // the hot keys really are hot: 30% of rows on 8 ids
+      // the hot keys really are hot: ~30% of rows on HotKeys (2) ids
+      // (hot ids are "img-<k>", k < HotKeys — 5 chars while HotKeys <= 10)
       val hotRows = light.filter(length(col("image_id")) <= 5).count()
       assert(hotRows > N * 25 / 100 && hotRows < N * 35 / 100,
         s"planted hot mass off: $hotRows of $N")
@@ -73,7 +75,7 @@ class SkewStressSpec extends SparkTestBase {
       val (verd, _) = ImageSuite.keyChecks(light, caps, "skew")
       val uniq = verd.filter(col("check") === "uniqueness_image_id" &&
         col("part") === "p0").collect()(0)
-      // every hot row is a duplicate (8 keys × thousands of rows), all in p0
+      // every hot row is a duplicate (2 keys × thousands of rows), all in p0
       assert(!uniq.getAs[Boolean]("pass"))
       assert(uniq.getAs[Long]("n_violations") > N * 25 / 100)
       // FullOuter is NOT AQE-splittable (OptimizeSkewedJoin can split
