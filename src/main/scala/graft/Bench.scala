@@ -63,7 +63,8 @@ object Bench {
     * suite_v4 comparable sum). */
   private val headlineNew = Seq(
     "q_ann_topk_ivfpq", "q_ann_train_pq", "q_text_bpe_tokens",
-    "q_pack_sequences_bpe", "q_curate_classifier", "q_dedup_phash_banded")
+    "q_pack_sequences_bpe", "q_curate_classifier", "q_dedup_phash_banded",
+    "q_dedup_phash_cc", "q_i_drift_emd_baseline")
 
   private val headline = suiteV4 ++ headlineNew
 

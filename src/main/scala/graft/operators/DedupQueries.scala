@@ -280,7 +280,11 @@ object DedupQueries {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint() // truncate lineage; blocks feed the witness agg too
-      val w = small.agg(count(lit(1L)), sum(col("u") + col("v"))).collect()(0)
+      // type-agnostic witness: bit_xor of xxhash64 is order-free over any
+      // id type (string image_ids as well as numeric doc_ids) and cannot
+      // overflow under ANSI the way sum(u + v) could
+      val w = small.agg(count(lit(1L)),
+        expr("bit_xor(xxhash64(u, v))")).collect()(0)
       val cur = (w.getLong(0), if (w.isNullAt(1)) 0L else w.getLong(1))
       // witness collision is theoretically possible (same count and sum,
       // different edges), so an unchanged witness is CONFIRMED by one
@@ -628,6 +632,27 @@ object DedupQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Image near-dup CLUSTERS end-to-end: star-contraction connected
+    // components over the banded phash pair graph — the image twin of
+    // q_dedup_cc's text clustering, labeling every image with the min
+    // image_id reachable through near-dup pairs (the keep-one-per-
+    // component survivor rule). Node set bounded by a deterministic
+    // md5-prefix sample (1/16 of image_ids) so the DuckDB transitive
+    // closure stays tractable; the production rung is unbounded — the
+    // same O(log n)-round contraction that labels 10^12-node graphs.
+    "q_dedup_phash_cc" -> ((s, dir) => {
+      val f = graft.validation.ImageSuiteQueries.ensureFacts(s, dir)
+      val sh = f.groupBy(col("image_id").as("doc_id"))
+        .agg(min("phash").as("phash"))
+        .filter(substring(md5(col("doc_id")), 1, 1) === "0")
+        .select(col("doc_id"),
+          col("phash").bitwiseAND(lit(4294967295L)).as("simhash_lo"),
+          shiftright(col("phash"), 32).bitwiseAND(lit(4294967295L)).as("simhash_hi"))
+      connectedComponentsStar(bandedSimhashPairsL2(sh, blocks = 4,
+          maxHamming = 4, maxBucket = 4, runWidth = 4))
+        .orderBy("doc_id")
+    }),
+
     // 64-bit SimHash near-dup pairs: hamming over both halves.
     // Bounded all-pairs BY DESIGN — this is the small-range recall oracle
     // for q_dedup_simhash64_banded, not a production path.
@@ -867,6 +892,38 @@ object DedupQueries {
              ON x.b = y.b AND x.key = y.key AND x.rn < y.rn
             AND (x.bn <= 4 OR y.rn - x.rn <= 4))
          SELECT a_id, b_id, hamming FROM cand WHERE hamming <= 4""",
+    "q_dedup_phash_cc" ->
+      s"""WITH RECURSIVE f AS (
+           SELECT image_id AS doc_id, min(phash) AS phash
+           FROM read_parquet('${graft.validation.ImageSuiteQueries.FactsPath}/*.parquet')
+           WHERE substr(md5(image_id), 1, 1) = '0'
+           GROUP BY 1),
+         sh AS (
+           SELECT doc_id, phash & 4294967295 AS lo,
+             (phash >> 32) & 4294967295 AS hi
+           FROM f),
+         $bands4Cte,
+         ranked AS (
+           SELECT doc_id, lo, hi, b, key,
+             count(*) OVER (PARTITION BY b, key) AS bn,
+             row_number() OVER (PARTITION BY b, key ORDER BY hi, lo, doc_id) AS rn
+           FROM bands),
+         pairs AS (
+           SELECT DISTINCT least(x.doc_id, y.doc_id) AS a_id,
+             greatest(x.doc_id, y.doc_id) AS b_id
+           FROM ranked x JOIN ranked y
+             ON x.b = y.b AND x.key = y.key AND x.rn < y.rn
+            AND (x.bn <= 4 OR y.rn - x.rn <= 4)
+           WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 4),
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
+         SELECT src AS doc_id, least(src, min(dst)) AS comp_id
+         FROM reach GROUP BY src""",
     // the production (HOF single-pass) and native-expression variants
     // compute the IDENTICAL signature, so both are held to the same oracle
     "q_dedup_simhash64_prod" -> simhash64OracleSql,

@@ -167,6 +167,53 @@ object Drift {
       .withColumn("drifted", col("psi") > DriftPsiMax)
   }
 
+  /** EMD flag threshold in bucket-width units: the generator's planted
+    * drift shifts dims by exactly two bucket widths (EMD ≈ 2.0); clean
+    * partitions sit at sampling noise ≪ 0.1, so half a bucket separates
+    * the classes with wide margin on both sides.
+    */
+  val DriftEmdMax = 0.5
+
+  /** Earth mover's distance (Wasserstein-1) per (part, colname) against a
+    * persisted baseline histogram, in bucket-width units: Σ_i |CDF_p(i) −
+    * CDF_g(i)|·span_i over the union bucket grid, where span_i covers the
+    * gap to the next occupied bucket (the CDF difference is constant over
+    * unoccupied positions, so sparse grids stay exact). Completes the
+    * drift family along a third axis: chi² is count-scale sensitive, KS
+    * is max-deviation, PSI is mass-reallocation — EMD is the only one
+    * that scales with HOW FAR mass moved, so a two-bucket shift reads
+    * exactly 2.0 while chi²/PSI read the same as a one-bucket shift.
+    *
+    * Cross-engine determinism: the cumulative difference is kept as the
+    * exact BIGINT cross-product obs·g_tot − g_cnt·p_tot (order-free
+    * integer sums; |cum| ≤ p_tot·g_tot ≈ 5·10⁹ at sf0.1, and the
+    * span-weighted sum stays ≪ 2⁵³, so the single terminal division
+    * lands the identical double on both engines). Scale: one groupBy on
+    * (part, colname, bucket) + a window over bucket-count-sized frames.
+    */
+  def baselineEmd(images: DataFrame, baselineHist: DataFrame): DataFrame = {
+    val ph = histogram(images).withColumnRenamed("cnt", "obs")
+    val ptot = ph.groupBy("part", "colname").agg(sum("obs").as("p_tot"))
+    val g = baselineHist.select(col("colname"), col("bucket"), col("cnt").as("g_cnt"))
+    val gtot = g.groupBy("colname").agg(sum("g_cnt").as("g_tot"))
+    val bgrid = ptot.select("part", "colname").join(broadcast(g), Seq("colname"))
+    val u = bgrid.join(ph, Seq("part", "colname", "bucket"), "full_outer")
+      .na.fill(0L, Seq("obs", "g_cnt"))
+    val w = Window.partitionBy("part", "colname").orderBy("bucket")
+    u.join(ptot, Seq("part", "colname"))
+      .join(broadcast(gtot), Seq("colname"))
+      .withColumn("diff", col("obs") * col("g_tot") - col("g_cnt") * col("p_tot"))
+      .withColumn("cum", sum("diff").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("span",
+        coalesce(lead("bucket", 1).over(w) - col("bucket"), lit(0L)))
+      .groupBy("part", "colname")
+      .agg(count(lit(1)).as("n_buckets"),
+        round(sum(abs(col("cum")) * col("span")).cast("double") /
+          (max("p_tot") * max("g_tot")).cast("double"), 6).as("emd"))
+      .withColumn("drifted", col("emd") > DriftEmdMax)
+  }
+
   /** Baseline snapshot: global histogram + per-column global t-digest. */
   def snapshot(spark: SparkSession, images: DataFrame, dir: String): Unit = {
     histogram(images).groupBy("colname", "bucket").agg(sum("cnt").as("cnt"))

@@ -350,6 +350,13 @@ object ImageSuiteQueries {
           Drift.readBaseline(s, base))
         .orderBy("part", "colname")
     }),
+    "q_i_drift_emd_baseline" -> ((s, dir) => {
+      val d = ImageGen.ensure(s, rowsFor(dir))
+      val base = ensureBaseline(s, dir)
+      Drift.baselineEmd(ImageGen.images(s, d).select("part", "w", "h"),
+          Drift.readBaseline(s, base))
+        .orderBy("part", "colname")
+    }),
     "qi_drift_ks_baseline" -> ((s, dir) => {
       val d = ImageGen.ensure(s, rowsFor(dir))
       val base = ensureBaseline(s, dir)
@@ -543,6 +550,37 @@ object ImageSuiteQueries {
            round(sum((pp - pg) * ln(pp / pg)), 6) AS psi,
            round(sum((pp - pg) * ln(pp / pg)), 6) > 0.2 AS drifted
          FROM t GROUP BY 1, 2""",
+    "q_i_drift_emd_baseline" ->
+      s"""WITH $imageHistCte,
+         ptot AS (SELECT part, colname, sum(obs) AS p_tot FROM ph GROUP BY 1, 2),
+         gtot AS (SELECT colname, sum(g_cnt) AS g_tot FROM g GROUP BY 1),
+         bgrid AS (SELECT p.part, p.colname, g.bucket, g.g_cnt
+                   FROM (SELECT DISTINCT part, colname FROM ptot) p
+                   JOIN g ON g.colname = p.colname),
+         u AS (SELECT COALESCE(b.part, ph.part) AS part,
+                 COALESCE(b.colname, ph.colname) AS colname,
+                 COALESCE(b.bucket, ph.bucket) AS bucket,
+                 COALESCE(b.g_cnt, 0) AS g_cnt, COALESCE(ph.obs, 0) AS obs
+               FROM bgrid b FULL OUTER JOIN ph
+                 ON ph.part = b.part AND ph.colname = b.colname
+                AND ph.bucket = b.bucket),
+         c AS (SELECT u.part, u.colname,
+                 sum(obs * g_tot - g_cnt * p_tot) OVER
+                   (PARTITION BY u.part, u.colname ORDER BY u.bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                 COALESCE(lead(u.bucket) OVER
+                   (PARTITION BY u.part, u.colname ORDER BY u.bucket)
+                   - u.bucket, 0) AS span,
+                 p_tot, g_tot
+               FROM u JOIN ptot USING (part, colname)
+                 JOIN gtot USING (colname))
+         SELECT part, colname, count(*) AS n_buckets,
+           round(CAST(sum(abs(cum) * span) AS DOUBLE)
+             / (CAST(max(p_tot) AS DOUBLE) * CAST(max(g_tot) AS DOUBLE)), 6) AS emd,
+           round(CAST(sum(abs(cum) * span) AS DOUBLE)
+             / (CAST(max(p_tot) AS DOUBLE) * CAST(max(g_tot) AS DOUBLE)), 6)
+             > 0.5 AS drifted
+         FROM c GROUP BY 1, 2""",
     "q_i_snap_dirty" ->
       s"""$factsCte,
           b AS (SELECT image_id, part, fmt, caption, w, h, phash FROM f),

@@ -54,6 +54,22 @@ class DriftBaselineSpec extends SparkTestBase {
     }
   }
 
+  test("EMD leg flags exactly the planted drifted partitions, at ~2 bucket widths") {
+    val emd = Drift.baselineEmd(images.select("part", "w", "h"),
+      Drift.readBaseline(spark, base)).collect()
+    assert(emd.nonEmpty)
+    emd.foreach { r =>
+      val part = r.getAs[String]("part")
+      val v = r.getAs[Double]("emd")
+      assert(r.getAs[Boolean]("drifted") == driftedParts(part),
+        s"emd $part/${r.getAs[String]("colname")}: emd=$v")
+      // the planted shift is exactly +2 bucket widths, and EMD — unlike
+      // chi²/PSI — reads the DISTANCE moved: drifted ≈ 2, clean ≈ noise
+      if (driftedParts(part)) assert(v > 1.5 && v < 2.5, s"$part: $v")
+      else assert(v < 0.2, s"$part: $v")
+    }
+  }
+
   test("PSI leg flags exactly the planted drifted partitions (support shift)") {
     val psi = Drift.baselinePsi(images.select("part", "w", "h"),
       Drift.readBaseline(spark, base)).collect()
