@@ -64,7 +64,9 @@ object Bench {
   private val headlineNew = Seq(
     "q_ann_topk_ivfpq", "q_ann_train_pq", "q_text_bpe_tokens",
     "q_pack_sequences_bpe", "q_curate_classifier", "q_dedup_phash_banded",
-    "q_dedup_phash_cc", "q_i_drift_emd_baseline")
+    "q_dedup_phash_cc", "q_i_drift_emd_baseline",
+    "q_v_examples", "q_v_estimate", "q_i_examples", "q_i_estimate",
+    "q_v_triage", "q_i_triage", "q_v_trend", "q_v_cusum")
 
   private val headline = suiteV4 ++ headlineNew
 

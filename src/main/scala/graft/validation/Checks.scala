@@ -1,6 +1,7 @@
 package graft.validation
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Declarative constraint-suite API — the programmable face of the
@@ -387,6 +388,244 @@ final case class CheckSuite(checks: Seq[Check]) {
        ORDER BY ${keyCols.mkString(", ")}"""
   }
 
+  /** Deterministic bounded violation EXAMPLES: for each row-expressible
+    * check, the first `k` failing rows in key order — the triage surface
+    * a validation report attaches to every red verdict (the reference
+    * caps its per-record issue listings the same way,
+    * `validation_agent.py:355-364`: named violations with identifying
+    * fields, never the full failing set).
+    *
+    * Scale shape (10^12 rows): a naive `row_number() OVER (PARTITION BY
+    * check ORDER BY key)` funnels EVERY failing row of a check through
+    * one reducer — with a 10% violation rate that is a 10^11-row single
+    * partition. This is the distributed two-stage top-k instead:
+    * stage 1 takes the per-(check, input-partition) top-k (the window key
+    * includes `spark_partition_id()`, so the shuffle spreads over
+    * #checks × #partitions keys and emits ≤ k rows per key); stage 2
+    * re-ranks the ≤ k·#partitions survivors per check — a frame small
+    * enough that its single-reducer window is free. Any global top-k row
+    * is necessarily in its partition's local top-k, so the two stages
+    * lose nothing. `keyCols` must be a row-unique key or ranks are
+    * nondeterministic (same contract as any ORDER BY LIMIT).
+    */
+  def exampleViolations(df: DataFrame, keyCols: Seq[String], k: Int): DataFrame = {
+    val rcs = rowChecks
+    require(rcs.nonEmpty, "no row-expressible checks in this suite")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val marks = rcs.map(c =>
+      when(!coalesce(c.sparkRowPred, lit(false)), lit(c.label)))
+    val keyOrder = keyCols.map(col)
+    val labeled = df
+      .select(keyCols.map(col) :+ spark_partition_id().as("_pid") :+
+        explode(array(marks: _*)).as("check"): _*)
+      .filter(col("check").isNotNull)
+    val local = Window.partitionBy(col("check"), col("_pid")).orderBy(keyOrder: _*)
+    val global = Window.partitionBy(col("check")).orderBy(keyOrder: _*)
+    labeled
+      .withColumn("_rk", row_number().over(local)).filter(col("_rk") <= k)
+      .withColumn("example_rank", row_number().over(global))
+      .filter(col("example_rank") <= k)
+      .select(col("check") +: keyCols.map(col) :+ col("example_rank"): _*)
+      .orderBy(col("check") +: keyOrder: _*)
+  }
+
+  /** DuckDB twin of [[exampleViolations]] — generated from the same row
+    * predicates: per check, the first `k` failing rows in key order. */
+  def duckExamplesSql(table: String, keyCols: Seq[String], k: Int): String = {
+    val rcs = rowChecks
+    val keys = keyCols.mkString(", ")
+    val arms = rcs.map { c =>
+      s"""SELECT * FROM (
+           SELECT '${c.label}' AS "check", $keys,
+             CAST(row_number() OVER (ORDER BY $keys) AS INT) AS example_rank
+           FROM $table
+           WHERE NOT coalesce(${c.duckRowPredSql}, false)
+         ) WHERE example_rank <= $k"""
+    }.mkString("\n  UNION ALL\n  ")
+    s"""$arms
+       ORDER BY "check", $keys"""
+  }
+
+  /** Sample-based validation ESTIMATE — the 10^12-row triage pass: run
+    * the row checks over a deterministic md5-prefix sample (the engine's
+    * reproducible-sampling convention, shared with `q_s2_sample_hash`)
+    * and bound each check's FULL-TABLE violation rate with a Wilson
+    * 95% score interval. A full validation scan prices at the whole
+    * table; this prices at `len(hexDigits)/16` of one scan and tells you
+    * which checks even CAN pass (`ci_lo` above the budget ⇒ the full
+    * scan is already known-red; `ci_hi` below ⇒ known-green) — only the
+    * straddlers need the exact pass. Wilson (not normal approximation)
+    * so the bounds stay honest at violation rates near 0, where
+    * validation lives.
+    *
+    * Output: (check, n_sample, x_viol, viol_rate, ci_lo, ci_hi, pass)
+    * with pass ⇔ ci_hi ≤ maxViolRate. One scan-stage predicate + one
+    * single-row aggregate — no shuffle wider than the counter row.
+    */
+  def estimate(df: DataFrame, idSql: String, hexDigits: Seq[String],
+               maxViolRate: Double = 0.1): DataFrame = {
+    val rcs = rowChecks
+    require(rcs.nonEmpty, "no row-expressible checks in this suite")
+    val sampled = df.filter(
+      substring(md5(expr(idSql).cast("string")), 1, 1).isin(hexDigits: _*))
+    val aggs = count(lit(1L)).as("n_sample") +: rcs.map(c =>
+      sum(when(!coalesce(c.sparkRowPred, lit(false)), 1L).otherwise(0L))
+        .as(estAlias(c)))
+    val one = sampled.agg(aggs.head, aggs.tail: _*)
+    val structs = rcs.map(c =>
+      struct(lit(c.label).as("check"), col(estAlias(c)).as("x_viol")))
+    val n = col("n_sample").cast("double")
+    val x = col("x_viol").cast("double")
+    // Wilson score interval, z = 1.96 (z² inlined as 3.8416 in BOTH
+    // engines so the doubles match bit-for-bit before round-6).
+    val z = lit(1.96); val z2 = lit(3.8416)
+    val phat = x / n
+    val denom = lit(1.0) + z2 / n
+    val center = (phat + z2 / (lit(2.0) * n)) / denom
+    val half = z * sqrt(phat * (lit(1.0) - phat) / n +
+      z2 / (lit(4.0) * n * n)) / denom
+    one.select(col("n_sample"), explode(array(structs: _*)).as("r"))
+      .select(col("r.check").as("check"), col("n_sample"),
+        col("r.x_viol").as("x_viol"))
+      .withColumn("viol_rate", round(phat, 6))
+      .withColumn("ci_lo", round(greatest(lit(0.0), center - half), 6))
+      .withColumn("ci_hi", round(least(lit(1.0), center + half), 6))
+      .withColumn("pass", least(lit(1.0), center + half) <= lit(maxViolRate))
+      .orderBy("check")
+  }
+
+  /** DuckDB twin of [[estimate]] — same sample predicate, same Wilson
+    * formula with the same literals and association order. */
+  def duckEstimateSql(table: String, idSql: String, hexDigits: Seq[String],
+                      maxViolRate: Double = 0.1): String = {
+    val rcs = rowChecks
+    val hexIn = hexDigits.map(h => s"'$h'").mkString(", ")
+    val aggArms = rcs.map(c =>
+      s"CAST(sum(CASE WHEN NOT coalesce(${c.duckRowPredSql}, false) THEN 1 ELSE 0 END) AS BIGINT) AS ${estAlias(c)}")
+      .mkString(",\n           ")
+    val arms = rcs.map { c =>
+      val nD = "CAST(n_sample AS DOUBLE)"
+      val xD = s"CAST(${estAlias(c)} AS DOUBLE)"
+      val phat = s"($xD / $nD)"
+      val denom = s"(1.0 + 3.8416 / $nD)"
+      val center = s"(($phat + 3.8416 / (2.0 * $nD)) / $denom)"
+      val half = s"(1.96 * sqrt($phat * (1.0 - $phat) / $nD + 3.8416 / (4.0 * $nD * $nD)) / $denom)"
+      s"""SELECT '${c.label}' AS "check", n_sample, ${estAlias(c)} AS x_viol,
+           round($phat, 6) AS viol_rate,
+           round(greatest(0.0, $center - $half), 6) AS ci_lo,
+           round(least(1.0, $center + $half), 6) AS ci_hi,
+           least(1.0, $center + $half) <= $maxViolRate AS pass
+         FROM a"""
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH a AS (
+         SELECT count(*) AS n_sample,
+           $aggArms
+         FROM $table
+         WHERE substr(md5(CAST($idSql AS VARCHAR)), 1, 1) IN ($hexIn))
+       $arms
+       ORDER BY "check""""
+  }
+
+  /** Estimate-then-exact triage — the composition [[estimate]] exists
+    * for, run end-to-end: (1) the Wilson sample pass prices each check's
+    * violation rate at `len(hexDigits)/16` of one scan; (2) checks whose
+    * 95% interval clears the budget on either side are DECIDED from the
+    * sample (ci_hi ≤ budget ⇒ pass, ci_lo > budget ⇒ fail — wrong with
+    * probability ≤ 2.5% per side, the price of not scanning); (3) only
+    * the straddlers — typically none or one — pay a full scan, and that
+    * scan evaluates ONLY the straddler predicates. At 10^12 rows this
+    * turns "validate everything exactly" into "scan 1/8, then maybe
+    * rescan for one check". If nothing straddles, the full table is
+    * never read at all.
+    *
+    * Decisions use the ROUND-6 ci bounds (the exported columns), so the
+    * branch taken is bit-reproducible cross-engine. The per-check
+    * decision set is column-count-sized — the driver-side collect is
+    * bounded by construction (same contract as Profiler suggestions).
+    *
+    * Output: (check, method ∈ 'sample'|'exact', viol_rate, pass),
+    * ordered by check.
+    */
+  def triage(df: DataFrame, idSql: String, hexDigits: Seq[String],
+             maxViolRate: Double = 0.1): DataFrame = {
+    val rcs = rowChecks
+    val est = estimate(df, idSql, hexDigits, maxViolRate)
+    // column-count-sized: one row per check
+    val rows = est.select("check", "viol_rate", "ci_lo", "ci_hi").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val straddle = rows.collect {
+      case (c, _, lo, hi) if lo <= maxViolRate && hi > maxViolRate => c
+    }.toSet
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sampleLeg = rows.toSeq.collect {
+      case (c, rate, _, hi) if !straddle(c) =>
+        (c, "sample", rate, hi <= maxViolRate)
+    }.toDF("check", "method", "viol_rate", "pass")
+    if (straddle.isEmpty) sampleLeg.orderBy("check")
+    else {
+      val scs = rcs.filter(c => straddle(c.label))
+      val aggs = count(lit(1L)).as("n_all") +: scs.map(c =>
+        sum(when(!coalesce(c.sparkRowPred, lit(false)), 1L).otherwise(0L))
+          .as(estAlias(c)))
+      val structs = scs.map(c =>
+        struct(lit(c.label).as("check"), col(estAlias(c)).as("x_viol")))
+      val rate = col("r.x_viol").cast("double") / col("n_all").cast("double")
+      val exactLeg = df.agg(aggs.head, aggs.tail: _*)
+        .select(col("n_all"), explode(array(structs: _*)).as("r"))
+        .select(col("r.check").as("check"), lit("exact").as("method"),
+          round(rate, 6).as("viol_rate"),
+          (rate <= lit(maxViolRate)).as("pass"))
+      sampleLeg.union(exactLeg).orderBy("check")
+    }
+  }
+
+  /** DuckDB twin of [[triage]] — the same sample aggregate, the same
+    * round-6 Wilson bounds deciding the same branch, the same exact
+    * rates for straddlers (DuckDB evaluates both legs and selects;
+    * cost is the oracle's problem, the decision logic is the twin). */
+  def duckTriageSql(table: String, idSql: String, hexDigits: Seq[String],
+                    maxViolRate: Double = 0.1): String = {
+    val rcs = rowChecks
+    val hexIn = hexDigits.map(h => s"'$h'").mkString(", ")
+    val aggArms = rcs.map(c =>
+      s"CAST(sum(CASE WHEN NOT coalesce(${c.duckRowPredSql}, false) THEN 1 ELSE 0 END) AS BIGINT) AS ${estAlias(c)}")
+      .mkString(",\n           ")
+    val arms = rcs.map { c =>
+      val nD = "CAST(n_sample AS DOUBLE)"
+      val xD = s"CAST(a.${estAlias(c)} AS DOUBLE)"
+      val phat = s"($xD / $nD)"
+      val denom = s"(1.0 + 3.8416 / $nD)"
+      val center = s"(($phat + 3.8416 / (2.0 * $nD)) / $denom)"
+      val half = s"(1.96 * sqrt($phat * (1.0 - $phat) / $nD + 3.8416 / (4.0 * $nD * $nD)) / $denom)"
+      val ciLo = s"round(greatest(0.0, $center - $half), 6)"
+      val ciHi = s"round(least(1.0, $center + $half), 6)"
+      val straddle = s"($ciLo <= $maxViolRate AND $ciHi > $maxViolRate)"
+      val exactRate = s"(CAST(f.${estAlias(c)} AS DOUBLE) / CAST(n_all AS DOUBLE))"
+      s"""SELECT '${c.label}' AS "check",
+           CASE WHEN $straddle THEN 'exact' ELSE 'sample' END AS method,
+           CASE WHEN $straddle THEN round($exactRate, 6)
+                ELSE round($phat, 6) END AS viol_rate,
+           CASE WHEN $straddle THEN $exactRate <= $maxViolRate
+                ELSE $ciHi <= $maxViolRate END AS pass
+         FROM a, f"""
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH a AS (
+         SELECT count(*) AS n_sample,
+           $aggArms
+         FROM $table
+         WHERE substr(md5(CAST($idSql AS VARCHAR)), 1, 1) IN ($hexIn)),
+       f AS (
+         SELECT count(*) AS n_all,
+           $aggArms
+         FROM $table)
+       $arms
+       ORDER BY "check""""
+  }
+
+  private def estAlias(c: RowCheck): String =
+    c.label.replaceAll("[^A-Za-z0-9]", "_") + "_x"
+
   /** The DuckDB twin of [[run]] over `table` — generated from the SAME
     * check definitions, so the oracle can never drift from the plan.
     * `where` restricts the scanned slice (shared-syntax predicate). */
@@ -471,6 +710,204 @@ object MetricsRepository {
       h.filter(col("run_id") === runId),
       h.filter(col("run_id") === baselineId),
       maxAbsDelta, maxRelDelta)
+  }
+}
+
+/** Sequential trend monitoring over a verdict run HISTORY — the
+  * many-run sibling of the pairwise [[MetricAnomaly]]: an EWMA control
+  * chart (Roberts 1959; NIST/SEMATECH e-handbook §6.3.2.4) per check.
+  * z_i = λ·m_i + (1−λ)·z_{i−1} with z_0 = μ0, flagged when |z_i − μ0|
+  * exceeds L·σ·sqrt(λ/(2−λ)·(1−(1−λ)^{2i})) — small persistent shifts
+  * accumulate in z long before any single run trips [[MetricAnomaly]]'s
+  * per-pair delta (reference analogue: drift vs priors across runs,
+  * validation_agent.py:258-305). μ0/σ follow Phase-I practice: estimated
+  * from the first `baselineRuns` runs per check (an in-control prefix) —
+  * estimating over the whole history would let the shift inflate σ and
+  * recentre μ0 until the chart can't see it (self-masking).
+  *
+  * Scale shape: the input is RUN-level metadata (one row per
+  * (run, check) — KB-sized at any table scale), so the closed-form
+  * expansion z_i = λ·Σ_j (1−λ)^{i−j}·m_j + (1−λ)^i·μ0 is computed by an
+  * O(runs²)-per-check self-join — runs², never rows². μ0/σ use
+  * decimal-exact Σm/Σm² so both engines finalize from identical sums;
+  * the weighted EWMA sum is the one FP-order-sensitive value — round-6
+  * (same discipline as the suite score means).
+  */
+object MetricTrend {
+
+  /** `history`: (run_id, check, metric, ...) — e.g. [[MetricsRepository
+    * .history]] output or a grouped suite run keyed by run_id. Returns
+    * (check, run_id, seq, metric, ewma, lcl, ucl, out_of_control)
+    * ordered by (check, run_id). `baselineRuns` = Phase-I prefix length
+    * (runs with seq ≤ baselineRuns estimate μ0/σ). */
+  def ewma(history: DataFrame, lam: Double, l: Double,
+           baselineRuns: Int): DataFrame = {
+    require(lam > 0.0 && lam <= 1.0, s"lambda in (0,1], got $lam")
+    require(baselineRuns >= 1, s"baselineRuns >= 1, got $baselineRuns")
+    val w = Window.partitionBy("check").orderBy("run_id")
+    val ranked = history
+      .select(col("check"), col("run_id"), col("metric").cast("double").as("metric"))
+      .withColumn("seq", row_number().over(w))
+    val stats = ranked.filter(col("seq") <= baselineRuns)
+      .groupBy(col("check").as("s_check")).agg(
+      count(lit(1L)).as("n_runs"),
+      sum(col("metric").cast("decimal(28,12)")).cast("double").as("sm"),
+      sum((col("metric") * col("metric")).cast("decimal(28,12)"))
+        .cast("double").as("sm2"))
+    val a = ranked.as("a")
+    val b = ranked.select(col("check").as("b_check"), col("metric").as("b_metric"),
+      col("seq").as("b_seq"))
+    val lamC = lit(lam); val oneMinus = lit(1.0) - lit(lam)
+    val wsums = a.join(b, col("a.check") === col("b_check") &&
+        col("b_seq") <= col("a.seq"))
+      .groupBy(col("a.check"), col("a.run_id"), col("a.seq"), col("a.metric"))
+      .agg(sum(pow(oneMinus, col("a.seq") - col("b_seq")) * col("b_metric"))
+        .as("wsum"))
+    val joined = wsums.join(stats, col("check") === col("s_check")).drop("s_check")
+    val n = col("n_runs").cast("double")
+    val mu0 = col("sm") / n
+    val sigma = when(col("n_runs") > 1,
+      sqrt(greatest(lit(0.0), (col("sm2") - col("sm") * col("sm") / n) / (n - lit(1.0)))))
+      .otherwise(lit(0.0))
+    val z = lamC * col("wsum") + pow(oneMinus, col("seq")) * mu0
+    val half = lit(l) * sigma *
+      sqrt(lamC / (lit(2.0) - lamC) *
+        (lit(1.0) - pow(oneMinus, lit(2.0) * col("seq"))))
+    joined
+      .withColumn("ewma", round(z, 6))
+      .withColumn("lcl", round(mu0 - half, 6))
+      .withColumn("ucl", round(mu0 + half, 6))
+      // compare at the round-6 discipline: a σ=0 baseline (half = 0)
+      // must not alarm on the ~1e-16 FP residue of z − μ0 on a series
+      // that is exactly in control.
+      .withColumn("out_of_control", round(abs(z - mu0), 6) > round(half, 6))
+      .select("check", "run_id", "seq", "metric", "ewma", "lcl", "ucl",
+        "out_of_control")
+      .orderBy("check", "run_id")
+  }
+
+  /** DuckDB twin of [[ewma]] over a history relation (same formulas,
+    * same literals, same association order; `historySql` is any query
+    * producing (run_id, check, metric, ...)). */
+  def duckSql(historySql: String, lam: Double, l: Double,
+              baselineRuns: Int): String = {
+    val om = s"(1.0 - $lam)"
+    val mu0 = "(sm / CAST(n_runs AS DOUBLE))"
+    val sigma = s"""(CASE WHEN n_runs > 1 THEN sqrt(greatest(0.0,
+               (sm2 - sm * sm / CAST(n_runs AS DOUBLE)) / (CAST(n_runs AS DOUBLE) - 1.0)))
+             ELSE 0.0 END)"""
+    val half = s"($l * $sigma * sqrt($lam / (2.0 - $lam) * (1.0 - pow($om, 2.0 * seq))))"
+    val z = s"($lam * wsum + pow($om, seq) * $mu0)"
+    s"""WITH h AS ($historySql),
+       r AS (SELECT "check", run_id, CAST(metric AS DOUBLE) AS metric,
+               CAST(row_number() OVER (PARTITION BY "check" ORDER BY run_id) AS INT) AS seq
+             FROM h),
+       s AS (SELECT "check" AS s_check, count(*) AS n_runs,
+               CAST(sum(CAST(metric AS DECIMAL(28,12))) AS DOUBLE) AS sm,
+               CAST(sum(CAST(metric * metric AS DECIMAL(28,12))) AS DOUBLE) AS sm2
+             FROM r WHERE seq <= $baselineRuns GROUP BY 1),
+       e AS (SELECT a."check", a.run_id, a.seq, a.metric,
+               sum(pow($om, a.seq - b.seq) * b.metric) AS wsum
+             FROM r a JOIN r b ON a."check" = b."check" AND b.seq <= a.seq
+             GROUP BY 1, 2, 3, 4)
+       SELECT "check", run_id, seq, metric,
+         round($z, 6) AS ewma,
+         round($mu0 - $half, 6) AS lcl,
+         round($mu0 + $half, 6) AS ucl,
+         round(abs($z - $mu0), 6) > round($half, 6) AS out_of_control
+       FROM e JOIN s ON e."check" = s.s_check
+       ORDER BY "check", run_id"""
+  }
+
+  /** Tabular CUSUM chart (Page 1954; NIST/SEMATECH §6.3.2.3) — the
+    * other standard sequential chart, tuned for the OPPOSITE regime to
+    * EWMA: a one-sided cumulative sum resets at zero while in control,
+    * so a shift of ~kσ per run accumulates linearly and trips h·σ in
+    * ~h/|shift/σ − k| runs. U_i = max(0, U_{i−1} + (m_i − μ0 − kσ)),
+    * L_i = max(0, L_{i−1} + (μ0 − kσ − m_i)); alarm when either exceeds
+    * h·σ. Phase-I μ0/σ from the first `baselineRuns` runs, as [[ewma]].
+    *
+    * Scale shape: the max(0,·) recursion has the closed form
+    * U_i = P_i − min(0, P_1, …, P_i) with P the running sum of the
+    * drift terms — two sequential-frame windows over run-level metadata
+    * (KB-sized), no self-join at all. FP note: running sums are the one
+    * association-order-sensitive value (DuckDB windows may tree-sum) —
+    * round-6 on every exported column, same discipline as [[ewma]]. */
+  def cusum(history: DataFrame, k: Double, h: Double,
+            baselineRuns: Int): DataFrame = {
+    require(k >= 0.0, s"k >= 0, got $k")
+    require(h > 0.0, s"h > 0, got $h")
+    require(baselineRuns >= 1, s"baselineRuns >= 1, got $baselineRuns")
+    val w = Window.partitionBy("check").orderBy("run_id")
+    val ranked = history
+      .select(col("check"), col("run_id"), col("metric").cast("double").as("metric"))
+      .withColumn("seq", row_number().over(w))
+    val stats = ranked.filter(col("seq") <= baselineRuns)
+      .groupBy(col("check").as("s_check")).agg(
+        count(lit(1L)).as("n_runs"),
+        sum(col("metric").cast("decimal(28,12)")).cast("double").as("sm"),
+        sum((col("metric") * col("metric")).cast("decimal(28,12)"))
+          .cast("double").as("sm2"))
+    val joined = ranked.join(stats, col("check") === col("s_check")).drop("s_check")
+    val n = col("n_runs").cast("double")
+    val mu0 = col("sm") / n
+    val sigma = when(col("n_runs") > 1,
+      sqrt(greatest(lit(0.0), (col("sm2") - col("sm") * col("sm") / n) / (n - lit(1.0)))))
+      .otherwise(lit(0.0))
+    val run = Window.partitionBy("check").orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pHi = sum(col("metric") - mu0 - lit(k) * sigma).over(run)
+    val pLo = sum(mu0 - lit(k) * sigma - col("metric")).over(run)
+    val base = joined
+      .withColumn("_phi", pHi).withColumn("_plo", pLo)
+      .withColumn("_uhi", col("_phi") - least(lit(0.0), min(col("_phi")).over(run)))
+      .withColumn("_ulo", col("_plo") - least(lit(0.0), min(col("_plo")).over(run)))
+      .withColumn("_thr", lit(h) * sigma)
+    base
+      .withColumn("cusum_hi", round(col("_uhi"), 6))
+      .withColumn("cusum_lo", round(col("_ulo"), 6))
+      .withColumn("threshold", round(col("_thr"), 6))
+      .withColumn("out_of_control",
+        round(col("_uhi"), 6) > round(col("_thr"), 6) ||
+        round(col("_ulo"), 6) > round(col("_thr"), 6))
+      .select("check", "run_id", "seq", "metric", "cusum_hi", "cusum_lo",
+        "threshold", "out_of_control")
+      .orderBy("check", "run_id")
+  }
+
+  /** DuckDB twin of [[cusum]] — same Phase-I stats, same prefix-min
+    * closed form, same round-6 exports. */
+  def duckCusumSql(historySql: String, k: Double, h: Double,
+                   baselineRuns: Int): String = {
+    val mu0 = "(sm / CAST(n_runs AS DOUBLE))"
+    val sigma = s"""(CASE WHEN n_runs > 1 THEN sqrt(greatest(0.0,
+               (sm2 - sm * sm / CAST(n_runs AS DOUBLE)) / (CAST(n_runs AS DOUBLE) - 1.0)))
+             ELSE 0.0 END)"""
+    val run = s"""OVER (PARTITION BY r."check" ORDER BY seq ROWS UNBOUNDED PRECEDING)"""
+    s"""WITH h AS ($historySql),
+       r AS (SELECT "check", run_id, CAST(metric AS DOUBLE) AS metric,
+               CAST(row_number() OVER (PARTITION BY "check" ORDER BY run_id) AS INT) AS seq
+             FROM h),
+       s AS (SELECT "check" AS s_check, count(*) AS n_runs,
+               CAST(sum(CAST(metric AS DECIMAL(28,12))) AS DOUBLE) AS sm,
+               CAST(sum(CAST(metric * metric AS DECIMAL(28,12))) AS DOUBLE) AS sm2
+             FROM r WHERE seq <= $baselineRuns GROUP BY 1),
+       p AS (SELECT r."check", run_id, seq, metric,
+               sum(metric - $mu0 - $k * $sigma) $run AS phi,
+               sum($mu0 - $k * $sigma - metric) $run AS plo,
+               $h * $sigma AS thr
+             FROM r JOIN s ON r."check" = s.s_check),
+       u AS (SELECT "check", run_id, seq, metric, thr,
+               phi - least(0.0, min(phi) OVER (PARTITION BY "check" ORDER BY seq ROWS UNBOUNDED PRECEDING)) AS uhi,
+               plo - least(0.0, min(plo) OVER (PARTITION BY "check" ORDER BY seq ROWS UNBOUNDED PRECEDING)) AS ulo
+             FROM p)
+       SELECT "check", run_id, seq, metric,
+         round(uhi, 6) AS cusum_hi,
+         round(ulo, 6) AS cusum_lo,
+         round(thr, 6) AS threshold,
+         (round(uhi, 6) > round(thr, 6) OR round(ulo, 6) > round(thr, 6)) AS out_of_control
+       FROM u
+       ORDER BY "check", run_id"""
   }
 }
 

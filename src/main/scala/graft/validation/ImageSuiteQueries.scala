@@ -175,6 +175,20 @@ object ImageSuiteQueries {
     "phash_hamming" -> Profiler.Integral, "psnr_db" -> Profiler.Fractional,
     "w" -> Profiler.Integral)
 
+  /** Row-expressible triage suite over the persisted facts bridge — the
+    * image-table instance of the [[CheckSuite]] triage surfaces
+    * (`exampleViolations` / `estimate`). Each member genuinely fails on a
+    * planted defect class: null captions, empty/zero-dim rows,
+    * undecodable bytes, fmt-tag↔magic mismatches, declared-vs-decoded
+    * dimension lies (reference per-record issue listings,
+    * validation_agent.py:355-364). */
+  val factsTriageSuite: CheckSuite = CheckSuite(Seq(
+    Complete("caption", 1.0),
+    Satisfies("dims_positive", "w > 0 AND h > 0", 1.0),
+    Satisfies("decodable", "decode_ok", 1.0),
+    Satisfies("fmt_consistent", "fmt = fmt_sniffed", 1.0),
+    Satisfies("dims_match", "dec_w = w AND dec_h = h", 1.0)))
+
   /** Canonical content string of the image light columns — every nullable
     * field coalesced to a sentinel so concat_ws keeps positions stable
     * (concat_ws SKIPS nulls, which would let different rows collide). */
@@ -300,6 +314,27 @@ object ImageSuiteQueries {
         .withColumn("value", round(col("value"), 6))
         .orderBy("part", "metric")
     }),
+    // Bounded violation EXAMPLES on the image table: first 5 failing
+    // image_ids per triage check via the distributed two-stage top-k —
+    // the triage attachment a red verdict ships at 10^12 rows (never the
+    // full failing set, never one reducer per check).
+    "q_i_examples" -> ((s, dir) =>
+      factsTriageSuite.exampleViolations(ensureFacts(s, dir),
+        Seq("image_id"), k = 5)),
+    // Sample-based validation estimate on the image table: the triage
+    // checks over a 2/16 deterministic md5(image_id) sample with Wilson
+    // 95% bounds on the full-table violation rate — the pre-scan that
+    // marks checks known-red/known-green before the exact 10^12-row pass.
+    "q_i_estimate" -> ((s, dir) =>
+      factsTriageSuite.estimate(ensureFacts(s, dir), "image_id",
+        Seq("0", "1"), maxViolRate = 0.01)),
+    // Estimate-then-exact triage on the image table at budget 0.01:
+    // dims_positive is known-green and decodable / dims_match /
+    // fmt_consistent known-red from the sample alone; complete_caption
+    // straddles and pays the exact pass over just its predicate.
+    "q_i_triage" -> ((s, dir) =>
+      factsTriageSuite.triage(ensureFacts(s, dir), "image_id",
+        Seq("0", "1"), maxViolRate = 0.01)),
     // Full verdict table: one row per (partition, check), always emitted.
     "qi_verdicts" -> ((s, dir) => {
       val (v, _, _) = suite(s, dir)
@@ -612,6 +647,14 @@ object ImageSuiteQueries {
       s"read_parquet('$FactsPath/*.parquet')", FactsProfileCols),
     "q_i_suggest" -> Profiler.duckSuggestSql(
       s"read_parquet('$FactsPath/*.parquet')", FactsProfileCols),
+    "q_i_examples" -> factsTriageSuite.duckExamplesSql(
+      s"read_parquet('$FactsPath/*.parquet')", Seq("image_id"), k = 5),
+    "q_i_estimate" -> factsTriageSuite.duckEstimateSql(
+      s"read_parquet('$FactsPath/*.parquet')", "image_id",
+      Seq("0", "1"), maxViolRate = 0.01),
+    "q_i_triage" -> factsTriageSuite.duckTriageSql(
+      s"read_parquet('$FactsPath/*.parquet')", "image_id",
+      Seq("0", "1"), maxViolRate = 0.01),
     "q_i_keychecks" ->
       s"""WITH l AS (SELECT * FROM read_parquet('$KeysPath/light/*.parquet')),
          c AS (SELECT image_id AS cap_id, part AS cap_part, caption AS cap_caption
