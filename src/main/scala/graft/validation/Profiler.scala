@@ -320,4 +320,97 @@ object Profiler {
     }
     CheckSuite(checks)
   }
+
+  /** Pairwise Pearson correlation matrix over numeric columns — the
+    * profiler's cross-COLUMN face (deequ's Correlation analyzer shape):
+    * for every pair x < y, pairwise-complete counters (n, Σx, Σy, Σxy,
+    * Σx², Σy² over rows where BOTH values are non-null and finite) in
+    * ONE aggregation pass, finalized to
+    * r = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²)).
+    *
+    * Scale shape (100 TB): one scan, O(p²) algebraic counters of state
+    * (p = #columns, never rows), map-side partials, a single-row
+    * exchange — the [[profile]] contract extended to pairs. Sums ride
+    * decimal(28,6)/decimal(38,10) (exact, order-free) so both engines
+    * finalize the double formula from identical inputs; r is round-6.
+    * Constant columns (zero variance) yield corr = null, not NaN.
+    *
+    * Output: (col_x, col_y, n_pairs, corr) for each x < y pair, ordered.
+    */
+  def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two numeric columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j), s"p${i}_$j")
+    val aggs = pairs.flatMap { case (x, y, al) =>
+      val dx0 = col(x).cast("double"); val dy0 = col(y).cast("double")
+      val fx = when(!isnan(dx0) && abs(dx0) =!= lit(Double.PositiveInfinity), dx0)
+      val fy = when(!isnan(dy0) && abs(dy0) =!= lit(Double.PositiveInfinity), dy0)
+      val both = fx.isNotNull && fy.isNotNull
+      val gx = when(both, fx); val gy = when(both, fy)
+      Seq(
+        count(gx).as(s"${al}_n"),
+        sum(gx.cast("decimal(28,6)")).as(s"${al}_sx"),
+        sum(gy.cast("decimal(28,6)")).as(s"${al}_sy"),
+        sum((gx * gy).cast("decimal(38,10)")).as(s"${al}_sxy"),
+        sum((gx * gx).cast("decimal(38,10)")).as(s"${al}_sxx"),
+        sum((gy * gy).cast("decimal(38,10)")).as(s"${al}_syy"))
+    }
+    val rows = pairs.map { case (x, y, al) =>
+      val n = col(s"${al}_n").cast("double")
+      val sx = col(s"${al}_sx").cast("double")
+      val sy = col(s"${al}_sy").cast("double")
+      val sxy = col(s"${al}_sxy").cast("double")
+      val sxx = col(s"${al}_sxx").cast("double")
+      val syy = col(s"${al}_syy").cast("double")
+      val num = n * sxy - sx * sy
+      val den = sqrt(greatest(n * sxx - sx * sx, lit(0.0)) *
+        greatest(n * syy - sy * sy, lit(0.0)))
+      struct(
+        lit(x).as("col_x"), lit(y).as("col_y"),
+        col(s"${al}_n").as("n_pairs"),
+        when(col(s"${al}_n") >= 2 && den > lit(0.0), round(num / den, 6))
+          .as("corr"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rows: _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy("col_x", "col_y")
+  }
+
+  /** DuckDB twin of [[correlations]] — same pair list, same decimal
+    * counters, same finalize formula and association order. */
+  def duckCorrelationsSql(table: String, cols: Seq[String]): String = {
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j), s"p${i}_$j")
+    val aggs = pairs.flatMap { case (x, y, al) =>
+      val gx = s"(CASE WHEN isfinite(CAST($x AS DOUBLE)) AND isfinite(CAST($y AS DOUBLE)) THEN CAST($x AS DOUBLE) END)"
+      val gy = s"(CASE WHEN isfinite(CAST($x AS DOUBLE)) AND isfinite(CAST($y AS DOUBLE)) THEN CAST($y AS DOUBLE) END)"
+      Seq(
+        s"count($gx) AS ${al}_n",
+        s"sum(CAST($gx AS DECIMAL(28,6))) AS ${al}_sx",
+        s"sum(CAST($gy AS DECIMAL(28,6))) AS ${al}_sy",
+        s"sum(CAST($gx * $gy AS DECIMAL(38,10))) AS ${al}_sxy",
+        s"sum(CAST($gx * $gx AS DECIMAL(38,10))) AS ${al}_sxx",
+        s"sum(CAST($gy * $gy AS DECIMAL(38,10))) AS ${al}_syy")
+    }
+    val arms = pairs.map { case (x, y, al) =>
+      val n = s"CAST(${al}_n AS DOUBLE)"
+      val sx = s"CAST(${al}_sx AS DOUBLE)"
+      val sy = s"CAST(${al}_sy AS DOUBLE)"
+      val sxy = s"CAST(${al}_sxy AS DOUBLE)"
+      val sxx = s"CAST(${al}_sxx AS DOUBLE)"
+      val syy = s"CAST(${al}_syy AS DOUBLE)"
+      val num = s"($n * $sxy - $sx * $sy)"
+      val den = s"sqrt(greatest($n * $sxx - $sx * $sx, 0.0) * greatest($n * $syy - $sy * $sy, 0.0))"
+      s"""SELECT '$x' AS col_x, '$y' AS col_y, ${al}_n AS n_pairs,
+         CASE WHEN ${al}_n >= 2 AND $den > 0.0
+              THEN round($num / $den, 6) END AS corr
+         FROM c"""
+    }
+    s"""WITH c AS (SELECT ${aggs.mkString(",\n      ")} FROM $table)
+       ${arms.mkString("\n  UNION ALL\n  ")}
+       ORDER BY col_x, col_y"""
+  }
 }

@@ -1,0 +1,174 @@
+package graft.validation
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-conformance checks against CLOSED-FORM expectations —
+  * the zero-baseline complement of [[Drift]] (which compares against a
+  * persisted snapshot): Benford first-digit conformance (Newcomb 1881;
+  * Benford 1938 — the classic fabricated-data screen on financial
+  * columns) and the chi-square test of independence between two
+  * categorical columns (Pearson 1900) — the "are these fields secretly
+  * coupled?" audit a validation engine runs before trusting a
+  * stratification key. Reference analogue: the per-field distribution
+  * scrutiny of `validation_agent.py:258-305`, pointed at analytic
+  * expectations instead of priors.
+  *
+  * Scale shape (100 TB): Benford is one conditional-count aggregation
+  * (9 counters of state); independence is one shuffle on (x, y) whose
+  * result is CATEGORY-COUNT-sized — every window downstream runs over
+  * |X|·|Y| cells, never rows. Both finalize in doubles from integer
+  * counts, so round-6 exports are bit-stable cross-engine.
+  */
+object StatChecks {
+
+  /** Benford first-significant-digit conformance of `colSql` (shared
+    * Spark/DuckDB expression syntax). Rows with null / non-finite /
+    * |x| < 1 values are excluded (the first-digit extraction is the
+    * cross-engine-stable integer-string route, exact only for |x| ≥ 1;
+    * the scan-side filter makes that a contract, not a bug).
+    * `critical` is the chi² cutoff at the caller's alpha — dof is
+    * always 8, so 15.507 at 0.95.
+    *
+    * Output: 9 rows (digit 1..9, n_obs, p_obs, p_exp, chi2_contrib,
+    * chi2_stat, pass) — zero-observation digits included (they still
+    * contribute n·p to the statistic). */
+  def benford(df: DataFrame, colSql: String,
+              critical: Double = 15.507): DataFrame = {
+    val x0 = abs(expr(colSql).cast("double"))
+    val ok = !isnan(x0) && x0 =!= lit(Double.PositiveInfinity) && x0 >= lit(1.0)
+    val digit = when(ok,
+      substring(floor(x0).cast("long").cast("string"), 1, 1).cast("int"))
+    val obs = df.select(digit.as("digit")).filter(col("digit").isNotNull)
+      .groupBy("digit").agg(count(lit(1L)).as("n_obs"))
+    val digits = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val all = digits.join(obs, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+    val wAll = Window.partitionBy(lit(1))
+    val n = sum(col("n_obs")).over(wAll).cast("double")
+    val pExp = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+    val contrib = pow(col("n_obs").cast("double") - n * pExp, 2.0) / (n * pExp)
+    val withStat = all
+      .withColumn("p_obs", round(col("n_obs").cast("double") / n, 6))
+      .withColumn("p_exp", round(pExp, 6))
+      .withColumn("_c", contrib)
+      .withColumn("chi2_contrib", round(col("_c"), 6))
+      .withColumn("chi2_stat", round(sum(col("_c")).over(wAll), 6))
+    withStat
+      .withColumn("pass", col("chi2_stat") <= lit(critical))
+      .select("digit", "n_obs", "p_obs", "p_exp", "chi2_contrib",
+        "chi2_stat", "pass")
+      .orderBy("digit")
+  }
+
+  /** DuckDB twin of [[benford]] — same digit extraction, same log10
+    * expectation, same statistic. */
+  def duckBenfordSql(table: String, colSql: String,
+                     critical: Double = 15.507): String = {
+    s"""WITH v AS (
+         SELECT CAST(substr(CAST(CAST(floor(abs(CAST(($colSql) AS DOUBLE))) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+         FROM $table
+         WHERE ($colSql) IS NOT NULL
+           AND isfinite(CAST(($colSql) AS DOUBLE))
+           AND abs(CAST(($colSql) AS DOUBLE)) >= 1.0),
+       o AS (SELECT digit, count(*) AS n_obs FROM v GROUP BY 1),
+       d AS (SELECT CAST(range AS INT) AS digit FROM range(1, 10)),
+       a AS (SELECT d.digit, coalesce(o.n_obs, 0) AS n_obs
+             FROM d LEFT JOIN o ON d.digit = o.digit),
+       w AS (SELECT digit, n_obs,
+               CAST(sum(n_obs) OVER () AS DOUBLE) AS n,
+               log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS p_exp_raw
+             FROM a),
+       c AS (SELECT digit, n_obs, n, p_exp_raw,
+               pow(CAST(n_obs AS DOUBLE) - n * p_exp_raw, 2.0) / (n * p_exp_raw) AS contrib
+             FROM w)
+       SELECT digit, n_obs,
+         round(CAST(n_obs AS DOUBLE) / n, 6) AS p_obs,
+         round(p_exp_raw, 6) AS p_exp,
+         round(contrib, 6) AS chi2_contrib,
+         round(sum(contrib) OVER (), 6) AS chi2_stat,
+         round(sum(contrib) OVER (), 6) <= $critical AS pass
+       FROM c
+       ORDER BY digit"""
+  }
+
+  /** Chi-square test of independence between two categorical columns.
+    * The full |X|·|Y| grid is materialized (distinct × distinct cross
+    * join of category-count-sized frames) so UNOBSERVED combinations
+    * still contribute their expected count to the statistic — dropping
+    * them understates dependence exactly where it is strongest.
+    * `critical` is the caller's chi² cutoff at dof = (|X|−1)(|Y|−1)
+    * (emitted, so the caller can audit the pairing).
+    *
+    * Output: one row per grid cell (x, y, n_obs, n_exp, chi2_contrib)
+    * plus the shared (chi2_stat, dof, pass), ordered by (x, y). */
+  def independence(df: DataFrame, xCol: String, yCol: String,
+                   critical: Double): DataFrame = {
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("string").as("x"), col(yCol).cast("string").as("y"))
+    val cells = base.groupBy("x", "y").agg(count(lit(1L)).as("n_obs"))
+    val xs = cells.select("x").distinct()
+    val ys = cells.select("y").distinct()
+    val dims = xs.agg(count(lit(1L)).as("nx"))
+      .crossJoin(ys.agg(count(lit(1L)).as("ny")))
+    val grid = xs.crossJoin(ys)
+      .join(cells, Seq("x", "y"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .crossJoin(broadcast(dims))
+    val wAll = Window.partitionBy(lit(1))
+    val n = sum(col("n_obs")).over(wAll).cast("double")
+    val rowT = sum(col("n_obs")).over(Window.partitionBy("x")).cast("double")
+    val colT = sum(col("n_obs")).over(Window.partitionBy("y")).cast("double")
+    val nExp = rowT * colT / n
+    val contrib = pow(col("n_obs").cast("double") - nExp, 2.0) / nExp
+    grid
+      .withColumn("n_exp", round(nExp, 6))
+      .withColumn("_c", contrib)
+      .withColumn("chi2_contrib", round(col("_c"), 6))
+      .withColumn("chi2_stat", round(sum(col("_c")).over(wAll), 6))
+      .withColumn("dof", ((col("nx") - 1) * (col("ny") - 1)).cast("long"))
+      .withColumn("pass", col("chi2_stat") <= lit(critical))
+      .select("x", "y", "n_obs", "n_exp", "chi2_contrib", "chi2_stat",
+        "dof", "pass")
+      .orderBy("x", "y")
+  }
+
+  /** DuckDB twin of [[independence]] — same full-grid construction,
+    * same margins, same statistic. */
+  def duckIndependenceSql(table: String, xCol: String, yCol: String,
+                          critical: Double): String = {
+    s"""WITH base AS (
+         SELECT CAST($xCol AS VARCHAR) AS x, CAST($yCol AS VARCHAR) AS y
+         FROM $table
+         WHERE $xCol IS NOT NULL AND $yCol IS NOT NULL),
+       cells AS (SELECT x, y, count(*) AS n_obs FROM base GROUP BY 1, 2),
+       xs AS (SELECT DISTINCT x FROM cells),
+       ys AS (SELECT DISTINCT y FROM cells),
+       dims AS (SELECT (SELECT count(*) FROM xs) AS nx,
+                       (SELECT count(*) FROM ys) AS ny),
+       grid AS (SELECT xs.x, ys.y, coalesce(cells.n_obs, 0) AS n_obs
+                FROM xs CROSS JOIN ys
+                LEFT JOIN cells ON xs.x = cells.x AND ys.y = cells.y),
+       m AS (SELECT x, y, n_obs,
+               CAST(sum(n_obs) OVER () AS DOUBLE) AS n,
+               CAST(sum(n_obs) OVER (PARTITION BY x) AS DOUBLE) AS row_t,
+               CAST(sum(n_obs) OVER (PARTITION BY y) AS DOUBLE) AS col_t
+             FROM grid),
+       c AS (SELECT x, y, n_obs,
+               row_t * col_t / n AS n_exp_raw,
+               pow(CAST(n_obs AS DOUBLE) - row_t * col_t / n, 2.0)
+                 / (row_t * col_t / n) AS contrib
+             FROM m)
+       SELECT x, y, n_obs,
+         round(n_exp_raw, 6) AS n_exp,
+         round(contrib, 6) AS chi2_contrib,
+         round(sum(contrib) OVER (), 6) AS chi2_stat,
+         CAST((nx - 1) * (ny - 1) AS BIGINT) AS dof,
+         round(sum(contrib) OVER (), 6) <= $critical AS pass
+       FROM c, dims
+       ORDER BY x, y"""
+  }
+}

@@ -1,6 +1,6 @@
 package graft
 
-import graft.validation.{Profiler, Scoring}
+import graft.validation.{Profiler, Scoring, StatChecks}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -58,6 +58,10 @@ object ValidationQueries {
     "event_id" -> Profiler.Integral, "ts" -> Profiler.TimeLike,
     "user_id" -> Profiler.Integral, "event_type" -> Profiler.Str,
     "value" -> Profiler.Fractional, "props" -> Profiler.Str)
+
+  /** Numeric columns for the pairwise correlation matrix oracle. */
+  val CorrCols: Seq[String] =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   /** UCC sweep columns over `orders`. */
   val OrdersUccCols: Seq[String] = Seq("o_orderkey", "o_custkey",
@@ -181,6 +185,31 @@ object ValidationQueries {
     // event_type, str_len on 100-value props, in_range on value,
     // complete everywhere).
     "q_v_suggest" -> ((s, dir) => Profiler.suggest(t(s, dir, "events"))),
+
+    // Pairwise Pearson correlation matrix over lineitem's numeric
+    // columns — ONE aggregation pass, O(p²) decimal-exact counters of
+    // state, pairwise-complete (both finite); the profiler's
+    // cross-column face. All six pairs hover near 0 in this synthetic
+    // corpus (columns drawn independently) — which is itself the check:
+    // a validation engine confirming a claimed-independent layout IS
+    // independent before trusting it as a stratification basis.
+    "q_v_corr_matrix" -> ((s, dir) =>
+      Profiler.correlations(t(s, dir, "lineitem"), CorrCols)),
+
+    // Benford first-digit conformance of l_extendedprice: 9 counters of
+    // state, chi² vs log10(1+1/d) at dof 8. TPC-H prices are
+    // range-bounded, not scale-invariant, so the verdict is a planted
+    // deterministic FAIL — the check detecting exactly what it should.
+    "q_v_benford" -> ((s, dir) =>
+      StatChecks.benford(t(s, dir, "lineitem"), "l_extendedprice")),
+
+    // Chi-square independence of o_orderstatus × o_orderpriority over
+    // the FULL 3×5 grid (unobserved cells still contribute expected
+    // counts); every window downstream of the one (x,y) shuffle runs on
+    // category-count-sized frames. dof 8 → critical 15.507 at 0.95.
+    "q_v_independence" -> ((s, dir) =>
+      StatChecks.independence(t(s, dir, "orders"),
+        "o_orderstatus", "o_orderpriority", critical = 15.507)),
 
     // Inclusion-dependency discovery (SINDY shape) across the TPC-H key
     // columns — recovers the FK graph with no schema hints; lhs ⊆ rhs
@@ -527,6 +556,10 @@ object ValidationQueries {
       k = 0.5, h = 4.0, baselineRuns = 4),
     "q_v_profile" -> Profiler.duckProfileSql("orders", OrdersProfileCols),
     "q_v_suggest" -> Profiler.duckSuggestSql("events", EventsProfileCols),
+    "q_v_corr_matrix" -> Profiler.duckCorrelationsSql("lineitem", CorrCols),
+    "q_v_benford" -> StatChecks.duckBenfordSql("lineitem", "l_extendedprice"),
+    "q_v_independence" -> StatChecks.duckIndependenceSql("orders",
+      "o_orderstatus", "o_orderpriority", critical = 15.507),
     "q_v_inclusion" ->
       validation.Inclusion.duckSql(validation.Inclusion.TestdataKeyAttrs),
     "q_v_fds" -> validation.FunctionalDeps.duckSql("part", PartFdCols),
