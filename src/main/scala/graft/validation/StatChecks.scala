@@ -104,8 +104,11 @@ object StatChecks {
     *
     * Output: one row per grid cell (x, y, n_obs, n_exp, chi2_contrib)
     * plus the shared (chi2_stat, dof, pass), ordered by (x, y). */
-  def independence(df: DataFrame, xCol: String, yCol: String,
-                   critical: Double): DataFrame = {
+  /** Full |X|·|Y| contingency grid with dims: (x, y, n_obs, nx, ny) —
+    * unobserved combinations present with n_obs = 0. One shuffle on
+    * (x, y); everything downstream is category-count-sized. */
+  private def contingencyGrid(df: DataFrame, xCol: String,
+                              yCol: String): DataFrame = {
     val base = df
       .filter(col(xCol).isNotNull && col(yCol).isNotNull)
       .select(col(xCol).cast("string").as("x"), col(yCol).cast("string").as("y"))
@@ -114,10 +117,15 @@ object StatChecks {
     val ys = cells.select("y").distinct()
     val dims = xs.agg(count(lit(1L)).as("nx"))
       .crossJoin(ys.agg(count(lit(1L)).as("ny")))
-    val grid = xs.crossJoin(ys)
+    xs.crossJoin(ys)
       .join(cells, Seq("x", "y"), "left")
       .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
       .crossJoin(broadcast(dims))
+  }
+
+  def independence(df: DataFrame, xCol: String, yCol: String,
+                   critical: Double): DataFrame = {
+    val grid = contingencyGrid(df, xCol, yCol)
     val wAll = Window.partitionBy(lit(1))
     val n = sum(col("n_obs")).over(wAll).cast("double")
     val rowT = sum(col("n_obs")).over(Window.partitionBy("x")).cast("double")
@@ -170,5 +178,158 @@ object StatChecks {
          round(sum(contrib) OVER (), 6) <= $critical AS pass
        FROM c, dims
        ORDER BY x, y"""
+  }
+
+  /** Association STRENGTH between two categoricals, where
+    * [[independence]] answers only existence: mutual information
+    * I(X;Y) = Σ (o/n)·ln(o·n/(rowT·colT)) over observed cells (nats)
+    * and Cramér's V = sqrt(χ²/(n·min(|X|−1, |Y|−1))) ∈ [0,1] — the
+    * effect size a 10^12-row test needs because at that n, chi²
+    * REJECTS for correlations of 10^-5 (everything is "significant";
+    * only strength is informative). Same contingency grid, same scale
+    * shape: one (x,y) shuffle, category-count-sized finalize.
+    *
+    * Output: one row (n, nx, ny, dof, chi2_stat, cramers_v, mi_nats). */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val grid = contingencyGrid(df, xCol, yCol)
+    val wAll = Window.partitionBy(lit(1))
+    val n = sum(col("n_obs")).over(wAll).cast("double")
+    val rowT = sum(col("n_obs")).over(Window.partitionBy("x")).cast("double")
+    val colT = sum(col("n_obs")).over(Window.partitionBy("y")).cast("double")
+    val o = col("n_obs").cast("double")
+    val nExp = rowT * colT / n
+    val chi = pow(o - nExp, 2.0) / nExp
+    val mi = when(col("n_obs") > 0, (o / n) * log(o * n / (rowT * colT)))
+      .otherwise(lit(0.0))
+    grid
+      .withColumn("_n", n).withColumn("_chi", chi).withColumn("_mi", mi)
+      .agg(
+        max(col("_n")).cast("long").as("n"),
+        max(col("nx")).as("nx"), max(col("ny")).as("ny"),
+        ((max(col("nx")) - 1) * (max(col("ny")) - 1)).cast("long").as("dof"),
+        round(sum(col("_chi")), 6).as("chi2_stat"),
+        round(sqrt(sum(col("_chi")) /
+          (max(col("_n")) * least(max(col("nx")) - 1, max(col("ny")) - 1)
+            .cast("double"))), 6).as("cramers_v"),
+        round(sum(col("_mi")), 6).as("mi_nats"))
+  }
+
+  /** DuckDB twin of [[mutualInfo]]. */
+  def duckMutualInfoSql(table: String, xCol: String, yCol: String): String = {
+    s"""WITH base AS (
+         SELECT CAST($xCol AS VARCHAR) AS x, CAST($yCol AS VARCHAR) AS y
+         FROM $table
+         WHERE $xCol IS NOT NULL AND $yCol IS NOT NULL),
+       cells AS (SELECT x, y, count(*) AS n_obs FROM base GROUP BY 1, 2),
+       xs AS (SELECT DISTINCT x FROM cells),
+       ys AS (SELECT DISTINCT y FROM cells),
+       dims AS (SELECT (SELECT count(*) FROM xs) AS nx,
+                       (SELECT count(*) FROM ys) AS ny),
+       grid AS (SELECT xs.x, ys.y, coalesce(cells.n_obs, 0) AS n_obs
+                FROM xs CROSS JOIN ys
+                LEFT JOIN cells ON xs.x = cells.x AND ys.y = cells.y),
+       m AS (SELECT x, y, n_obs,
+               CAST(sum(n_obs) OVER () AS DOUBLE) AS n,
+               CAST(sum(n_obs) OVER (PARTITION BY x) AS DOUBLE) AS row_t,
+               CAST(sum(n_obs) OVER (PARTITION BY y) AS DOUBLE) AS col_t
+             FROM grid),
+       c AS (SELECT n_obs, n,
+               pow(CAST(n_obs AS DOUBLE) - row_t * col_t / n, 2.0)
+                 / (row_t * col_t / n) AS chi,
+               CASE WHEN n_obs > 0
+                 THEN (CAST(n_obs AS DOUBLE) / n)
+                   * ln(CAST(n_obs AS DOUBLE) * n / (row_t * col_t))
+                 ELSE 0.0 END AS mi
+             FROM m)
+       SELECT CAST(max(n) AS BIGINT) AS n, max(nx) AS nx, max(ny) AS ny,
+         CAST((max(nx) - 1) * (max(ny) - 1) AS BIGINT) AS dof,
+         round(sum(chi), 6) AS chi2_stat,
+         round(sqrt(sum(chi) / (max(n) * CAST(least(max(nx) - 1, max(ny) - 1) AS DOUBLE))), 6) AS cramers_v,
+         round(sum(mi), 6) AS mi_nats
+       FROM c, dims"""
+  }
+
+  /** EXACT two-sample Kolmogorov–Smirnov test: D = sup |F_A − F_B| over
+    * the pooled empirical CDFs, segments defined by `groupSql`
+    * (true → A, false → B). This is the ORACLE RUNG for [[Drift]]'s
+    * production KS path ([[graft.sketch.TDigest.ks]] on a 200-point
+    * grid): exact here, sketch there — StatChecksSpec pins the sketch
+    * within tolerance of this value on planted shifted data.
+    *
+    * Scale shape: grouping by value first makes the sorted frame
+    * NDV-sized and tie-proof (the ECDF step at a tied value lands after
+    * ALL its ties), but the cumulative window is still a single-reducer
+    * global sort — NDV-sized, fine for bounded-cardinality metrics; for
+    * 10^12 distinct values the production path IS the t-digest sketch.
+    * Reject at D > coeff·sqrt((n_A+n_B)/(n_A·n_B)); coeff 1.358 = α 0.05.
+    *
+    * Output: one row (n_a, n_b, ks_stat, ks_at, critical, reject);
+    * ks_at = smallest value attaining the sup (deterministic argmax). */
+  def ksTwoSample(df: DataFrame, valueSql: String, groupSql: String,
+                  coeff: Double = 1.358): DataFrame = {
+    val v0 = expr(valueSql).cast("double")
+    val ok = !isnan(v0) && abs(v0) =!= lit(Double.PositiveInfinity)
+    val base = df
+      .select(when(ok, v0).as("value"), expr(groupSql).cast("boolean").as("g"))
+      .filter(col("value").isNotNull && col("g").isNotNull)
+    val grouped = base.groupBy("value").agg(
+      sum(when(col("g"), 1L).otherwise(0L)).as("ca"),
+      sum(when(!col("g"), 1L).otherwise(0L)).as("cb"))
+    val run = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    val na = sum(col("ca")).over(wAll).cast("double")
+    val nb = sum(col("cb")).over(wAll).cast("double")
+    val d = abs(sum(col("ca")).over(run).cast("double") / na -
+      sum(col("cb")).over(run).cast("double") / nb)
+    val crit = lit(coeff) * sqrt((na + nb) / (na * nb))
+    grouped
+      .withColumn("_d", d).withColumn("_na", na).withColumn("_nb", nb)
+      .withColumn("_crit", crit)
+      // smallest value attaining the sup — exact double equality is safe
+      // because both d and its max derive from identical integer counts
+      .withColumn("_dmax", max(col("_d")).over(wAll))
+      .agg(
+        max(col("_na")).cast("long").as("n_a"),
+        max(col("_nb")).cast("long").as("n_b"),
+        round(max(col("_d")), 6).as("ks_stat"),
+        round(min(when(col("_d") === col("_dmax"), col("value"))), 6)
+          .as("ks_at"),
+        round(max(col("_crit")), 6).as("critical"),
+        (round(max(col("_d")), 6) > round(max(col("_crit")), 6)).as("reject"))
+  }
+
+  /** DuckDB twin of [[ksTwoSample]] — same grouped ECDF construction,
+    * same critical-value formula, same deterministic argmax. */
+  def duckKsTwoSampleSql(table: String, valueSql: String, groupSql: String,
+                         coeff: Double = 1.358): String = {
+    s"""WITH base AS (
+         SELECT CAST(($valueSql) AS DOUBLE) AS value,
+                CAST(($groupSql) AS BOOLEAN) AS g
+         FROM $table
+         WHERE ($valueSql) IS NOT NULL
+           AND isfinite(CAST(($valueSql) AS DOUBLE))
+           AND ($groupSql) IS NOT NULL),
+       grouped AS (SELECT value,
+               sum(CASE WHEN g THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS cb
+             FROM base GROUP BY 1),
+       c AS (SELECT value,
+               CAST(sum(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_a,
+               CAST(sum(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_b,
+               CAST(sum(ca) OVER () AS DOUBLE) AS na,
+               CAST(sum(cb) OVER () AS DOUBLE) AS nb
+             FROM grouped),
+       d AS (SELECT value, na, nb,
+               abs(cum_a / na - cum_b / nb) AS d,
+               $coeff * sqrt((na + nb) / (na * nb)) AS crit
+             FROM c),
+       dm AS (SELECT *, max(d) OVER () AS dmax FROM d)
+       SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+         round(max(d), 6) AS ks_stat,
+         round(min(CASE WHEN d = dmax THEN value END), 6) AS ks_at,
+         round(max(crit), 6) AS critical,
+         round(max(d), 6) > round(max(crit), 6) AS reject
+       FROM dm"""
   }
 }

@@ -211,6 +211,23 @@ object ValidationQueries {
       StatChecks.independence(t(s, dir, "orders"),
         "o_orderstatus", "o_orderpriority", critical = 15.507)),
 
+    // Association STRENGTH for the same pair: mutual information +
+    // Cramér's V — at 10^12 rows chi² rejects for 10^-5 correlations,
+    // so only the effect size is informative; same one-(x,y)-shuffle
+    // grid, single-row finalize.
+    "q_v_mi" -> ((s, dir) =>
+      StatChecks.mutualInfo(t(s, dir, "orders"),
+        "o_orderstatus", "o_orderpriority")),
+
+    // EXACT two-sample KS of o_totalprice across the anomaly-baseline
+    // date split — the oracle rung for the production t-digest sketch
+    // KS (Drift): grouped ECDFs make the sorted frame NDV-sized and
+    // tie-proof; the global cumulative window is the declared fenced
+    // cost (production path is the sketch).
+    "q_v_ks_exact" -> ((s, dir) =>
+      StatChecks.ksTwoSample(t(s, dir, "orders"), "o_totalprice",
+        AnomalyBaselineWhere)),
+
     // Inclusion-dependency discovery (SINDY shape) across the TPC-H key
     // columns — recovers the FK graph with no schema hints; lhs ⊆ rhs
     // iff every distinct lhs value co-occurs with rhs.
@@ -560,6 +577,10 @@ object ValidationQueries {
     "q_v_benford" -> StatChecks.duckBenfordSql("lineitem", "l_extendedprice"),
     "q_v_independence" -> StatChecks.duckIndependenceSql("orders",
       "o_orderstatus", "o_orderpriority", critical = 15.507),
+    "q_v_mi" -> StatChecks.duckMutualInfoSql("orders",
+      "o_orderstatus", "o_orderpriority"),
+    "q_v_ks_exact" -> StatChecks.duckKsTwoSampleSql("orders",
+      "o_totalprice", AnomalyBaselineWhere),
     "q_v_inclusion" ->
       validation.Inclusion.duckSql(validation.Inclusion.TestdataKeyAttrs),
     "q_v_fds" -> validation.FunctionalDeps.duckSql("part", PartFdCols),

@@ -139,4 +139,77 @@ class StatChecksSpec extends SparkTestBase {
     assert(d.forall(!_.getBoolean(7)))
     assert(d.forall(_.getLong(6) == 1L))
   }
+
+  // --- mutual information / Cramér's V ---
+
+  test("mutualInfo: 0 on a product table, ln(2) and V=1 on a diagonal one") {
+    import spark.implicits._
+    val indep = (for {
+      (xv, xw) <- Seq(("a", 1), ("b", 3)); (yv, yw) <- Seq(("p", 2), ("q", 1))
+      _ <- 1 to (xw * yw * 5)
+    } yield (xv, yv)).toDF("x", "y")
+    val i = StatChecks.mutualInfo(indep, "x", "y").collect().head
+    assert(i.getDouble(5) == 0.0 && i.getDouble(6) == 0.0) // V = 0, MI = 0
+
+    // x ↔ y bijection with equal masses: MI = H(X) = ln 2, V = 1
+    val dep = (Seq.fill(25)(("a", "p")) ++ Seq.fill(25)(("b", "q")))
+      .toDF("x", "y")
+    val d = StatChecks.mutualInfo(dep, "x", "y").collect().head
+    assert(d.getLong(0) == 50 && d.getLong(3) == 1)
+    assert(d.getDouble(4) == 50.0)                // chi² = n·φ² = n
+    assert(d.getDouble(5) == 1.0)                 // Cramér's V
+    assert(d.getDouble(6) == round6(math.log(2.0))) // MI = H(X)
+  }
+
+  // --- exact two-sample KS ---
+
+  test("ksTwoSample: plain-Scala ECDF match, shift rejects, same-dist accepts") {
+    import spark.implicits._
+    // A: 1..300; B: A + 40 on the %3 split — a real location shift
+    val rows = (1 to 900).map { i =>
+      val g = i % 3 == 0
+      val v = if (g) (i % 300) + 1.0 else (i % 300) + 41.0
+      (v, g)
+    }
+    val df = rows.toDF("v", "g").repartition(8)
+    val got = StatChecks.ksTwoSample(df, "v", "g").collect().head
+
+    // plain-Scala exact D over the pooled distinct values
+    val a = rows.filter(_._2).map(_._1).sorted
+    val b = rows.filterNot(_._2).map(_._1).sorted
+    val pooled = (a ++ b).distinct.sorted
+    val wantD = pooled.map { t =>
+      math.abs(a.count(_ <= t).toDouble / a.size -
+        b.count(_ <= t).toDouble / b.size)
+    }.max
+    assert(got.getLong(0) == a.size && got.getLong(1) == b.size)
+    assert(got.getDouble(2) == round6(wantD))
+    assert(got.getBoolean(5), "location shift must reject")
+    // ks_at attains the sup
+    val at = got.getDouble(3)
+    val dAt = math.abs(a.count(_ <= at).toDouble / a.size -
+      b.count(_ <= at).toDouble / b.size)
+    assert(round6(dAt) == got.getDouble(2))
+
+    // identical distributions: D small, not rejected
+    val same = (1 to 900).map(i => ((i % 300) + 1.0, i % 2 == 0)).toDF("v", "g")
+    val s = StatChecks.ksTwoSample(same, "v", "g").collect().head
+    assert(s.getDouble(2) <= 0.01 && !s.getBoolean(5))
+  }
+
+  test("ksTwoSample is the oracle for the t-digest sketch KS") {
+    import graft.sketch.TDigest
+    // planted shift: exact D = 0.2 by construction (20% of mass moved)
+    val aVals = (1 to 1000).map(_.toDouble)
+    val bVals = (1 to 1000).map(i => if (i <= 800) i.toDouble else i + 5000.0)
+    import spark.implicits._
+    val df = (aVals.map((_, true)) ++ bVals.map((_, false))).toDF("v", "g")
+    val exact = StatChecks.ksTwoSample(df, "v", "g").collect().head.getDouble(2)
+
+    val ta = new TDigest(100.0); aVals.foreach(v => ta.add(v))
+    val tb = new TDigest(100.0); bVals.foreach(v => tb.add(v))
+    val sketch = TDigest.ks(ta, tb)
+    assert(math.abs(sketch - exact) <= 0.03,
+      s"sketch KS $sketch vs exact $exact drifted beyond tolerance")
+  }
 }
