@@ -94,16 +94,6 @@ object StatChecks {
        ORDER BY digit"""
   }
 
-  /** Chi-square test of independence between two categorical columns.
-    * The full |X|·|Y| grid is materialized (distinct × distinct cross
-    * join of category-count-sized frames) so UNOBSERVED combinations
-    * still contribute their expected count to the statistic — dropping
-    * them understates dependence exactly where it is strongest.
-    * `critical` is the caller's chi² cutoff at dof = (|X|−1)(|Y|−1)
-    * (emitted, so the caller can audit the pairing).
-    *
-    * Output: one row per grid cell (x, y, n_obs, n_exp, chi2_contrib)
-    * plus the shared (chi2_stat, dof, pass), ordered by (x, y). */
   /** Full |X|·|Y| contingency grid with dims: (x, y, n_obs, nx, ny) —
     * unobserved combinations present with n_obs = 0. One shuffle on
     * (x, y); everything downstream is category-count-sized. */
@@ -123,6 +113,15 @@ object StatChecks {
       .crossJoin(broadcast(dims))
   }
 
+  /** Chi-square test of independence between two categorical columns
+    * over the FULL grid, so UNOBSERVED combinations still contribute
+    * their expected count to the statistic — dropping them understates
+    * dependence exactly where it is strongest. `critical` is the
+    * caller's chi² cutoff at dof = (|X|−1)(|Y|−1) (emitted, so the
+    * caller can audit the pairing).
+    *
+    * Output: one row per grid cell (x, y, n_obs, n_exp, chi2_contrib)
+    * plus the shared (chi2_stat, dof, pass), ordered by (x, y). */
   def independence(df: DataFrame, xCol: String, yCol: String,
                    critical: Double): DataFrame = {
     val grid = contingencyGrid(df, xCol, yCol)
@@ -331,5 +330,141 @@ object StatChecks {
          round(max(crit), 6) AS critical,
          round(max(d), 6) > round(max(crit), 6) AS reject
        FROM dm"""
+  }
+
+  /** Robust outlier accounting via median/MAD (Hampel's rule, the
+    * standard k = 3.5): |x − median| / MAD > k. Mean/stddev bounds (the
+    * [[graft.validation.MeanBetween]] family) are MASKED by the very
+    * outliers they hunt — one 10^9 sentinel drags the mean past any
+    * gate; the 50% breakdown point of median/MAD is what makes this
+    * the outlier CHECK rather than an outlier casualty.
+    *
+    * Three passes by construction (median → MAD → flags), each a full
+    * scan with single-row state. At 10^12 rows the production swap is
+    * `percentile_approx`/t-digest for the two quantiles (one pass,
+    * mergeable) — this is the exact rung, priced accordingly.
+    *
+    * Output: one row (n, median, mad, n_outliers, max_score);
+    * mad = 0 (≥50% identical values) flags nothing — degenerate by
+    * definition, not divide-by-zero. */
+  def robustOutliers(df: DataFrame, valueSql: String,
+                     k: Double = 3.5): DataFrame = {
+    val v0 = expr(valueSql).cast("double")
+    val ok = !isnan(v0) && abs(v0) =!= lit(Double.PositiveInfinity)
+    val base = df.select(when(ok, v0).as("value"))
+      .filter(col("value").isNotNull)
+    val med = base.agg(expr("percentile(value, 0.5)").as("med"))
+    val withMed = base.crossJoin(broadcast(med))
+    val mad = withMed
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"),
+        max(col("med")).as("med"))
+    val scored = withMed.drop("med").crossJoin(broadcast(mad))
+      .withColumn("_score",
+        when(col("mad") > 0.0, abs(col("value") - col("med")) / col("mad")))
+    scored.agg(
+      count(lit(1L)).as("n"),
+      round(max(col("med")), 6).as("median"),
+      round(max(col("mad")), 6).as("mad"),
+      sum(when(round(col("_score"), 6) > lit(k), 1L).otherwise(0L))
+        .as("n_outliers"),
+      round(max(col("_score")), 6).as("max_score"))
+  }
+
+  /** DuckDB twin of [[robustOutliers]] — quantile_cont is the same
+    * linearly-interpolated exact quantile as Spark's `percentile`. */
+  def duckRobustOutliersSql(table: String, valueSql: String,
+                            k: Double = 3.5): String = {
+    s"""WITH base AS (
+         SELECT CAST(($valueSql) AS DOUBLE) AS value
+         FROM $table
+         WHERE ($valueSql) IS NOT NULL
+           AND isfinite(CAST(($valueSql) AS DOUBLE))),
+       m AS (SELECT quantile_cont(value, 0.5) AS med FROM base),
+       md AS (SELECT quantile_cont(abs(value - med), 0.5) AS mad,
+                     max(med) AS med
+              FROM base, m),
+       s AS (SELECT value, med, mad,
+               CASE WHEN mad > 0.0 THEN abs(value - med) / mad END AS score
+             FROM base, md)
+       SELECT count(*) AS n,
+         round(max(med), 6) AS median,
+         round(max(mad), 6) AS mad,
+         CAST(sum(CASE WHEN round(score, 6) > $k THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         round(max(score), 6) AS max_score
+       FROM s"""
+  }
+}
+
+/** Timeliness — the sixth classic data-quality dimension (completeness,
+  * uniqueness, validity, consistency, accuracy are covered by the
+  * CheckSuite/key-check/score families): is each segment of the feed
+  * STILL ARRIVING, and did it ever silently stop mid-stream? Reference
+  * analogue: crawl-first's staleness-aware cache revalidation
+  * (`cache.py` date-keyed entries).
+  *
+  * `nowTs` is a caller-passed literal, never wall-clock — verdicts must
+  * replay bit-identically (same contract as the engine's run_id
+  * discipline).
+  *
+  * Scale shape: one (segment, ts) sort-window for intra-segment gaps +
+  * one groupBy — both shuffle on segment only; state per segment is a
+  * handful of scalars. */
+object Timeliness {
+
+  import org.apache.spark.sql.expressions.Window
+
+  /** Per-segment freshness verdict: staleness vs `nowTs` and the
+    * largest intra-segment arrival gap.
+    * Output: (segment, n_events, first_ts, last_ts, staleness_hours,
+    * max_gap_hours, fresh, no_gaps, pass); single-event segments have
+    * max_gap 0 by definition. */
+  def freshness(df: DataFrame, tsCol: String, segCol: String, nowTs: String,
+                maxLagHours: Double, maxGapHours: Double): DataFrame = {
+    val ts = col(tsCol).cast("timestamp")
+    val base = df.filter(ts.isNotNull)
+      .select(col(segCol).cast("string").as("segment"), ts.as("ts"))
+    val w = Window.partitionBy("segment").orderBy("ts")
+    val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+    val usPerHour = lit(3600000000.0)
+    val nowUs = unix_micros(lit(nowTs).cast("timestamp"))
+    base.withColumn("_gap_us", gapUs)
+      .groupBy("segment").agg(
+        count(lit(1L)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        round((nowUs - unix_micros(max(col("ts")))).cast("double") / usPerHour, 6)
+          .as("staleness_hours"),
+        round(coalesce(max(col("_gap_us")), lit(0L)).cast("double") / usPerHour, 6)
+          .as("max_gap_hours"))
+      .withColumn("fresh", col("staleness_hours") <= lit(maxLagHours))
+      .withColumn("no_gaps", col("max_gap_hours") <= lit(maxGapHours))
+      .withColumn("pass", col("fresh") && col("no_gaps"))
+      .orderBy("segment")
+  }
+
+  /** DuckDB twin of [[freshness]] — same epoch-microsecond arithmetic,
+    * same literals. */
+  def duckFreshnessSql(table: String, tsCol: String, segCol: String,
+                       nowTs: String, maxLagHours: Double,
+                       maxGapHours: Double): String = {
+    s"""WITH base AS (
+         SELECT CAST($segCol AS VARCHAR) AS segment, $tsCol AS ts
+         FROM $table WHERE $tsCol IS NOT NULL),
+       g AS (SELECT segment, ts,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY segment ORDER BY ts)) AS gap_us
+             FROM base),
+       a AS (SELECT segment, count(*) AS n_events,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+               strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+               round(CAST(epoch_us(TIMESTAMP '$nowTs') - epoch_us(max(ts)) AS DOUBLE) / 3600000000.0, 6) AS staleness_hours,
+               round(CAST(coalesce(max(gap_us), 0) AS DOUBLE) / 3600000000.0, 6) AS max_gap_hours
+             FROM g GROUP BY 1)
+       SELECT segment, n_events, first_ts, last_ts, staleness_hours,
+         max_gap_hours,
+         staleness_hours <= $maxLagHours AS fresh,
+         max_gap_hours <= $maxGapHours AS no_gaps,
+         (staleness_hours <= $maxLagHours AND max_gap_hours <= $maxGapHours) AS pass
+       FROM a
+       ORDER BY segment"""
   }
 }

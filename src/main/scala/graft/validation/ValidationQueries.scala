@@ -1,6 +1,6 @@
 package graft
 
-import graft.validation.{Profiler, Scoring, StatChecks}
+import graft.validation.{Profiler, Scoring, StatChecks, Timeliness}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -227,6 +227,21 @@ object ValidationQueries {
     "q_v_ks_exact" -> ((s, dir) =>
       StatChecks.ksTwoSample(t(s, dir, "orders"), "o_totalprice",
         AnomalyBaselineWhere)),
+
+    // Robust outlier accounting on the skewed events.value: median/MAD
+    // Hampel rule at k=3.5 — mean/σ gates are masked by the very
+    // outliers they hunt (50% breakdown point here). Exact-quantile
+    // rung (3 single-row-state scans); production swaps in t-digest.
+    "q_v_outliers_mad" -> ((s, dir) =>
+      StatChecks.robustOutliers(t(s, dir, "events"), "value")),
+
+    // Timeliness — per-event-type freshness vs a pinned `now` (never
+    // wall-clock: verdicts must replay bit-identically) + largest
+    // intra-segment arrival gap; one segment-keyed sort window + one
+    // groupBy, scalar state per segment.
+    "q_v_freshness" -> ((s, dir) =>
+      Timeliness.freshness(t(s, dir, "events"), "ts", "event_type",
+        "2024-02-01 00:00:00", maxLagHours = 36.0, maxGapHours = 4.0)),
 
     // Inclusion-dependency discovery (SINDY shape) across the TPC-H key
     // columns — recovers the FK graph with no schema hints; lhs ⊆ rhs
@@ -581,6 +596,10 @@ object ValidationQueries {
       "o_orderstatus", "o_orderpriority"),
     "q_v_ks_exact" -> StatChecks.duckKsTwoSampleSql("orders",
       "o_totalprice", AnomalyBaselineWhere),
+    "q_v_outliers_mad" -> StatChecks.duckRobustOutliersSql("events", "value"),
+    "q_v_freshness" -> Timeliness.duckFreshnessSql("events", "ts",
+      "event_type", "2024-02-01 00:00:00", maxLagHours = 36.0,
+      maxGapHours = 4.0),
     "q_v_inclusion" ->
       validation.Inclusion.duckSql(validation.Inclusion.TestdataKeyAttrs),
     "q_v_fds" -> validation.FunctionalDeps.duckSql("part", PartFdCols),

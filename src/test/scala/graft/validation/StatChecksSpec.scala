@@ -197,6 +197,69 @@ class StatChecksSpec extends SparkTestBase {
     assert(s.getDouble(2) <= 0.01 && !s.getBoolean(5))
   }
 
+  // --- robust outliers (median/MAD) ---
+
+  test("robustOutliers: Hampel rule flags the planted tail, immune to the outliers themselves") {
+    import spark.implicits._
+    // 97 inliers around 100 (median 100, MAD 2) + 3 monsters. The
+    // monsters shift a mean/σ gate's own baseline; median/MAD ignore
+    // them entirely.
+    val inliers = (1 to 97).map(i => 98.0 + (i % 5)) // {98..102}
+    val vals = inliers ++ Seq(1e9, -1e9, 5000.0)
+    val got = StatChecks.robustOutliers(vals.toDF("v"), "v", k = 3.5)
+      .collect().head
+    val sorted = vals.sorted
+    def q50(xs: Seq[Double]): Double = { // linear interpolation, as both engines
+      val s = xs.sorted; val idx = 0.5 * (s.size - 1)
+      val lo = s(idx.toInt); val hi = s(math.ceil(idx).toInt)
+      lo + (hi - lo) * (idx - idx.toInt)
+    }
+    val med = q50(vals)
+    val mad = q50(vals.map(v => math.abs(v - med)))
+    assert(got.getLong(0) == 100)
+    assert(got.getDouble(1) == round6(med) && got.getDouble(2) == round6(mad))
+    val wantOut = vals.count(v => round6(math.abs(v - med) / mad) > 3.5)
+    assert(got.getLong(3) == wantOut && wantOut == 3,
+      s"expected exactly the 3 planted monsters, got ${got.getLong(3)}")
+    assert(got.getDouble(4) == round6(vals.map(v => math.abs(v - med) / mad).max))
+  }
+
+  test("robustOutliers: mad = 0 degenerates to zero flags, not divide-by-zero") {
+    import spark.implicits._
+    val vals = Seq.fill(60)(7.0) ++ Seq(1e6, -5.0) // >50% identical
+    val got = StatChecks.robustOutliers(vals.toDF("v"), "v").collect().head
+    assert(got.getDouble(2) == 0.0 && got.getLong(3) == 0L && got.isNullAt(4))
+  }
+
+  // --- timeliness ---
+
+  test("freshness: stale segment, gap segment, healthy segment, single-event segment") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int, hour: Int): Timestamp =
+      Timestamp.valueOf(f"2024-03-$day%02d $hour%02d:00:00")
+    val rows =
+      (1 to 10).map(d => ("healthy", ts(d, 12))) ++           // daily, last 3-10
+      (1 to 5).map(d => ("stale", ts(d, 0))) ++               // stops on 3-05
+      (Seq(1, 2, 8, 9).map(d => ("gappy", ts(d, 0)))) ++      // 6-day hole
+      Seq(("single", ts(9, 0)))
+    val got = Timeliness.freshness(rows.toDF("seg", "ts"), "ts", "seg",
+        "2024-03-11 00:00:00", maxLagHours = 48.0, maxGapHours = 30.0)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(4), r.getDouble(5), r.getBoolean(6),
+          r.getBoolean(7), r.getBoolean(8)))).toMap
+    assert(got.size == 4)
+    // healthy: last 3-10 12:00 → 12h stale (≤48), max gap 24h (≤30)
+    assert(got("healthy") == ((10L, 12.0, 24.0, true, true, true)))
+    // stale: last 3-05 → 144h
+    assert(got("stale") == ((5L, 144.0, 24.0, false, true, false)))
+    // gappy: fresh enough (last 3-09 → 48h) but a 144h arrival hole
+    assert(got("gappy") == ((4L, 48.0, 144.0, true, false, false)))
+    // single event: gap 0 by definition
+    assert(got("single") == ((1L, 48.0, 0.0, true, true, true)))
+  }
+
   test("ksTwoSample is the oracle for the t-digest sketch KS") {
     import graft.sketch.TDigest
     // planted shift: exact D = 0.2 by construction (20% of mass moved)
