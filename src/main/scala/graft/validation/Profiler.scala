@@ -342,12 +342,18 @@ object Profiler {
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j), s"p${i}_$j")
-    val aggs = pairs.flatMap { case (x, y, al) =>
+    // Pre-project the guarded pair columns once (a narrow codegen'd map)
+    // so each of the 6·pairs aggregate buffers reads a plain attribute
+    // instead of re-evaluating the finite/both-present guard chain.
+    val guarded = df.select(pairs.flatMap { case (x, y, al) =>
       val dx0 = col(x).cast("double"); val dy0 = col(y).cast("double")
       val fx = when(!isnan(dx0) && abs(dx0) =!= lit(Double.PositiveInfinity), dx0)
       val fy = when(!isnan(dy0) && abs(dy0) =!= lit(Double.PositiveInfinity), dy0)
       val both = fx.isNotNull && fy.isNotNull
-      val gx = when(both, fx); val gy = when(both, fy)
+      Seq(when(both, fx).as(s"${al}_gx"), when(both, fy).as(s"${al}_gy"))
+    }: _*)
+    val aggs = pairs.flatMap { case (_, _, al) =>
+      val gx = col(s"${al}_gx"); val gy = col(s"${al}_gy")
       Seq(
         count(gx).as(s"${al}_n"),
         sum(gx.cast("decimal(28,6)")).as(s"${al}_sx"),
@@ -372,7 +378,7 @@ object Profiler {
         when(col(s"${al}_n") >= 2 && den > lit(0.0), round(num / den, 6))
           .as("corr"))
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    guarded.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(rows: _*)).as("r"))
       .select(col("r.*"))
       .orderBy("col_x", "col_y")
