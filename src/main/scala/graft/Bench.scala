@@ -68,7 +68,8 @@ object Bench {
     "q_v_examples", "q_v_estimate", "q_i_examples", "q_i_estimate",
     "q_v_triage", "q_i_triage", "q_v_trend", "q_v_cusum",
     "q_v_corr_matrix", "q_v_benford", "q_v_independence",
-    "q_v_mi", "q_v_ks_exact", "q_v_outliers_mad", "q_v_freshness")
+    "q_v_mi", "q_v_ks_exact", "q_v_outliers_mad", "q_v_freshness",
+    "q_v_spearman")
 
   private val headline = suiteV4 ++ headlineNew
 

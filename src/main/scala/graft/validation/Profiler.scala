@@ -419,4 +419,53 @@ object Profiler {
        ${arms.mkString("\n  UNION ALL\n  ")}
        ORDER BY col_x, col_y"""
   }
+
+  /** Spearman rank correlation matrix — [[correlations]]' robust
+    * sibling: Pearson over AVERAGE ranks (the standard tie treatment),
+    * so monotone-nonlinear association reads as ±1 and a single
+    * 10^9 leverage point moves the coefficient by ~1/n instead of
+    * dragging it to 1 (the same breakdown argument as the median/MAD
+    * outlier rule vs mean/σ). Rows are LISTWISE-complete (all listed
+    * columns non-null and finite) so each column is ranked once, not
+    * once per pair.
+    *
+    * Scale shape: ranking needs one global sort window per column — the
+    * declared fenced cost of the EXACT rung (same contract as
+    * `q_v_ks_exact`); at 10^12 rows the production path replaces ranks
+    * with the t-digest CDF transform (mergeable, one pass), and this
+    * operator is its oracle. The aggregation itself rides the
+    * decimal-exact [[correlations]] path — average ranks are halves,
+    * exact in decimal(28,6). */
+  def spearman(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two numeric columns")
+    import org.apache.spark.sql.expressions.Window
+    val finite = cols.map { c =>
+      val d = col(c).cast("double")
+      d.isNotNull && !isnan(d) && abs(d) =!= lit(Double.PositiveInfinity)
+    }.reduce(_ && _)
+    val complete = df.filter(finite)
+    val ranked = complete.select(cols.map { c =>
+      val d = col(c).cast("double")
+      ((lit(2) * rank().over(Window.orderBy(d)) +
+        count(lit(1L)).over(Window.partitionBy(d)) - lit(1)).cast("double") /
+        lit(2.0)).as(c)
+    }: _*)
+    correlations(ranked, cols)
+  }
+
+  /** DuckDB twin of [[spearman]] — the rank subquery feeds the
+    * generated [[duckCorrelationsSql]] verbatim. */
+  def duckSpearmanSql(table: String, cols: Seq[String]): String = {
+    val finite = cols
+      .map(c => s"$c IS NOT NULL AND isfinite(CAST($c AS DOUBLE))")
+      .mkString(" AND ")
+    val ranks = cols.map { c =>
+      s"""CAST(2 * rank() OVER (ORDER BY CAST($c AS DOUBLE)) +
+          count(*) OVER (PARTITION BY CAST($c AS DOUBLE)) - 1 AS DOUBLE) / 2.0 AS $c"""
+    }.mkString(",\n         ")
+    duckCorrelationsSql(
+      s"""(SELECT
+         $ranks
+       FROM $table WHERE $finite)""", cols)
+  }
 }

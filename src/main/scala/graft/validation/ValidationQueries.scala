@@ -196,6 +196,13 @@ object ValidationQueries {
     "q_v_corr_matrix" -> ((s, dir) =>
       Profiler.correlations(t(s, dir, "lineitem"), CorrCols)),
 
+    // Spearman twin of the same matrix: Pearson over average ranks —
+    // monotone association, ~1/n leverage-point sensitivity. Exact rung
+    // (one global sort window per column, declared fenced; production =
+    // t-digest CDF transform).
+    "q_v_spearman" -> ((s, dir) =>
+      Profiler.spearman(t(s, dir, "lineitem"), CorrCols)),
+
     // Benford first-digit conformance of l_extendedprice: 9 counters of
     // state, chi² vs log10(1+1/d) at dof 8. TPC-H prices are
     // range-bounded, not scale-invariant, so the verdict is a planted
@@ -589,6 +596,7 @@ object ValidationQueries {
     "q_v_profile" -> Profiler.duckProfileSql("orders", OrdersProfileCols),
     "q_v_suggest" -> Profiler.duckSuggestSql("events", EventsProfileCols),
     "q_v_corr_matrix" -> Profiler.duckCorrelationsSql("lineitem", CorrCols),
+    "q_v_spearman" -> Profiler.duckSpearmanSql("lineitem", CorrCols),
     "q_v_benford" -> StatChecks.duckBenfordSql("lineitem", "l_extendedprice"),
     "q_v_independence" -> StatChecks.duckIndependenceSql("orders",
       "o_orderstatus", "o_orderpriority", critical = 15.507),

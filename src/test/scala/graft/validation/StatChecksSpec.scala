@@ -64,6 +64,41 @@ class StatChecksSpec extends SparkTestBase {
     assert(r.getLong(2) == 50 && r.isNullAt(3))
   }
 
+  test("spearman: monotone-nonlinear reads ±1, leverage point barely moves it, ties average") {
+    import spark.implicits._
+    // y = x³ is monotone but nonlinear: Pearson < 1, Spearman = 1.
+    // z has ONE 10^9 leverage point at the smallest x: Pearson(x, z)
+    // gets dragged hard; Spearman moves by ~1/n.
+    val n = 100
+    val rows = (1 to n).map { i =>
+      val z = if (i == 1) 1e9 else i.toDouble
+      (i.toDouble, math.pow(i.toDouble, 3), z, (i % 4).toDouble)
+    }
+    val df = rows.toDF("x", "y", "z", "t").repartition(8)
+    val s = Profiler.spearman(df, Seq("x", "y", "z", "t")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    val p = Profiler.correlations(df, Seq("x", "y", "z", "t")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    assert(s(("x", "y")).contains(1.0), "monotone cube must be Spearman 1")
+    assert(p(("x", "y")).get < 0.95, "cube is not Pearson-linear")
+    // leverage point: z is x with rank 1 moved to rank 100
+    assert(p(("x", "z")).get < 0.1, "one monster point wrecks Pearson")
+    assert(s(("x", "z")).get > 0.88, s"Spearman must shrug it off: ${s(("x", "z"))}")
+    // tie handling: recompute Spearman(x, t) via plain average ranks
+    def avgRanks(vs: Seq[Double]): Seq[Double] = {
+      val sorted = vs.sorted
+      vs.map { v =>
+        val lo = sorted.indexOf(v) + 1; val cnt = sorted.count(_ == v)
+        (2.0 * lo + cnt - 1) / 2.0
+      }
+    }
+    val rx = avgRanks(rows.map(_._1)); val rt = avgRanks(rows.map(_._4))
+    assert(s.get(("t", "x")).flatten.orElse(s.get(("x", "t")).flatten)
+      .contains(round6(plainPearson(rx, rt))))
+  }
+
   // --- benford ---
 
   test("benford: log-uniform sample passes, flat-digit sample fails") {
