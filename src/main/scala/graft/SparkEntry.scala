@@ -37,7 +37,8 @@ object SparkEntry {
       SimilarityQueries.queries ++ ValidationQueries.queries ++
       ImageSuiteQueries.queries ++ CurationQueries.queries ++ Contamination.queries ++
       RepetitionQueries.queries ++ LayoutQueries.queries ++ SessionQueries.queries ++
-      SnapshotQueries.queries ++ BpeTokenizer.queries ++ QualityClassifier.queries
+      SnapshotQueries.queries ++ BpeTokenizer.queries ++ QualityClassifier.queries ++
+      SetSimilarity.queries
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1/A3: hash-aggregate group counts — reference `osm.py:577-585`
@@ -1044,5 +1045,5 @@ object SparkEntry {
     graft.validation.ImageSuiteQueries.oracleSql ++ CurationQueries.oracleSql ++
     Contamination.oracleSql ++ RepetitionQueries.oracleSql ++ LayoutQueries.oracleSql ++
     SessionQueries.oracleSql ++ SnapshotQueries.oracleSql ++ BpeTokenizer.oracleSql ++
-    QualityClassifier.oracleSql
+    QualityClassifier.oracleSql ++ SetSimilarity.oracleSql
 }
