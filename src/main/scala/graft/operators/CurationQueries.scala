@@ -85,6 +85,14 @@ object CurationQueries {
     "q_curate_stratified" -> ((s, dir) =>
       stratifiedSample(s, docs(s, dir)).orderBy("doc_id")),
 
+    // Weighted sample without replacement (Efraimidis–Spirakis A-ES,
+    // md5-deterministic): documents drawn proportional to length —
+    // quality-weighted thinning that replays bit-identically. Top-k is
+    // TakeOrderedAndProject (per-partition heaps), never a global sort.
+    "q_curate_weighted_sample" -> ((s, dir) =>
+      operators.Sampling.weightedTopK(docs(s, dir), col("doc_id"), "n_chars", k = 100)
+        .select("doc_id", "source", "n_chars", "sample_key")),
+
     // Audit twin of the stratified sample: kept/total/realized-rate per
     // language — the report a curation run ships with its manifest.
     "q_curate_strat_audit" -> ((s, dir) => {
@@ -211,6 +219,17 @@ object CurationQueries {
           FROM documents LEFT JOIN rates ON lang = r_lang
           WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
                 < coalesce(rate256, 0)""",
+    "q_curate_weighted_sample" ->
+      s"""WITH w AS (
+            SELECT doc_id, source, n_chars,
+              ${operators.Sampling.duckUSql("doc_id")} AS u,
+              CAST(n_chars AS DOUBLE) AS wt
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0)
+          SELECT doc_id, source, n_chars, round(ln(u) / wt, 6) AS sample_key
+          FROM w
+          ORDER BY ln(u) / wt DESC, doc_id ASC
+          LIMIT 100""",
     "q_curate_strat_audit" ->
       s"""WITH rates(r_lang, rate256) AS (VALUES
             ('en', 32), ('es', 128), ('de', 160), ('fr', 192), ('zh', 256))

@@ -1,0 +1,286 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage (Fellegi & Sunter, "A theory for record
+  * linkage", JASA 1969) — the ENTITY-RESOLUTION layer above the dedup
+  * family: where dedup asks "are these the same bytes/tokens?", linkage
+  * asks "are these the same real-world entity?" across two sources with
+  * field-level noise. Per candidate pair, each field comparison
+  * contributes log-likelihood weight ln(m/u) on agreement and
+  * ln((1−m)/(1−u)) on disagreement (m = P(agree | match), u =
+  * P(agree | non-match)); the summed score lands in the classic
+  * three-zone decision (match / possible / non-match). Reference
+  * analogue: crawl-first's cross-source identity stitching — study
+  * lookups joining registry records to publications by noisy keys
+  * (`/root/reference/src/crawl_first/analysis.py:1207-1210`).
+  *
+  * m/u are DECLARED constants here (the auditable configuration of a
+  * production linker; EM-fitting them is a separate estimation job), so
+  * every weight is a literal and the whole scorer is pure column math —
+  * DuckDB-oracle-able bit-for-bit.
+  *
+  * Scale shape (10^12 records): candidates come from MULTI-PASS
+  * BLOCKING — a union of equi-joins on cheap block keys (true pairs
+  * missed by one pass are caught by another; the standard
+  * recall/candidate-count dial) — never a cross join. Scoring is a
+  * codegen'd projection over candidates. The blocking keys here
+  * (nation, name-suffix) span the cardinality range deliberately;
+  * production keys are typically phonetic codes or sorted-neighborhood
+  * windows with the SAME plan shape.
+  */
+object RecordLinkage {
+
+  /** Shared Spark/DuckDB field perturbations for the b-side records:
+    * deterministic noise keyed off c_custkey, so both engines build the
+    * identical linkage corpus (truncated name, shifted nation, bumped
+    * balance, lost segment). */
+  val BName = "CASE WHEN c_custkey % 3 = 0 THEN substr(c_name, 1, 9) ELSE c_name END"
+  val BNation = "CASE WHEN c_custkey % 7 = 0 THEN (c_nationkey + 1) % 25 ELSE c_nationkey END"
+  val BBal = "CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END"
+  val BSeg = "CASE WHEN c_custkey % 11 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END"
+
+  /** Declared (m, u) per field: m = P(field agrees | same entity),
+    * u = P(field agrees | different entities). Name is near-unique
+    * (tiny u → heavy agreement weight); segment is 1-of-5 (u = 0.2 →
+    * weak evidence either way). */
+  val FieldMU: Seq[(String, Double, Double)] = Seq(
+    ("name", 0.95, 0.0001),
+    ("nation", 0.90, 0.04),
+    ("bal", 0.85, 0.0005),
+    ("seg", 0.90, 0.20))
+
+  /** Three-zone thresholds on the summed log-weight. */
+  val MatchThreshold = 6.0
+  val PossibleThreshold = 0.0
+
+  private def agreeW(m: Double, u: Double): Double = math.log(m / u)
+  private def disagreeW(m: Double, u: Double): Double =
+    math.log((1.0 - m) / (1.0 - u))
+
+  /** Shared score expression over boolean columns name_eq/nation_eq/
+    * bal_eq/seg_eq — every weight a pre-computed double literal, so both
+    * engines sum the same constants. */
+  private def scoreSql: String = FieldMU.map { case (f, m, u) =>
+    // every literal cast: Spark parses bare decimal literals in SQL text
+    // as DECIMAL, DuckDB as DOUBLE — the cast pins both to double
+    s"(CASE WHEN ${f}_eq THEN CAST(${agreeW(m, u)} AS DOUBLE) " +
+      s"ELSE CAST(${disagreeW(m, u)} AS DOUBLE) END)"
+  }.mkString(" + ")
+
+  /** a-side records: the customer table as-is. */
+  def sideA(customer: DataFrame): DataFrame =
+    customer.selectExpr("c_custkey AS rec_id", "c_name AS name",
+      "c_nationkey AS nation", "c_acctbal AS bal", "c_mktsegment AS seg")
+
+  /** b-side records: every even customer re-observed with field noise;
+    * ids offset by 10^6 so ground truth is recoverable (b − 10^6 = a). */
+  def sideB(customer: DataFrame): DataFrame =
+    customer.filter(expr("c_custkey % 2 = 0"))
+      .selectExpr("c_custkey + 1000000 AS rec_id", s"$BName AS name",
+        s"$BNation AS nation", s"$BBal AS bal", s"$BSeg AS seg")
+
+  /** Multi-pass blocked candidates: union of nation-block and
+    * name-suffix-block equi-joins (chars 11-18 — the DISCRIMINATIVE part
+    * of the name; a shared-prefix key like substr(name,1,10) would be
+    * constant across this corpus and degenerate into a cross join — the
+    * classic blocking-key cardinality audit), distinct pairs. A true
+    * pair whose nation was perturbed still blocks on the name suffix
+    * and vice versa — only pairs noisy in BOTH keys are lost (the
+    * documented blocking recall bound). Truncated b-names yield an
+    * empty suffix, which never equals a real a-suffix, so corruption
+    * degrades recall (caught by pass 1), never explodes candidates. */
+  def candidates(a: DataFrame, b: DataFrame): DataFrame = {
+    val aa = a.select(col("rec_id").as("a_id"), col("name").as("a_name"),
+      col("nation").as("a_nation"))
+    val bb = b.select(col("rec_id").as("b_id"), col("name").as("b_name"),
+      col("nation").as("b_nation"))
+    val block1 = aa.join(bb, aa("a_nation") === bb("b_nation"))
+      .select("a_id", "b_id")
+    val block2 = aa.join(bb,
+        substring(aa("a_name"), 11, 8) === substring(bb("b_name"), 11, 8))
+      .select("a_id", "b_id")
+    block1.unionAll(block2).distinct()
+  }
+
+  /** Score every candidate pair: field agreements, FS log-weight sum,
+    * three-zone decision. Output (a_id, b_id, name_eq, nation_eq,
+    * bal_eq, seg_eq, score, decision), ordered. */
+  def scorePairs(customer: DataFrame): DataFrame = {
+    val a = sideA(customer)
+    val b = sideB(customer)
+    val cand = candidates(a, b)
+    cand
+      .join(a.select(col("rec_id").as("a_id"), col("name").as("a_name"),
+        col("nation").as("a_nation"), col("bal").as("a_bal"),
+        col("seg").as("a_seg")), Seq("a_id"))
+      .join(b.select(col("rec_id").as("b_id"), col("name").as("b_name"),
+        col("nation").as("b_nation"), col("bal").as("b_bal"),
+        col("seg").as("b_seg")), Seq("b_id"))
+      .withColumn("name_eq", col("a_name") === col("b_name"))
+      .withColumn("nation_eq", col("a_nation") === col("b_nation"))
+      .withColumn("bal_eq", abs(col("a_bal") - col("b_bal")) < 0.005)
+      .withColumn("seg_eq", col("a_seg") === col("b_seg"))
+      .withColumn("_score", expr(scoreSql))
+      .select(col("a_id"), col("b_id"), col("name_eq"), col("nation_eq"),
+        col("bal_eq"), col("seg_eq"),
+        round(col("_score"), 6).as("score"),
+        when(col("_score") >= MatchThreshold, "match")
+          .when(col("_score") >= PossibleThreshold, "possible")
+          .otherwise("nonmatch").as("decision"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Blocking-quality audit — the two numbers every blocking scheme is
+    * judged by (Christen, "Data Matching", 2012): REDUCTION RATIO
+    * (candidates avoided vs all-pairs) and PAIRS COMPLETENESS (planted
+    * true pairs that survive blocking), per pass and combined. This is
+    * the audit that would have caught a degenerate block key (a
+    * constant prefix turns a pass into a cross join) before it shipped.
+    */
+  def blockingAudit(customer: DataFrame): DataFrame = {
+    val a = sideA(customer)
+    val b = sideB(customer)
+    val aa = a.select(col("rec_id").as("a_id"), col("name").as("a_name"),
+      col("nation").as("a_nation"))
+    val bb = b.select(col("rec_id").as("b_id"), col("name").as("b_name"),
+      col("nation").as("b_nation"))
+    val block1 = aa.join(bb, aa("a_nation") === bb("b_nation"))
+      .select("a_id", "b_id").distinct()
+    val block2 = aa.join(bb,
+        substring(aa("a_name"), 11, 8) === substring(bb("b_name"), 11, 8))
+      .select("a_id", "b_id").distinct()
+    val comb = block1.unionAll(block2).distinct()
+    def audit(name: String, pairs: DataFrame): DataFrame =
+      pairs.agg(
+        count(lit(1L)).as("n_candidates"),
+        sum(when(col("b_id") - 1000000L === col("a_id"), 1L).otherwise(0L))
+          .as("n_true_caught"))
+        .select(lit(name).as("pass"), col("n_candidates"),
+          col("n_true_caught"))
+    val tot = a.agg(count(lit(1L)).as("n_a"))
+      .crossJoin(b.agg(count(lit(1L)).as("n_b")))
+    audit("combined", comb)
+      .unionAll(audit("name_suffix", block2))
+      .unionAll(audit("nation", block1))
+      .crossJoin(broadcast(tot))
+      .select(col("pass"), col("n_candidates"), col("n_true_caught"),
+        col("n_b").as("n_true_total"),
+        round(col("n_true_caught").cast("double") / col("n_b"), 6)
+          .as("pairs_completeness"),
+        round(lit(1.0) - col("n_candidates").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6)
+          .as("reduction_ratio"))
+      .orderBy("pass")
+  }
+
+  /** Linkage quality against the PLANTED ground truth (b − 10^6 = a):
+    * per (decision, is_true) pair counts — the confusion matrix the
+    * threshold calibration reads. */
+  def evaluate(customer: DataFrame): DataFrame =
+    scorePairs(customer)
+      .withColumn("is_true", col("b_id") - 1000000L === col("a_id"))
+      .groupBy("decision", "is_true")
+      .agg(count(lit(1L)).as("n"),
+        round(min(col("score")), 6).as("min_score"),
+        round(max(col("score")), 6).as("max_score"))
+      .orderBy("decision", "is_true")
+
+  // ---------------------------------------------------------------------
+
+  /** DuckDB CTE producing the same sides and candidates. */
+  private def duckBaseCte: String =
+    s"""a AS (SELECT c_custkey AS rec_id, c_name AS name,
+           c_nationkey AS nation, c_acctbal AS bal, c_mktsegment AS seg
+         FROM customer),
+       b AS (SELECT c_custkey + 1000000 AS rec_id, $BName AS name,
+           $BNation AS nation, $BBal AS bal, $BSeg AS seg
+         FROM customer WHERE c_custkey % 2 = 0),
+       cand AS (
+         SELECT DISTINCT a.rec_id AS a_id, b.rec_id AS b_id
+         FROM a JOIN b ON a.nation = b.nation
+         UNION
+         SELECT DISTINCT a.rec_id AS a_id, b.rec_id AS b_id
+         FROM a JOIN b ON substr(a.name, 11, 8) = substr(b.name, 11, 8)),
+       scored AS (
+         SELECT cand.a_id, cand.b_id,
+           (a.name = b.name) AS name_eq,
+           (a.nation = b.nation) AS nation_eq,
+           (abs(a.bal - b.bal) < 0.005) AS bal_eq,
+           (a.seg = b.seg) AS seg_eq
+         FROM cand
+         JOIN a ON a.rec_id = cand.a_id
+         JOIN b ON b.rec_id = cand.b_id),
+       weighted AS (
+         SELECT *, $scoreSql AS score_raw FROM scored)"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q_link_fs_pairs" ->
+      s"""WITH $duckBaseCte
+         SELECT a_id, b_id, name_eq, nation_eq, bal_eq, seg_eq,
+           round(score_raw, 6) AS score,
+           CASE WHEN score_raw >= $MatchThreshold THEN 'match'
+                WHEN score_raw >= $PossibleThreshold THEN 'possible'
+                ELSE 'nonmatch' END AS decision
+         FROM weighted
+         ORDER BY a_id, b_id""",
+    "q_link_blocking_audit" ->
+      s"""WITH a AS (SELECT c_custkey AS rec_id, c_name AS name,
+             c_nationkey AS nation FROM customer),
+         b AS (SELECT c_custkey + 1000000 AS rec_id, $BName AS name,
+             $BNation AS nation FROM customer WHERE c_custkey % 2 = 0),
+         b1 AS (SELECT DISTINCT a.rec_id AS a_id, b.rec_id AS b_id
+                FROM a JOIN b ON a.nation = b.nation),
+         b2 AS (SELECT DISTINCT a.rec_id AS a_id, b.rec_id AS b_id
+                FROM a JOIN b ON substr(a.name, 11, 8) = substr(b.name, 11, 8)),
+         comb AS (SELECT * FROM b1 UNION SELECT * FROM b2),
+         tot AS (SELECT (SELECT count(*) FROM a) AS n_a,
+                        (SELECT count(*) FROM b) AS n_b),
+         audit AS (
+           SELECT 'combined' AS pass, count(*) AS n_candidates,
+             CAST(sum(CASE WHEN b_id - 1000000 = a_id THEN 1 ELSE 0 END) AS BIGINT) AS n_true_caught
+           FROM comb
+           UNION ALL
+           SELECT 'name_suffix', count(*),
+             CAST(sum(CASE WHEN b_id - 1000000 = a_id THEN 1 ELSE 0 END) AS BIGINT)
+           FROM b2
+           UNION ALL
+           SELECT 'nation', count(*),
+             CAST(sum(CASE WHEN b_id - 1000000 = a_id THEN 1 ELSE 0 END) AS BIGINT)
+           FROM b1)
+         SELECT pass, n_candidates, n_true_caught,
+           n_b AS n_true_total,
+           round(CAST(n_true_caught AS DOUBLE) / n_b, 6) AS pairs_completeness,
+           round(1.0 - CAST(n_candidates AS DOUBLE) / (n_a * n_b), 6) AS reduction_ratio
+         FROM audit, tot
+         ORDER BY pass""",
+    "q_link_fs_eval" ->
+      s"""WITH $duckBaseCte
+         SELECT
+           CASE WHEN score_raw >= $MatchThreshold THEN 'match'
+                WHEN score_raw >= $PossibleThreshold THEN 'possible'
+                ELSE 'nonmatch' END AS decision,
+           (b_id - 1000000 = a_id) AS is_true,
+           count(*) AS n,
+           round(min(score_raw), 6) AS min_score,
+           round(max(score_raw), 6) AS max_score
+         FROM weighted
+         GROUP BY 1, 2
+         ORDER BY decision, is_true""")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // FS-scored candidate pairs over multi-pass blocking — the
+    // entity-resolution sibling of the dedup family; every weight a
+    // declared literal, pure column math on equi-join candidates.
+    "q_link_fs_pairs" -> ((s, dir) =>
+      scorePairs(Tables(s, dir, "customer"))),
+    // Confusion matrix vs the planted ground truth — what threshold
+    // calibration reads (planted noise makes precision/recall exact).
+    "q_link_fs_eval" -> ((s, dir) =>
+      evaluate(Tables(s, dir, "customer"))),
+    // Reduction ratio + pairs completeness per blocking pass — the
+    // audit that catches degenerate block keys before they cross-join.
+    "q_link_blocking_audit" -> ((s, dir) =>
+      blockingAudit(Tables(s, dir, "customer"))))
+}

@@ -117,4 +117,80 @@ object Analyzers {
         .when(col("max_child_mult") > 1, "N:1")
         .otherwise("1:1").as("cardinality"))
   }
+
+  /** Vector-column sanity — the validation surface for the embedding
+    * modality (the `embeddings` table is the ANN/semantic-dedup
+    * substrate; a single NaN or ragged vector silently poisons every
+    * cosine downstream): dimension uniformity, null vectors, non-finite
+    * components, zero vectors, and the L2-norm envelope (a unit-norm
+    * corpus drifting off 1.0 means an unnormalized ingest batch).
+    *
+    * All per-vector math is a left-fold in array order with every
+    * component cast to double BEFORE multiplying, so Spark's
+    * `aggregate` HOF and DuckDB's `list_sum(list_transform(...))`
+    * produce bit-identical sums (same addition order, same widening).
+    *
+    * Scale shape: one narrow codegen'd projection + one single-row
+    * aggregation — no shuffle wider than the final scalar partials.
+    *
+    * Output: one row (n, n_null, dims_min, dims_max, n_nonfinite,
+    * n_zero, norm_min, norm_max, norm_avg, pass). */
+  def embeddingSanity(df: DataFrame, vecCol: String,
+                      normLo: Double, normHi: Double): DataFrame = {
+    val v = col(vecCol)
+    val sq = expr(s"aggregate($vecCol, cast(0 as double), " +
+      "(a, x) -> a + cast(x as double) * cast(x as double))")
+    val nBad = expr(s"size(filter($vecCol, x -> isnan(cast(x as double)) " +
+      "OR abs(cast(x as double)) = cast('Infinity' as double)))")
+    val per = df.select(
+      when(v.isNull, 1L).otherwise(0L).as("is_null"),
+      when(v.isNotNull, size(v)).as("dims"),
+      when(v.isNotNull, nBad).as("n_bad"),
+      when(v.isNotNull && nBad === 0, sqrt(sq)).as("norm"))
+    per.agg(
+      count(lit(1L)).as("n"),
+      sum(col("is_null")).as("n_null"),
+      min(col("dims")).as("dims_min"),
+      max(col("dims")).as("dims_max"),
+      sum(when(col("n_bad") > 0, 1L).otherwise(0L)).as("n_nonfinite"),
+      sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+      round(min(col("norm")), 6).as("norm_min"),
+      round(max(col("norm")), 6).as("norm_max"),
+      round(avg(col("norm")), 6).as("norm_avg"))
+      .withColumn("pass",
+        col("n_null") === 0L && col("dims_min") === col("dims_max") &&
+          col("n_nonfinite") === 0L && col("n_zero") === 0L &&
+          col("norm_min") >= normLo && col("norm_max") <= normHi)
+  }
+
+  /** DuckDB twin of [[embeddingSanity]] — same fold order, same
+    * widening, same envelope literals. */
+  def duckEmbeddingSanitySql(table: String, vecCol: String,
+                             normLo: Double, normHi: Double): String =
+    s"""WITH per AS (
+         SELECT CASE WHEN $vecCol IS NULL THEN 1 ELSE 0 END AS is_null,
+           CASE WHEN $vecCol IS NOT NULL THEN len($vecCol) END AS dims,
+           CASE WHEN $vecCol IS NOT NULL THEN
+             len(list_filter($vecCol, x -> isnan(CAST(x AS DOUBLE))
+               OR NOT isfinite(CAST(x AS DOUBLE)))) END AS n_bad,
+           CASE WHEN $vecCol IS NOT NULL
+                 AND len(list_filter($vecCol, x -> isnan(CAST(x AS DOUBLE))
+                   OR NOT isfinite(CAST(x AS DOUBLE)))) = 0 THEN
+             sqrt(list_sum(list_transform($vecCol,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END AS norm
+         FROM $table),
+       a AS (SELECT count(*) AS n,
+           CAST(sum(is_null) AS BIGINT) AS n_null,
+           CAST(min(dims) AS INT) AS dims_min,
+           CAST(max(dims) AS INT) AS dims_max,
+           CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+           CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           round(min(norm), 6) AS norm_min,
+           round(max(norm), 6) AS norm_max,
+           round(avg(norm), 6) AS norm_avg
+         FROM per)
+       SELECT *, (n_null = 0 AND dims_min = dims_max AND n_nonfinite = 0
+         AND n_zero = 0 AND norm_min >= $normLo AND norm_max <= $normHi)
+         AS pass
+       FROM a"""
 }

@@ -332,6 +332,110 @@ object StatChecks {
        FROM dm"""
   }
 
+  /** Two-sample drift via the empirical characteristic function at a
+    * FIXED frequency grid (Epps & Singleton, "An omnibus test for the
+    * two-sample problem using the empirical characteristic function",
+    * J. Statist. Comput. Simul. 1986 — here the unweighted ECF distance
+    * rather than the covariance-weighted form, so the statistic needs
+    * no matrix inversion and stays a pure streaming aggregate). The ECF
+    * φ(t) = E[e^{itX}] determines the distribution, so Σ_j |φ_A(t_j) −
+    * φ_B(t_j)|² over a fixed grid catches location/scale/shape drift
+    * that histogram chi² (bucket-blind inside a bucket) and KS (sup of
+    * ONE vertical gap) can each miss. This completes the drift family:
+    * chi² (buckets), KS (sup-CDF), PSI (mass ratio), EMD (transport),
+    * ECF (frequency domain).
+    *
+    * `scale` standardizes x (fixed constant, never data-derived — the
+    * statistic must replay bit-identically); `freqs` is the fixed grid.
+    * Under H₀, E[|φ̂_A(t) − φ̂_B(t)|²] ≤ (1/n_A + 1/n_B) (cos² + sin²
+    * variances sum to ≤ 1), so `critical = 4·J·(1/n_A + 1/n_B)` is a
+    * conservative deterministic 4σ-flavored bound — emitted with the
+    * statistic so callers can substitute a permutation threshold.
+    *
+    * Scale shape: one aggregation of 4·J counters (J = |freqs|) via a
+    * broadcast cross join with the J-row grid — state is grid-sized, a
+    * 10^12-row scan is paid once, partials merge algebraically.
+    *
+    * Output: one row per frequency (freq, re_a, im_a, re_b, im_b,
+    * delta2) + shared (n_a, n_b, ecf_stat, critical, reject), ordered
+    * by freq. */
+  def ecfTwoSample(df: DataFrame, valueSql: String, groupSql: String,
+                   scale: Double, freqs: Seq[Double]): DataFrame = {
+    val v0 = expr(valueSql).cast("double")
+    val ok = !isnan(v0) && abs(v0) =!= lit(Double.PositiveInfinity)
+    val base = df
+      .select((when(ok, v0) / lit(scale)).as("x"),
+        expr(groupSql).cast("boolean").as("g"))
+      .filter(col("x").isNotNull && col("g").isNotNull)
+    val grid = df.sparkSession.createDataFrame(
+      freqs.map(Tuple1(_))).toDF("freq")
+    val byFreq = base.crossJoin(broadcast(grid))
+      .groupBy("freq").agg(
+        avg(when(col("g"), cos(col("freq") * col("x")))).as("re_a"),
+        avg(when(col("g"), sin(col("freq") * col("x")))).as("im_a"),
+        avg(when(!col("g"), cos(col("freq") * col("x")))).as("re_b"),
+        avg(when(!col("g"), sin(col("freq") * col("x")))).as("im_b"),
+        sum(when(col("g"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("g"), 1L).otherwise(0L)).as("n_b"))
+    val wAll = Window.partitionBy(lit(1))
+    val d2 = pow(col("re_a") - col("re_b"), 2.0) +
+      pow(col("im_a") - col("im_b"), 2.0)
+    val crit = lit(4.0 * freqs.size) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double"))
+    byFreq
+      .withColumn("_d2", d2)
+      .withColumn("_stat", sum(col("_d2")).over(wAll))
+      .withColumn("_crit", crit)
+      .select(col("freq"),
+        round(col("re_a"), 6).as("re_a"), round(col("im_a"), 6).as("im_a"),
+        round(col("re_b"), 6).as("re_b"), round(col("im_b"), 6).as("im_b"),
+        round(col("_d2"), 6).as("delta2"),
+        col("n_a"), col("n_b"),
+        round(col("_stat"), 6).as("ecf_stat"),
+        round(col("_crit"), 6).as("critical"),
+        (round(col("_stat"), 6) > round(col("_crit"), 6)).as("reject"))
+      .orderBy("freq")
+  }
+
+  /** DuckDB twin of [[ecfTwoSample]] — same grid, same moments, same
+    * bound, identical literals. */
+  def duckEcfTwoSampleSql(table: String, valueSql: String, groupSql: String,
+                          scale: Double, freqs: Seq[Double]): String = {
+    val grid = freqs.mkString("[", ", ", "]")
+    s"""WITH base AS (
+         SELECT CAST(($valueSql) AS DOUBLE) / $scale AS x,
+                CAST(($groupSql) AS BOOLEAN) AS g
+         FROM $table
+         WHERE ($valueSql) IS NOT NULL
+           AND isfinite(CAST(($valueSql) AS DOUBLE))
+           AND ($groupSql) IS NOT NULL),
+       grid AS (SELECT CAST(unnest($grid) AS DOUBLE) AS freq),
+       m AS (SELECT freq,
+               avg(CASE WHEN g THEN cos(freq * x) END) AS re_a,
+               avg(CASE WHEN g THEN sin(freq * x) END) AS im_a,
+               avg(CASE WHEN NOT g THEN cos(freq * x) END) AS re_b,
+               avg(CASE WHEN NOT g THEN sin(freq * x) END) AS im_b,
+               sum(CASE WHEN g THEN 1 ELSE 0 END) AS n_a,
+               sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS n_b
+             FROM base CROSS JOIN grid GROUP BY 1),
+       d AS (SELECT *,
+               pow(re_a - re_b, 2.0) + pow(im_a - im_b, 2.0) AS d2,
+               ${4.0 * freqs.size} * (1.0 / CAST(n_a AS DOUBLE)
+                 + 1.0 / CAST(n_b AS DOUBLE)) AS crit
+             FROM m)
+       SELECT freq,
+         round(re_a, 6) AS re_a, round(im_a, 6) AS im_a,
+         round(re_b, 6) AS re_b, round(im_b, 6) AS im_b,
+         round(d2, 6) AS delta2,
+         CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         round(sum(d2) OVER (), 6) AS ecf_stat,
+         round(crit, 6) AS critical,
+         round(sum(d2) OVER (), 6) > round(crit, 6) AS reject
+       FROM d
+       ORDER BY freq"""
+  }
+
   /** Robust outlier accounting via median/MAD (Hampel's rule, the
     * standard k = 3.5): |x − median| / MAD > k. Mean/stddev bounds (the
     * [[graft.validation.MeanBetween]] family) are MASKED by the very
@@ -467,4 +571,108 @@ object Timeliness {
        FROM a
        ORDER BY segment"""
   }
+}
+
+/** Validity-interval consistency — the temporal-referential check a
+  * validation engine runs on any table carrying (key, valid_from,
+  * valid_to) semantics (SCD type-2 dimensions, session timelines,
+  * entitlement windows; Snodgrass, "Developing time-oriented database
+  * applications in SQL", 1999): per key, do intervals OVERLAP (two
+  * versions simultaneously current — corrupt history) and does the
+  * timeline have silent HOLES (no current version — lost history)?
+  * Reference analogue: the per-record temporal sanity ladder of
+  * crawl-first's date normalization (`analysis.py:61-104`), lifted from
+  * single records to per-key timelines.
+  *
+  * Overlap detection uses the running max of `valid_to` over PRECEDING
+  * intervals (sweep line), not lag(valid_to): a long interval can
+  * overlap a successor two positions later even when the immediate
+  * predecessor does not — lag-only checks miss nested intervals.
+  *
+  * Scale shape: one shuffle on key, one sort window within key, then a
+  * per-key aggregation to scalar verdicts — the 10^12-row shape is one
+  * exchange + per-partition sorts, no joins at all. */
+object Intervals {
+
+  import org.apache.spark.sql.expressions.Window
+
+  /** Per-key interval-consistency verdicts. All bound columns are
+    * BIGINT epoch-microseconds (cross-engine-exact arithmetic; never
+    * interval types). `gapTolUs` — a hole longer than this is a gap
+    * violation; back-to-back intervals (gap 0) are healthy.
+    *
+    * Output: (key, n_intervals, n_invalid, n_overlaps, max_overlap_us,
+    * n_gaps, max_gap_us, span_from_us, span_to_us, pass), ordered by
+    * key. `n_invalid` counts to < from rows (they still participate in
+    * the sweep — corrupt rows must not hide other violations). */
+  def validity(df: org.apache.spark.sql.DataFrame, keySql: String,
+               fromSql: String, toSql: String, idSql: String,
+               gapTolUs: Long): org.apache.spark.sql.DataFrame = {
+    val base = df.select(
+      expr(keySql).cast("string").as("k"),
+      expr(fromSql).cast("long").as("from_us"),
+      expr(toSql).cast("long").as("to_us"),
+      expr(idSql).as("id"))
+      .filter(col("k").isNotNull && col("from_us").isNotNull &&
+        col("to_us").isNotNull)
+    val w = Window.partitionBy("k").orderBy("from_us", "to_us", "id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevTo = max(col("to_us")).over(w)
+    base
+      .withColumn("_prev_to", prevTo)
+      .withColumn("_overlap_us",
+        greatest(lit(0L), col("_prev_to") - col("from_us")))
+      .withColumn("_gap_us",
+        greatest(lit(0L), col("from_us") - col("_prev_to")))
+      .groupBy("k").agg(
+        count(lit(1L)).as("n_intervals"),
+        sum(when(col("to_us") < col("from_us"), 1L).otherwise(0L))
+          .as("n_invalid"),
+        sum(when(col("_overlap_us") > 0L, 1L).otherwise(0L))
+          .as("n_overlaps"),
+        coalesce(max(col("_overlap_us")), lit(0L)).as("max_overlap_us"),
+        sum(when(col("_gap_us") > gapTolUs, 1L).otherwise(0L)).as("n_gaps"),
+        coalesce(max(col("_gap_us")), lit(0L)).as("max_gap_us"),
+        min(col("from_us")).as("span_from_us"),
+        max(col("to_us")).as("span_to_us"))
+      .withColumn("pass",
+        col("n_invalid") === 0L && col("n_overlaps") === 0L &&
+          col("n_gaps") === 0L)
+      .withColumnRenamed("k", "key")
+      .orderBy("key")
+  }
+
+  /** DuckDB twin of [[validity]] — same sweep-line window, same
+    * epoch-microsecond arithmetic, same tie order. */
+  def duckValiditySql(table: String, keySql: String, fromSql: String,
+                      toSql: String, idSql: String, gapTolUs: Long): String =
+    s"""WITH base AS (
+         SELECT CAST(($keySql) AS VARCHAR) AS k,
+                CAST(($fromSql) AS BIGINT) AS from_us,
+                CAST(($toSql) AS BIGINT) AS to_us,
+                ($idSql) AS id
+         FROM $table
+         WHERE ($keySql) IS NOT NULL AND ($fromSql) IS NOT NULL
+           AND ($toSql) IS NOT NULL),
+       w AS (SELECT *,
+               max(to_us) OVER (PARTITION BY k ORDER BY from_us, to_us, id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_to
+             FROM base),
+       v AS (SELECT k, from_us, to_us,
+               greatest(0, prev_to - from_us) AS overlap_us,
+               greatest(0, from_us - prev_to) AS gap_us
+             FROM w)
+       SELECT k AS key, count(*) AS n_intervals,
+         CAST(sum(CASE WHEN to_us < from_us THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+         CAST(sum(CASE WHEN overlap_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+         coalesce(max(overlap_us), 0) AS max_overlap_us,
+         CAST(sum(CASE WHEN gap_us > $gapTolUs THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+         coalesce(max(gap_us), 0) AS max_gap_us,
+         min(from_us) AS span_from_us,
+         max(to_us) AS span_to_us,
+         (sum(CASE WHEN to_us < from_us THEN 1 ELSE 0 END) = 0
+          AND sum(CASE WHEN overlap_us > 0 THEN 1 ELSE 0 END) = 0
+          AND sum(CASE WHEN gap_us > $gapTolUs THEN 1 ELSE 0 END) = 0) AS pass
+       FROM v GROUP BY k
+       ORDER BY key"""
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.validation.{Profiler, Scoring, StatChecks, Timeliness}
+import graft.validation.{Intervals, Profiler, Scoring, StatChecks, Timeliness}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -45,6 +45,24 @@ object ValidationQueries {
   /** Shared-syntax baseline slice for the anomaly demo (both engines
     * cast the literal to the column's timestamp type). */
   val AnomalyBaselineWhere = "o_orderdate < '1998-01-01'"
+
+  /** Shared-syntax interval derivation for `q_v_intervals`: epoch-µs
+    * bounds from the events timeline with a deterministic duration
+    * keyed off event_id, so Spark and DuckDB construct bit-identical
+    * interval tables (events.ts is TIMESTAMP_NTZ; the cast makes
+    * epoch extraction legal in both engines under UTC). */
+  val IntervalKeySql = "user_id"
+  val IntervalFromSql = "unix_micros(CAST(ts AS TIMESTAMP))"
+  val IntervalToSql =
+    "unix_micros(CAST(ts AS TIMESTAMP)) + (60 + event_id % 600) * 1000000"
+  val DuckIntervalFromSql = "epoch_us(ts)"
+  val DuckIntervalToSql = "epoch_us(ts) + (60 + event_id % 600) * 1000000"
+  val IntervalGapTolUs: Long = 900L * 1000000L
+
+  /** Fixed ECF grid + standardization scale (never data-derived —
+    * replay must be bit-identical). */
+  val EcfScale = 50000.0
+  val EcfFreqs: Seq[Double] = Seq(0.5, 1.0, 1.5, 2.0, 2.5, 3.0, 3.5, 4.0)
 
   /** Static column/kind lists for the profiler oracles — must mirror the
     * parquet schemas (a drift fails the hash compare, which is the gate
@@ -250,6 +268,25 @@ object ValidationQueries {
       Timeliness.freshness(t(s, dir, "events"), "ts", "event_type",
         "2024-02-01 00:00:00", maxLagHours = 36.0, maxGapHours = 4.0)),
 
+    // Validity-interval consistency per user timeline (SCD2 shape):
+    // overlap = two versions simultaneously current, gap = no current
+    // version. Sweep-line running-max (not lag) so nested intervals
+    // can't hide; one shuffle on key + one sort window, no joins.
+    // Intervals derive deterministically from events (duration keyed
+    // off event_id) so both engines build the identical table.
+    "q_v_intervals" -> ((s, dir) =>
+      Intervals.validity(t(s, dir, "events"),
+        IntervalKeySql, IntervalFromSql, IntervalToSql, "event_id",
+        gapTolUs = IntervalGapTolUs)),
+
+    // ECF drift (Epps–Singleton characteristic-function two-sample
+    // test, unweighted): Σ_j |φ_A(t_j) − φ_B(t_j)|² over a fixed
+    // frequency grid — frequency-domain drift beside chi²/KS/PSI/EMD.
+    // State is grid-sized (4·J counters), one scan, algebraic merge.
+    "q_v_drift_ecf" -> ((s, dir) =>
+      StatChecks.ecfTwoSample(t(s, dir, "orders"), "o_totalprice",
+        AnomalyBaselineWhere, scale = EcfScale, freqs = EcfFreqs)),
+
     // Inclusion-dependency discovery (SINDY shape) across the TPC-H key
     // columns — recovers the FK graph with no schema hints; lhs ⊆ rhs
     // iff every distinct lhs value co-occurs with rhs.
@@ -434,6 +471,14 @@ object ValidationQueries {
 
     // Relationship-cardinality profiling of the three FK edges the
     // inclusion sweep discovers —
+    // Vector-column sanity over the embeddings table: dim uniformity,
+    // nulls, non-finite components, zero vectors, L2-norm envelope —
+    // one codegen'd projection + one scalar aggregation; fold order and
+    // double-widening matched to the DuckDB twin bit-for-bit.
+    "q_v_embeddings" -> ((s, dir) =>
+      validation.Analyzers.embeddingSanity(t(s, dir, "embeddings"),
+        "embedding", normLo = 0.999, normHi = 1.001)),
+
     // [[validation.Analyzers.relationshipCardinality]] classifies each
     // edge 1:1 / N:1 / N:M from the max key multiplicity per side.
     "q_v_rel_cardinality" -> ((s, dir) => {
@@ -608,6 +653,14 @@ object ValidationQueries {
     "q_v_freshness" -> Timeliness.duckFreshnessSql("events", "ts",
       "event_type", "2024-02-01 00:00:00", maxLagHours = 36.0,
       maxGapHours = 4.0),
+    "q_v_embeddings" -> validation.Analyzers.duckEmbeddingSanitySql(
+      "embeddings", "embedding", normLo = 0.999, normHi = 1.001),
+    "q_v_intervals" -> Intervals.duckValiditySql("events",
+      IntervalKeySql, DuckIntervalFromSql, DuckIntervalToSql, "event_id",
+      gapTolUs = IntervalGapTolUs),
+    "q_v_drift_ecf" -> StatChecks.duckEcfTwoSampleSql("orders",
+      "o_totalprice", AnomalyBaselineWhere, scale = EcfScale,
+      freqs = EcfFreqs),
     "q_v_inclusion" ->
       validation.Inclusion.duckSql(validation.Inclusion.TestdataKeyAttrs),
     "q_v_fds" -> validation.FunctionalDeps.duckSql("part", PartFdCols),

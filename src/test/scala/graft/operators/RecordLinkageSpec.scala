@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** [[RecordLinkage]] vs plain-Scala recomputation of the FS scorer over
+  * the same blocked candidates, plus the decision-quality properties the
+  * planted noise guarantees. */
+class RecordLinkageSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private case class Rec(id: Long, name: String, nation: Int, bal: Double,
+                         seg: String)
+
+  private def localSides(): (Seq[Rec], Seq[Rec]) = {
+    val cust = Tables(spark, sfDir, "customer")
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .as[(Long, String, Int, Double, String)].collect()
+    val a = cust.map { case (k, n, nat, b, s) => Rec(k, n, nat, b, s) }
+    val b = cust.filter(_._1 % 2 == 0).map { case (k, n, nat, bal, s) =>
+      Rec(k + 1000000L,
+        if (k % 3 == 0) n.substring(0, math.min(9, n.length)) else n,
+        if (k % 7 == 0) (nat + 1) % 25 else nat,
+        if (k % 5 == 0) bal + 100.0 else bal,
+        if (k % 11 == 0) "UNKNOWN" else s)
+    }
+    (a.toSeq, b.toSeq)
+  }
+
+  private def fsScore(x: Rec, y: Rec): Double = {
+    def w(agree: Boolean, m: Double, u: Double) =
+      if (agree) math.log(m / u) else math.log((1 - m) / (1 - u))
+    w(x.name == y.name, 0.95, 0.0001) +
+      w(x.nation == y.nation, 0.90, 0.04) +
+      w(math.abs(x.bal - y.bal) < 0.005, 0.85, 0.0005) +
+      w(x.seg == y.seg, 0.90, 0.20)
+  }
+
+  test("scored pairs equal plain-Scala FS over the same blocked candidates") {
+    val (a, b) = localSides()
+    val cand = (for {
+      x <- a; y <- b
+      if x.nation == y.nation || x.name.slice(10, 18) == y.name.slice(10, 18)
+    } yield (x, y))
+    val want = cand.map { case (x, y) =>
+      (x.id, y.id, BigDecimal(fsScore(x, y))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val got = RecordLinkage.scorePairs(Tables(spark, sfDir, "customer"))
+      .select("a_id", "b_id", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got.size === want.size)
+    assert(got === want)
+  }
+
+  test("confusion matrix equals plain-Scala recomputation; no false matches") {
+    val rows = RecordLinkage.evaluate(Tables(spark, sfDir, "customer"))
+      .as[(String, Boolean, Long, Double, Double)].collect()
+    val m = rows.map(r => (r._1, r._2) -> r._3).toMap
+
+    val (a, b) = localSides()
+    val want = (for {
+      x <- a; y <- b
+      if x.nation == y.nation || x.name.slice(10, 18) == y.name.slice(10, 18)
+      s = fsScore(x, y)
+      dec = if (s >= 6.0) "match" else if (s >= 0.0) "possible" else "nonmatch"
+    } yield (dec, y.id - 1000000L == x.id))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(m === want)
+    // FS quality on THIS noise model: clean or singly-corrupted true
+    // pairs clear the match bar; no cross-entity pair ever does (their
+    // best case agrees only on the weak nation+segment fields).
+    assert(m.getOrElse(("match", false), 0L) === 0L, "no false positives")
+    assert(m.getOrElse(("match", true), 0L) > 0L, "true matches found")
+    // name+balance doubly-corrupted true pairs (key % 15 == 0) land just
+    // below the possible band — the documented three-zone residue that a
+    // clerical-review queue exists for. Verify they are EXACTLY the
+    // nonmatch-true population.
+    val doubly = b.count(y => (y.id - 1000000L) % 15 == 0 &&
+      a.exists(x => x.id == y.id - 1000000L &&
+        (x.nation == y.nation || x.name.slice(10, 18) == y.name.slice(10, 18)) &&
+        fsScore(x, y) < 0.0))
+    assert(m.getOrElse(("nonmatch", true), 0L) === doubly.toLong)
+  }
+
+  test("multi-pass blocking recovers pairs single-pass blocking loses") {
+    val cust = Tables(spark, sfDir, "customer")
+    val a = RecordLinkage.sideA(cust)
+    val b = RecordLinkage.sideB(cust)
+    val multi = RecordLinkage.candidates(a, b)
+      .withColumn("is_true", col("b_id") - 1000000L === col("a_id"))
+      .filter(col("is_true")).count()
+    // nation-only blocking loses the nation-perturbed true pairs
+    val nationOnly = a.select(col("rec_id").as("a_id"), col("nation"))
+      .join(b.select(col("rec_id").as("b_id"), col("nation")), Seq("nation"))
+      .filter(col("b_id") - 1000000L === col("a_id")).count()
+    assert(multi > nationOnly,
+      s"name-suffix pass must add recall: $multi vs $nationOnly")
+  }
+
+  test("no cartesian product in the linkage plan") {
+    val plan = RecordLinkage.scorePairs(Tables(spark, sfDir, "customer"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
