@@ -188,6 +188,142 @@ object RecordLinkage {
       .orderBy("decision", "is_true")
 
   // ---------------------------------------------------------------------
+  // EM estimation of (m, u, p) — Winkler, "Using the EM algorithm for
+  // weight computation in the Fellegi-Sunter model of record linkage",
+  // ASA Survey Research Methods 1988. The DECLARED FieldMU above is the
+  // auditable config; this is the estimation job that produces such a
+  // config from unlabeled candidates.
+  // ---------------------------------------------------------------------
+
+  /** Fixed EM iteration count and deterministic init (never data-derived
+    * — replay must be bit-identical). */
+  val EmIters = 6
+  val EmInitP = 0.1
+  val EmInitM: Seq[Double] = Seq(0.9, 0.9, 0.9, 0.9)
+  val EmInitU: Seq[Double] = Seq(0.1, 0.1, 0.1, 0.1)
+
+  private val fields = FieldMU.map(_._1)
+
+  /** EM over the 2^4 AGREEMENT-PATTERN table (conditional independence,
+    * the classic FS assumption): one big-data pass reduces candidates to
+    * 16 integer-exact pattern counts; all EM arithmetic then runs on the
+    * 16-row frame — at 10^12 candidates the training loop costs one
+    * groupBy, like the 3-step IVF trainer.
+    *
+    * Determinism contract (the same discipline as the correlation
+    * matrix): per-pattern responsibilities are pure row-local double
+    * math from identical literals (bit-identical across engines);
+    * CROSS-PATTERN sums are order-free because every addend is cast to
+    * DECIMAL(38,10) first (exact decimal addition); new parameters are
+    * IEEE doubles from two decimal-exact operands. No intermediate
+    * rounding — only the emitted columns round to 6.
+    *
+    * Output: (iter, field, m, u, p) for iter 1..EmIters, ordered —
+    * the fitted-parameter trajectory a calibration review reads.
+    */
+  def emFit(customer: DataFrame): DataFrame = {
+    val spark = customer.sparkSession
+    // one big-data pass: pattern counts (bounded: 2^4 rows)
+    val pat = scorePairs(customer)
+      .groupBy(fields.map(f => col(s"${f}_eq")): _*)
+      .agg(count(lit(1L)).as("n"))
+
+    val dec = "decimal(38,10)"
+    // literals carry full precision: toString of a double round-trips to
+    // the SAME double in both engines (shortest representation), and the
+    // explicit CAST pins Spark's bare-decimal-literal parse to double
+    def d(x: Double): String = s"CAST(${x.toString} AS DOUBLE)"
+    def mixSql(p: String, ms: Seq[String], us: Seq[String]): String = {
+      val prodM = fields.zip(ms).map { case (f, m) =>
+        s"(CASE WHEN ${f}_eq THEN $m ELSE 1.0 - $m END)" }.mkString(" * ")
+      val prodU = fields.zip(us).map { case (f, u) =>
+        s"(CASE WHEN ${f}_eq THEN $u ELSE 1.0 - $u END)" }.mkString(" * ")
+      s"($p * $prodM) / ($p * $prodM + (1.0 - $p) * $prodU)"
+    }
+
+    var p = EmInitP
+    var ms = EmInitM
+    var us = EmInitU
+    val trail = (1 to EmIters).map { it =>
+      val resp = pat.withColumn("r",
+        expr(mixSql(d(p), ms.map(d), us.map(d))))
+      val aggCols =
+        sum(expr(s"CAST(r * n AS $dec)")).as("rn") +:
+        sum(expr(s"CAST((1.0 - r) * n AS $dec)")).as("qn") +:
+        sum(col("n")).as("tot") +:
+        fields.flatMap(f => Seq(
+          sum(expr(s"CAST(CASE WHEN ${f}_eq THEN r * n ELSE 0.0 END AS $dec)"))
+            .as(s"rn_$f"),
+          sum(expr(s"CAST(CASE WHEN ${f}_eq THEN (1.0 - r) * n ELSE 0.0 END AS $dec)"))
+            .as(s"qn_$f")))
+      val sums = resp.agg(aggCols.head, aggCols.tail: _*)
+        .head() // 1 row, 16-row input — bounded by construction
+      val rn = sums.getDecimal(0).doubleValue()
+      val qn = sums.getDecimal(1).doubleValue()
+      val tot = sums.getLong(2).toDouble
+      ms = fields.zipWithIndex.map { case (f, i) =>
+        sums.getDecimal(3 + 2 * i).doubleValue() / rn }
+      us = fields.zipWithIndex.map { case (f, i) =>
+        sums.getDecimal(4 + 2 * i).doubleValue() / qn }
+      p = rn / tot
+      (it, p, ms, us)
+    }
+    import spark.implicits._
+    trail.flatMap { case (it, pi, msi, usi) =>
+      fields.zipWithIndex.map { case (f, i) => (it, f, msi(i), usi(i), pi) }
+    }.toDF("iter", "field", "m_raw", "u_raw", "p_raw")
+      .select(col("iter"), col("field"),
+        round(col("m_raw"), 6).as("m"), round(col("u_raw"), 6).as("u"),
+        round(col("p_raw"), 6).as("p"))
+      .orderBy("iter", "field")
+  }
+
+  /** DuckDB twin of [[emFit]]: the EM recursion unrolled as one CTE
+    * chain — same pattern counts, same decimal-sum discipline, same
+    * double division, same literals. */
+  def duckEmFitSql: String = {
+    val dec = "DECIMAL(38,10)"
+    def prod(sel: String => String): String = fields.map { f =>
+      s"(CASE WHEN ${f}_eq THEN ${sel(f)} ELSE 1.0 - ${sel(f)} END)"
+    }.mkString(" * ")
+    val it0 =
+      s"""p0 AS (SELECT CAST($EmInitP AS DOUBLE) AS p,
+         ${fields.zipWithIndex.map { case (f, i) =>
+        s"CAST(${EmInitM(i)} AS DOUBLE) AS m_$f, CAST(${EmInitU(i)} AS DOUBLE) AS u_$f"
+      }.mkString(", ")})"""
+    val iters = (1 to EmIters).map { k =>
+      val pm = prod(f => s"m_$f")
+      val pu = prod(f => s"u_$f")
+      s"""r$k AS (SELECT pat.*,
+           (p * $pm) / (p * $pm + (1.0 - p) * $pu) AS r
+         FROM pat CROSS JOIN p${k - 1}),
+       p$k AS (SELECT
+           CAST(sum(CAST(r * n AS $dec)) AS DOUBLE) /
+             CAST(sum(n) AS DOUBLE) AS p,
+           ${fields.map { f =>
+        s"""CAST(sum(CAST(CASE WHEN ${f}_eq THEN r * n ELSE 0.0 END AS $dec)) AS DOUBLE) /
+             CAST(sum(CAST(r * n AS $dec)) AS DOUBLE) AS m_$f,
+           CAST(sum(CAST(CASE WHEN ${f}_eq THEN (1.0 - r) * n ELSE 0.0 END AS $dec)) AS DOUBLE) /
+             CAST(sum(CAST((1.0 - r) * n AS $dec)) AS DOUBLE) AS u_$f"""
+      }.mkString(", ")}
+         FROM r$k)"""
+    }.mkString(",\n       ")
+    val emit = (1 to EmIters).flatMap { k =>
+      fields.map { f =>
+        s"""SELECT $k AS iter, '$f' AS field, round(m_$f, 6) AS m,
+           round(u_$f, 6) AS u, round(p, 6) AS p FROM p$k"""
+      }
+    }.mkString("\n         UNION ALL ")
+    s"""WITH $duckBaseCte,
+       pat AS (SELECT name_eq, nation_eq, bal_eq, seg_eq,
+           count(*) AS n FROM scored
+         GROUP BY 1, 2, 3, 4),
+       $it0,
+       $iters
+       SELECT * FROM (
+         $emit
+       ) ORDER BY iter, field"""
+  }
 
   /** DuckDB CTE producing the same sides and candidates. */
   private def duckBaseCte: String =
@@ -267,7 +403,8 @@ object RecordLinkage {
            round(max(score_raw), 6) AS max_score
          FROM weighted
          GROUP BY 1, 2
-         ORDER BY decision, is_true""")
+         ORDER BY decision, is_true""",
+    "q_link_em_fit" -> duckEmFitSql)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // FS-scored candidate pairs over multi-pass blocking — the
@@ -282,5 +419,11 @@ object RecordLinkage {
     // Reduction ratio + pairs completeness per blocking pass — the
     // audit that catches degenerate block keys before they cross-join.
     "q_link_blocking_audit" -> ((s, dir) =>
-      blockingAudit(Tables(s, dir, "customer"))))
+      blockingAudit(Tables(s, dir, "customer"))),
+    // Winkler EM fit of (m, u, p) from unlabeled candidates: one
+    // big-data pass to 16 integer-exact pattern counts, then 6 unrolled
+    // EM iterations on the pattern frame — decimal-sum order-free, the
+    // whole trajectory DuckDB-replayed.
+    "q_link_em_fit" -> ((s, dir) =>
+      emFit(Tables(s, dir, "customer"))))
 }

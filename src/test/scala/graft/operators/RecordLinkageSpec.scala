@@ -7,6 +7,54 @@ import org.apache.spark.sql.functions._
   * planted noise guarantees. */
 class RecordLinkageSpec extends SparkTestBase {
 
+  test("EM fit matches plain-Scala EM over the same pattern counts") {
+    import spark.implicits._
+    val customer = graft.Tables(spark, "/root/testdata/sf0.001", "customer")
+    val got = RecordLinkage.emFit(customer)
+      .as[(Int, String, Double, Double, Double)].collect().toSeq
+
+    // plain-Scala EM from the raw pattern counts
+    val pats = RecordLinkage.scorePairs(customer)
+      .groupBy("name_eq", "nation_eq", "bal_eq", "seg_eq")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1L)).as("n"))
+      .as[(Boolean, Boolean, Boolean, Boolean, Long)].collect()
+    val fields = Seq("name", "nation", "bal", "seg")
+    var p = RecordLinkage.EmInitP
+    var ms = RecordLinkage.EmInitM
+    var us = RecordLinkage.EmInitU
+    val want = (1 to RecordLinkage.EmIters).flatMap { it =>
+      val rows = pats.map { case (a, b, c, d, n) =>
+        val eqs = Seq(a, b, c, d)
+        val pm = eqs.zip(ms).map { case (e, m) => if (e) m else 1.0 - m }.product
+        val pu = eqs.zip(us).map { case (e, u) => if (e) u else 1.0 - u }.product
+        val r = p * pm / (p * pm + (1.0 - p) * pu)
+        (eqs, r, n)
+      }
+      def s(f: (Seq[Boolean], Double, Long) => Double): Double =
+        rows.map { case (e, r, n) => BigDecimal(f(e, r, n))
+          .setScale(10, BigDecimal.RoundingMode.HALF_UP) }.sum.toDouble
+      val rn = s((_, r, n) => r * n)
+      val qn = s((_, r, n) => (1.0 - r) * n)
+      val tot = pats.map(_._5).sum.toDouble
+      ms = fields.indices.map(i => s((e, r, n) => if (e(i)) r * n else 0.0) / rn)
+      us = fields.indices.map(i => s((e, r, n) => if (e(i)) (1.0 - r) * n else 0.0) / qn)
+      p = rn / tot
+      def r6(x: Double): Double = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      fields.indices.map(i => (it, fields(i), r6(ms(i)), r6(us(i)), r6(p)))
+    }.sortBy(t => (t._1, t._2))
+    assert(got == want, s"EM trajectory diverged:\n$got\n$want")
+
+    // the fit must SEPARATE: name is near-perfect evidence among
+    // matches and near-absent among non-matches, and the match-class
+    // prior lands near the planted true-pair share of candidates
+    val fin = got.filter(_._1 == RecordLinkage.EmIters)
+    val name = fin.find(_._2 == "name").get
+    assert(name._3 > 0.5, s"m_name=$name")
+    assert(name._4 < 0.01, s"u_name=$name")
+  }
+
   import spark.implicits._
 
   private val sfDir = "/root/testdata/sf0.001"
