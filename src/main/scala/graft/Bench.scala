@@ -69,7 +69,14 @@ object Bench {
     "q_v_triage", "q_i_triage", "q_v_trend", "q_v_cusum",
     "q_v_corr_matrix", "q_v_benford", "q_v_independence",
     "q_v_mi", "q_v_ks_exact", "q_v_outliers_mad", "q_v_freshness",
-    "q_v_spearman")
+    "q_v_spearman",
+    // late-round-5: exact similarity joins, record linkage, intervals,
+    // ECF drift, embedding sanity, weighted sampling, interval join
+    "q_dedup_jaccard_prefix", "q_dedup_editdist",
+    "q_link_fs_pairs", "q_link_fs_eval", "q_link_blocking_audit",
+    "q_link_em_fit", "q_curate_weighted_sample", "q_v_intervals",
+    "q_v_drift_ecf", "q_v_embeddings",
+    "q_j11_interval_join", "q_j11_interval_stats")
 
   private val headline = suiteV4 ++ headlineNew
 
