@@ -104,20 +104,24 @@ object RecordLinkage {
     block1.unionAll(block2).distinct()
   }
 
-  /** Score every candidate pair: field agreements, FS log-weight sum,
-    * three-zone decision. Output (a_id, b_id, name_eq, nation_eq,
-    * bal_eq, seg_eq, score, decision), ordered. */
-  def scorePairs(customer: DataFrame): DataFrame = {
+  /** Candidate pairs joined back to both sides' full field vectors. */
+  private def joinedCandidates(customer: DataFrame): DataFrame = {
     val a = sideA(customer)
     val b = sideB(customer)
-    val cand = candidates(a, b)
-    cand
+    candidates(a, b)
       .join(a.select(col("rec_id").as("a_id"), col("name").as("a_name"),
         col("nation").as("a_nation"), col("bal").as("a_bal"),
         col("seg").as("a_seg")), Seq("a_id"))
       .join(b.select(col("rec_id").as("b_id"), col("name").as("b_name"),
         col("nation").as("b_nation"), col("bal").as("b_bal"),
         col("seg").as("b_seg")), Seq("b_id"))
+  }
+
+  /** Score every candidate pair: field agreements, FS log-weight sum,
+    * three-zone decision. Output (a_id, b_id, name_eq, nation_eq,
+    * bal_eq, seg_eq, score, decision), ordered. */
+  def scorePairs(customer: DataFrame): DataFrame = {
+    joinedCandidates(customer)
       .withColumn("name_eq", col("a_name") === col("b_name"))
       .withColumn("nation_eq", col("a_nation") === col("b_nation"))
       .withColumn("bal_eq", abs(col("a_bal") - col("b_bal")) < 0.005)
@@ -129,6 +133,71 @@ object RecordLinkage {
         when(col("_score") >= MatchThreshold, "match")
           .when(col("_score") >= PossibleThreshold, "possible")
           .otherwise("nonmatch").as("decision"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** JW agreement threshold for the entity-name field. The TPC-H
+    * c_name is structurally degenerate for approximate comparison
+    * (every name shares the 10-char prefix `Customer#0`, so ALL pairs
+    * score ≥ 0.88 under the prefix boost — measured, not assumed); the
+    * JW rung therefore compares a synthetic high-entropy entity name,
+    * md5-derived per entity, with a planted adjacent TRANSPOSITION on
+    * every 3rd b-record — the typo class Winkler's comparator was
+    * built for. Typo'd true pair: JW = 0.9833 (11/12 in-order matches
+    * + full prefix boost); unrelated pair: two independent 12-char hex
+    * strings, JW ≈ 0.6. 0.9 separates cleanly. */
+  val JwNameThreshold = 0.9
+
+  /** Shared-syntax entity-name derivations (pure functions of the
+    * entity key, so both engines build identical corpora; `idSql` is
+    * the UNDERLYING custkey — the b side derives from b_id − 10^6 the
+    * same way its other field noise does). */
+  def enameSql(idSql: String): String =
+    // STRING parses in Spark AND aliases VARCHAR in DuckDB
+    s"substr(md5(CAST(($idSql) AS STRING)), 1, 12)"
+  def enameTypoSql(idSql: String): String = {
+    val e = enameSql(idSql)
+    s"""CASE WHEN ($idSql) % 3 = 0 THEN
+          concat(substr($e, 1, 4), substr($e, 6, 1),
+                 substr($e, 5, 1), substr($e, 7, 6))
+        ELSE $e END"""
+  }
+
+  /** Winkler-comparator upgrade of [[scorePairs]]: the name-field
+    * agreement is `jaro_winkler(a_ename, b_ename) >= 0.9` via the
+    * NATIVE codegen'd [[graft.functions.JaroWinklerExpr]] instead of
+    * exact equality — a transposition typo (planted on every 3rd
+    * b-record) keeps its agreement evidence, so typo-only pairs move
+    * from under-decided back to 'match'. Output adds the raw jw and
+    * both decisions; `recovered` marks pairs the exact-equality scorer
+    * under-decided. */
+  def jwScorePairs(customer: DataFrame): DataFrame = {
+    val jw = graft.functions.JaroWinklerExpr.jaroWinkler(
+      col("a_ename"), col("b_ename"))
+    joinedCandidates(customer)
+      .withColumn("a_ename", expr(enameSql("a_id")))
+      .withColumn("b_ename", expr(enameTypoSql("b_id - 1000000")))
+      .withColumn("jw_name", jw)
+      .withColumn("name_eq", col("jw_name") >= JwNameThreshold)
+      .withColumn("name_eq_exact", col("a_ename") === col("b_ename"))
+      .withColumn("nation_eq", col("a_nation") === col("b_nation"))
+      .withColumn("bal_eq", abs(col("a_bal") - col("b_bal")) < 0.005)
+      .withColumn("seg_eq", col("a_seg") === col("b_seg"))
+      .withColumn("_jw_score", expr(scoreSql))
+      .withColumn("_ex_score", expr(scoreSql
+        .replace("name_eq", "name_eq_exact")))
+      .select(col("a_id"), col("b_id"),
+        round(col("jw_name"), 6).as("jw_name"),
+        col("name_eq"), col("nation_eq"), col("bal_eq"), col("seg_eq"),
+        round(col("_jw_score"), 6).as("score"),
+        when(col("_jw_score") >= MatchThreshold, "match")
+          .when(col("_jw_score") >= PossibleThreshold, "possible")
+          .otherwise("nonmatch").as("decision"),
+        when(col("_ex_score") >= MatchThreshold, "match")
+          .when(col("_ex_score") >= PossibleThreshold, "possible")
+          .otherwise("nonmatch").as("decision_exact"))
+      .withColumn("recovered",
+        col("decision") === "match" && col("decision_exact") =!= "match")
       .orderBy("a_id", "b_id")
   }
 
@@ -223,48 +292,42 @@ object RecordLinkage {
     */
   def emFit(customer: DataFrame): DataFrame = {
     val spark = customer.sparkSession
-    // one big-data pass: pattern counts (bounded: 2^4 rows)
-    val pat = scorePairs(customer)
+    // ONE big-data pass: pattern counts, collected (bounded by
+    // construction: 2^4 rows). Iterating EM as Spark jobs over the
+    // 16-row frame would replay the candidate join per iteration —
+    // measured 20.7 s vs ~4 s for the single-pass collect.
+    val pat: Array[(Seq[Boolean], Long)] = scorePairs(customer)
       .groupBy(fields.map(f => col(s"${f}_eq")): _*)
       .agg(count(lit(1L)).as("n"))
+      .collect()
+      .map(r => (fields.indices.map(r.getBoolean), r.getLong(fields.size)))
 
-    val dec = "decimal(38,10)"
-    // literals carry full precision: toString of a double round-trips to
-    // the SAME double in both engines (shortest representation), and the
-    // explicit CAST pins Spark's bare-decimal-literal parse to double
-    def d(x: Double): String = s"CAST(${x.toString} AS DOUBLE)"
-    def mixSql(p: String, ms: Seq[String], us: Seq[String]): String = {
-      val prodM = fields.zip(ms).map { case (f, m) =>
-        s"(CASE WHEN ${f}_eq THEN $m ELSE 1.0 - $m END)" }.mkString(" * ")
-      val prodU = fields.zip(us).map { case (f, u) =>
-        s"(CASE WHEN ${f}_eq THEN $u ELSE 1.0 - $u END)" }.mkString(" * ")
-      s"($p * $prodM) / ($p * $prodM + (1.0 - $p) * $prodU)"
-    }
-
+    // driver EM with the SAME arithmetic contract the DuckDB twin
+    // replays: per-pattern responsibilities in IEEE doubles; every
+    // cross-pattern addend rounded to DECIMAL(38,10) (BigDecimal
+    // HALF_UP — Spark's and DuckDB's double→decimal cast) and summed
+    // exactly; new params as double quotients of decimal-exact sums.
+    def dsum(xs: Iterable[Double]): Double =
+      xs.map(BigDecimal(_).setScale(10, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
     var p = EmInitP
     var ms = EmInitM
     var us = EmInitU
     val trail = (1 to EmIters).map { it =>
-      val resp = pat.withColumn("r",
-        expr(mixSql(d(p), ms.map(d), us.map(d))))
-      val aggCols =
-        sum(expr(s"CAST(r * n AS $dec)")).as("rn") +:
-        sum(expr(s"CAST((1.0 - r) * n AS $dec)")).as("qn") +:
-        sum(col("n")).as("tot") +:
-        fields.flatMap(f => Seq(
-          sum(expr(s"CAST(CASE WHEN ${f}_eq THEN r * n ELSE 0.0 END AS $dec)"))
-            .as(s"rn_$f"),
-          sum(expr(s"CAST(CASE WHEN ${f}_eq THEN (1.0 - r) * n ELSE 0.0 END AS $dec)"))
-            .as(s"qn_$f")))
-      val sums = resp.agg(aggCols.head, aggCols.tail: _*)
-        .head() // 1 row, 16-row input — bounded by construction
-      val rn = sums.getDecimal(0).doubleValue()
-      val qn = sums.getDecimal(1).doubleValue()
-      val tot = sums.getLong(2).toDouble
-      ms = fields.zipWithIndex.map { case (f, i) =>
-        sums.getDecimal(3 + 2 * i).doubleValue() / rn }
-      us = fields.zipWithIndex.map { case (f, i) =>
-        sums.getDecimal(4 + 2 * i).doubleValue() / qn }
+      val rows = pat.map { case (eqs, n) =>
+        val pm = eqs.zip(ms).map { case (e, m) => if (e) m else 1.0 - m }
+          .product
+        val pu = eqs.zip(us).map { case (e, u) => if (e) u else 1.0 - u }
+          .product
+        (eqs, p * pm / (p * pm + (1.0 - p) * pu), n)
+      }
+      val rn = dsum(rows.map { case (_, r, n) => r * n })
+      val qn = dsum(rows.map { case (_, r, n) => (1.0 - r) * n })
+      val tot = pat.map(_._2).sum.toDouble
+      ms = fields.indices.map(i =>
+        dsum(rows.map { case (e, r, n) => if (e(i)) r * n else 0.0 }) / rn)
+      us = fields.indices.map(i =>
+        dsum(rows.map { case (e, r, n) => if (e(i)) (1.0 - r) * n else 0.0 }) / qn)
       p = rn / tot
       (it, p, ms, us)
     }
@@ -404,7 +467,42 @@ object RecordLinkage {
          FROM weighted
          GROUP BY 1, 2
          ORDER BY decision, is_true""",
-    "q_link_em_fit" -> duckEmFitSql)
+    "q_link_em_fit" -> duckEmFitSql,
+    "q_link_jw_pairs" ->
+      s"""WITH $duckBaseCte,
+         j AS (SELECT cand.a_id, cand.b_id,
+             ${enameSql("cand.a_id")} AS a_ename,
+             ${enameTypoSql("cand.b_id - 1000000")} AS b_ename,
+             a.nation AS a_nation, b.nation AS b_nation,
+             a.bal AS a_bal, b.bal AS b_bal,
+             a.seg AS a_seg, b.seg AS b_seg
+           FROM cand JOIN a ON a.rec_id = cand.a_id
+                     JOIN b ON b.rec_id = cand.b_id),
+         s AS (SELECT *,
+             jaro_winkler_similarity(a_ename, b_ename) AS jw_name,
+             (jaro_winkler_similarity(a_ename, b_ename) >= $JwNameThreshold)
+               AS name_eq,
+             (a_ename = b_ename) AS name_eq_exact,
+             (a_nation = b_nation) AS nation_eq,
+             (abs(a_bal - b_bal) < 0.005) AS bal_eq,
+             (a_seg = b_seg) AS seg_eq
+           FROM j),
+         w AS (SELECT *, $scoreSql AS jw_score,
+             ${scoreSql.replace("name_eq", "name_eq_exact")} AS ex_score
+           FROM s),
+         d AS (SELECT a_id, b_id, round(jw_name, 6) AS jw_name,
+             name_eq, nation_eq, bal_eq, seg_eq,
+             round(jw_score, 6) AS score,
+             CASE WHEN jw_score >= $MatchThreshold THEN 'match'
+                  WHEN jw_score >= $PossibleThreshold THEN 'possible'
+                  ELSE 'nonmatch' END AS decision,
+             CASE WHEN ex_score >= $MatchThreshold THEN 'match'
+                  WHEN ex_score >= $PossibleThreshold THEN 'possible'
+                  ELSE 'nonmatch' END AS decision_exact
+           FROM w)
+         SELECT *, (decision = 'match' AND decision_exact <> 'match')
+           AS recovered
+         FROM d ORDER BY a_id, b_id""")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // FS-scored candidate pairs over multi-pass blocking — the
@@ -425,5 +523,10 @@ object RecordLinkage {
     // EM iterations on the pattern frame — decimal-sum order-free, the
     // whole trajectory DuckDB-replayed.
     "q_link_em_fit" -> ((s, dir) =>
-      emFit(Tables(s, dir, "customer"))))
+      emFit(Tables(s, dir, "customer"))),
+    // Winkler-comparator rung: name agreement via the native codegen'd
+    // jaro_winkler expression (hash-verified against DuckDB's builtin),
+    // recovering truncation-only pairs exact equality under-decides.
+    "q_link_jw_pairs" -> ((s, dir) =>
+      jwScorePairs(Tables(s, dir, "customer"))))
 }
