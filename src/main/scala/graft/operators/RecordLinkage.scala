@@ -257,6 +257,89 @@ object RecordLinkage {
       .orderBy("decision", "is_true")
 
   // ---------------------------------------------------------------------
+  // Sorted-neighborhood blocking — Hernández & Stolfo, "The merge/purge
+  // problem for large databases", SIGMOD 1995: the third canonical
+  // candidate-generation method beside standard blocking (the
+  // nation/suffix passes above) and LSH (the dedup family). Sort the
+  // MERGED file on a discriminative key; candidates are pairs within a
+  // sliding window of w positions.
+  // ---------------------------------------------------------------------
+
+  /** SNM window size (positions, not keys). */
+  val SnmWindow = 8
+
+  /** Sliding-window candidates over the merged a∪b file sorted by the
+    * entity name. The window is expressed as w LEAD columns exploded
+    * into pairs — pure window functions, NO self-join (the rn-banding
+    * self-join SNM is usually built from costs a second shuffle).
+    *
+    * Scale shape: the sort is PARTITIONED by a 1-hex sort-key prefix
+    * (16-way here; 3-4 hex chars at 10^12 rows), so the window never
+    * degenerates into Spark's single-partition global window; pairs
+    * whose members straddle a prefix boundary are lost — the standard
+    * SNM boundary caveat, restored by the OTHER passes of the
+    * multi-pass union (a typo in char 1 of the sort key defeats any
+    * single sort order anyway; Hernández-Stolfo's own fix is multiple
+    * passes on different keys, which is exactly [[candidates]]).
+    *
+    * Output: cross-side pairs only, oriented a→b (same-side neighbors
+    * are dedup's job, not linkage's). */
+  def snmCandidates(customer: DataFrame, w: Int = SnmWindow): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = sideA(customer).select(col("rec_id"),
+      expr(enameSql("rec_id")).as("ename"), lit("a").as("side"))
+    val b = sideB(customer).select(col("rec_id"),
+      expr(enameTypoSql("rec_id - 1000000")).as("ename"),
+      lit("b").as("side"))
+    val merged = a.unionAll(b)
+      .withColumn("pfx", substring(col("ename"), 1, 1))
+    val win = Window.partitionBy("pfx").orderBy("ename", "rec_id")
+    // window expressions must be top-level projections — materialize
+    // the w leads first, then pack/explode the plain columns
+    val withLeads = (1 to w).foldLeft(merged) { (df, k) =>
+      df.withColumn(s"_nid_$k", lead(col("rec_id"), k).over(win))
+        .withColumn(s"_nside_$k", lead(col("side"), k).over(win))
+    }
+    val pairsCols = (1 to w).map(k => struct(
+      col(s"_nid_$k").as("nid"), col(s"_nside_$k").as("nside")))
+    withLeads
+      .withColumn("nbr", explode(array(pairsCols: _*)))
+      .filter(col("nbr.nid").isNotNull &&
+        col("nbr.nside") =!= col("side"))
+      .select(
+        when(col("side") === "a", col("rec_id"))
+          .otherwise(col("nbr.nid")).as("a_id"),
+        when(col("side") === "a", col("nbr.nid"))
+          .otherwise(col("rec_id")).as("b_id"))
+  }
+
+  /** SNM blocking audit — same verdict columns as [[blockingAudit]],
+    * plus the TYPO'd-true-pair recall (the pairs the equality-keyed
+    * passes can lose and SNM's near-sortedness is supposed to keep).
+    * Output: one row (w, n_candidates, n_true_caught, n_true_total,
+    * pairs_completeness, n_typo_true_caught, n_typo_true_total). */
+  def snmAudit(customer: DataFrame, w: Int = SnmWindow): DataFrame = {
+    val cand = snmCandidates(customer, w)
+    val tot = sideB(customer).agg(
+      count(lit(1L)).as("n_true_total"),
+      sum(when(expr("(rec_id - 1000000) % 3 = 0"), 1L).otherwise(0L))
+        .as("n_typo_true_total"))
+    cand.agg(
+      count(lit(1L)).as("n_candidates"),
+      sum(when(col("b_id") - 1000000L === col("a_id"), 1L).otherwise(0L))
+        .as("n_true_caught"),
+      sum(when(col("b_id") - 1000000L === col("a_id") &&
+        col("a_id") % 3 === 0, 1L).otherwise(0L))
+        .as("n_typo_true_caught"))
+      .crossJoin(broadcast(tot))
+      .select(lit(w).as("w"), col("n_candidates"), col("n_true_caught"),
+        col("n_true_total"),
+        round(col("n_true_caught").cast("double") / col("n_true_total"), 6)
+          .as("pairs_completeness"),
+        col("n_typo_true_caught"), col("n_typo_true_total"))
+  }
+
+  // ---------------------------------------------------------------------
   // EM estimation of (m, u, p) — Winkler, "Using the EM algorithm for
   // weight computation in the Fellegi-Sunter model of record linkage",
   // ASA Survey Research Methods 1988. The DECLARED FieldMU above is the
@@ -388,6 +471,33 @@ object RecordLinkage {
        ) ORDER BY iter, field"""
   }
 
+  /** DuckDB twin of the SNM pipeline: same merged file, same 1-hex
+    * prefix partitions, same (ename, rec_id) order, the w leads spelled
+    * out and unioned. */
+  private def duckSnmCte(w: Int): String = {
+    val over = "OVER (PARTITION BY pfx ORDER BY ename, rec_id)"
+    val leads = (1 to w).map(k =>
+      s"lead(rec_id, $k) $over AS nid_$k, lead(side, $k) $over AS nside_$k")
+      .mkString(",\n             ")
+    val pairSelects = (1 to w).map(k =>
+      s"""SELECT CASE WHEN side = 'a' THEN rec_id ELSE nid_$k END AS a_id,
+                CASE WHEN side = 'a' THEN nid_$k ELSE rec_id END AS b_id
+         FROM nbrs WHERE nid_$k IS NOT NULL AND nside_$k <> side""")
+      .mkString("\n         UNION ALL ")
+    s"""sa AS (SELECT c_custkey AS rec_id,
+           ${enameSql("c_custkey")} AS ename, 'a' AS side FROM customer),
+       sb AS (SELECT c_custkey + 1000000 AS rec_id,
+           ${enameTypoSql("c_custkey")} AS ename, 'b' AS side
+         FROM customer WHERE c_custkey % 2 = 0),
+       merged AS (SELECT *, substr(ename, 1, 1) AS pfx
+         FROM (SELECT * FROM sa UNION ALL SELECT * FROM sb)),
+       nbrs AS (SELECT rec_id, ename, side, pfx,
+             $leads
+           FROM merged),
+       snm_pairs AS (
+         $pairSelects)"""
+  }
+
   /** DuckDB CTE producing the same sides and candidates. */
   private def duckBaseCte: String =
     s"""a AS (SELECT c_custkey AS rec_id, c_name AS name,
@@ -502,7 +612,27 @@ object RecordLinkage {
            FROM w)
          SELECT *, (decision = 'match' AND decision_exact <> 'match')
            AS recovered
-         FROM d ORDER BY a_id, b_id""")
+         FROM d ORDER BY a_id, b_id""",
+    "q_link_snm_pairs" ->
+      s"""WITH ${duckSnmCte(SnmWindow)}
+         SELECT a_id, b_id FROM snm_pairs ORDER BY a_id, b_id""",
+    "q_link_snm_audit" ->
+      s"""WITH ${duckSnmCte(SnmWindow)},
+         tot AS (SELECT count(*) AS n_true_total,
+             CAST(sum(CASE WHEN (rec_id - 1000000) % 3 = 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_typo_true_total
+           FROM sb)
+         SELECT $SnmWindow AS w, count(*) AS n_candidates,
+           CAST(sum(CASE WHEN b_id - 1000000 = a_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_true_caught,
+           n_true_total,
+           round(CAST(sum(CASE WHEN b_id - 1000000 = a_id THEN 1 ELSE 0 END)
+             AS DOUBLE) / n_true_total, 6) AS pairs_completeness,
+           CAST(sum(CASE WHEN b_id - 1000000 = a_id AND a_id % 3 = 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_typo_true_caught,
+           n_typo_true_total
+         FROM snm_pairs, tot
+         GROUP BY n_true_total, n_typo_true_total""")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // FS-scored candidate pairs over multi-pass blocking — the
@@ -528,5 +658,13 @@ object RecordLinkage {
     // jaro_winkler expression (hash-verified against DuckDB's builtin),
     // recovering truncation-only pairs exact equality under-decides.
     "q_link_jw_pairs" -> ((s, dir) =>
-      jwScorePairs(Tables(s, dir, "customer"))))
+      jwScorePairs(Tables(s, dir, "customer"))),
+    // Sorted-neighborhood blocking: merged-file sort on the entity
+    // name, w-position sliding window as lead() columns (no self-join),
+    // prefix-partitioned so the window never goes single-partition.
+    "q_link_snm_pairs" -> ((s, dir) =>
+      snmCandidates(Tables(s, dir, "customer")).orderBy("a_id", "b_id")),
+    // SNM audit row: completeness overall and on the typo'd subset.
+    "q_link_snm_audit" -> ((s, dir) =>
+      snmAudit(Tables(s, dir, "customer"))))
 }
