@@ -77,7 +77,7 @@ object Bench {
     "q_link_em_fit", "q_curate_weighted_sample", "q_v_intervals",
     "q_v_drift_ecf", "q_v_embeddings",
     "q_j11_interval_join", "q_j11_interval_stats", "q_link_jw_pairs",
-    "q_link_snm_pairs", "q_link_snm_audit")
+    "q_link_snm_pairs", "q_link_snm_audit", "q_graph_pagerank")
 
   private val headline = suiteV4 ++ headlineNew
 

@@ -38,7 +38,8 @@ object SparkEntry {
       ImageSuiteQueries.queries ++ CurationQueries.queries ++ Contamination.queries ++
       RepetitionQueries.queries ++ LayoutQueries.queries ++ SessionQueries.queries ++
       SnapshotQueries.queries ++ BpeTokenizer.queries ++ QualityClassifier.queries ++
-      SetSimilarity.queries ++ RecordLinkage.queries ++ IntervalJoin.queries
+      SetSimilarity.queries ++ RecordLinkage.queries ++ IntervalJoin.queries ++
+      GraphRank.queries
 
   private def relational: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1/A3: hash-aggregate group counts — reference `osm.py:577-585`
@@ -1046,5 +1047,5 @@ object SparkEntry {
     Contamination.oracleSql ++ RepetitionQueries.oracleSql ++ LayoutQueries.oracleSql ++
     SessionQueries.oracleSql ++ SnapshotQueries.oracleSql ++ BpeTokenizer.oracleSql ++
     QualityClassifier.oracleSql ++ SetSimilarity.oracleSql ++
-    RecordLinkage.oracleSql ++ IntervalJoin.oracleSql
+    RecordLinkage.oracleSql ++ IntervalJoin.oracleSql ++ GraphRank.oracleSql
 }
