@@ -48,11 +48,15 @@ case class ImageFactsExpr(left: Expression, right: Expression)
         val truth = ImageCodec.synthPixels(ord, dw, dh)
         val psnr = ImageCodec.psnr(px, truth).getOrElse(Double.NaN)
         val ph = Phash.phash64(px, dw, dh)
+        val (sharp, bright, contr, clipLo, clipHi) =
+          ImageCodec.lumaQuality(px, dw, dh)
         InternalRow(hasBytes, nBytes, true, dw, dh, psnr, ph,
-          UTF8String.fromString(sniffed), UTF8String.fromString(capExp))
+          UTF8String.fromString(sniffed), UTF8String.fromString(capExp),
+          sharp, bright, contr, clipLo, clipHi)
       case None =>
         InternalRow(hasBytes, nBytes, false, 0, 0, Double.NaN, 0L,
-          UTF8String.fromString(sniffed), UTF8String.fromString(capExp))
+          UTF8String.fromString(sniffed), UTF8String.fromString(capExp),
+          0.0, 0.0, 0.0, 0.0, 0.0)
     }
   }
 
@@ -70,7 +74,14 @@ object ImageFactsExpr {
     StructField("psnr_db", DoubleType, nullable = false),
     StructField("phash_rec", LongType, nullable = false),
     StructField("fmt_sniffed", StringType, nullable = false),
-    StructField("caption_expected", StringType, nullable = false)))
+    StructField("caption_expected", StringType, nullable = false),
+    // perceptual-quality facts (ImageCodec.lumaQuality): blur and
+    // exposure gates; zeroed (like dims) when decode fails
+    StructField("sharpness", DoubleType, nullable = false),
+    StructField("brightness", DoubleType, nullable = false),
+    StructField("contrast", DoubleType, nullable = false),
+    StructField("clip_lo", DoubleType, nullable = false),
+    StructField("clip_hi", DoubleType, nullable = false)))
 
   /** Column API: `image_facts(bytes, image_id)` → struct of facts.
     * (Spark 4 classic bridge: Column ↔ catalyst Expression via

@@ -167,6 +167,63 @@ object ImageCodec {
   /** PSNR in dB between two same-size packed-RGB images; +Inf if identical.
     * None if sizes differ.
     */
+  /** Perceptual-quality facts from decoded pixels — the gates a
+    * production image-curation pipeline runs beside integrity checks
+    * (blur and exposure filtering; e.g. the LAION pipeline's aesthetic
+    * pre-gates):
+    *
+    *   - sharpness: variance of the 4-neighbor Laplacian over interior
+    *     luma (Pech-Pacheco et al., "Diatom autofocusing in brightfield
+    *     microscopy", ICPR 2000 — the standard blur metric: a defocused
+    *     image has near-zero second derivative everywhere);
+    *   - brightness: mean luma (0-255);
+    *   - contrast: luma standard deviation;
+    *   - clip_lo/clip_hi: fraction of pixels at the black/white rails
+    *     (luma ≤ 2 / ≥ 253) — under/over-exposure.
+    *
+    * All sums are exact Long integer arithmetic over integer luma
+    * (BT.601 fixed-point: (299r + 587g + 114b) / 1000), divided once at
+    * the end — bit-deterministic regardless of traversal or thread.
+    * Returns (sharpness, brightness, contrast, clip_lo, clip_hi). */
+  def lumaQuality(px: Array[Int], w: Int, h: Int)
+      : (Double, Double, Double, Double, Double) = {
+    val n = w * h
+    if (n == 0 || px.length != n) return (0.0, 0.0, 0.0, 0.0, 0.0)
+    val luma = new Array[Int](n)
+    var i = 0
+    var sy = 0L; var sy2 = 0L; var nLo = 0L; var nHi = 0L
+    while (i < n) {
+      val p = px(i)
+      val y = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+        114 * (p & 0xff)) / 1000
+      luma(i) = y
+      sy += y; sy2 += y.toLong * y
+      if (y <= 2) nLo += 1
+      if (y >= 253) nHi += 1
+      i += 1
+    }
+    var sl = 0L; var sl2 = 0L; var m = 0L
+    var r = 1
+    while (r < h - 1) {
+      var c = 1
+      while (c < w - 1) {
+        val k = r * w + c
+        val lap = 4 * luma(k) - luma(k - 1) - luma(k + 1) -
+          luma(k - w) - luma(k + w)
+        sl += lap; sl2 += lap.toLong * lap; m += 1
+        c += 1
+      }
+      r += 1
+    }
+    val sharp =
+      if (m == 0) 0.0
+      else (m.toDouble * sl2 - sl.toDouble * sl) / (m.toDouble * m)
+    val bright = sy.toDouble / n
+    val contr = math.sqrt((n.toDouble * sy2 - sy.toDouble * sy) /
+      (n.toDouble * n))
+    (sharp, bright, contr, nLo.toDouble / n, nHi.toDouble / n)
+  }
+
   def psnr(a: Array[Int], b: Array[Int]): Option[Double] = {
     if (a.length != b.length || a.length == 0) return None
     var se = 0.0

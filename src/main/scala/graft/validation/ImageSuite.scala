@@ -96,7 +96,12 @@ object ImageSuite {
           bit_count(col("f.phash_rec").bitwiseXOR(col("phash"))))
           .otherwise(lit(-1)).as("phash_hamming"),
         col("f.fmt_sniffed").as("fmt_sniffed"),
-        col("f.caption_expected").as("caption_expected"))
+        col("f.caption_expected").as("caption_expected"),
+        col("f.sharpness").as("sharpness"),
+        col("f.brightness").as("brightness"),
+        col("f.contrast").as("contrast"),
+        col("f.clip_lo").as("clip_lo"),
+        col("f.clip_hi").as("clip_hi"))
   }
 
   /** Row-invariant violation fan-out: one array<struct> per row, exploded —

@@ -55,7 +55,18 @@ object ImageSuiteQueries {
     * generated datasets. Without it a code change would silently serve
     * stale published facts to BOTH engines (the oracle reads the same
     * parquet, so Verify could not catch the staleness). */
-  val FactsVersion = 1
+  val FactsVersion = 2 // r5: + sharpness/brightness/contrast/clip facts
+
+  /** Perceptual-gate thresholds (q_i_quality_gates): Laplacian-variance
+    * blur floor, luma exposure envelope, contrast floor, rail-clip cap,
+    * and the per-part blur-rate verdict bar (the planted degraded parts
+    * run ~85% blurred vs ~11% baseline — the gate separates them). */
+  val QgSharpMin = 50.0
+  val QgDarkMax = 40.0
+  val QgBrightMin = 215.0
+  val QgContrastMin = 20.0
+  val QgClipMax = 0.02
+  val QgBlurRateMax = 0.5
 
   private def tierKey(sfDir: String): String =
     java.security.MessageDigest.getInstance("MD5")
@@ -263,6 +274,37 @@ object ImageSuiteQueries {
     "q_i_coverage" -> ((s, dir) => {
       val f = ensureFacts(s, dir)
       ImageSuite.coverageVerdicts(f, "verify").orderBy("part", "check")
+    }),
+    // Perceptual-quality gates over the decode-derived facts (blur via
+    // Laplacian variance, exposure envelope, rail clipping): the image-
+    // curation pre-gates a 100 TB pipeline runs beside integrity checks.
+    // The blur gate detects the planted low-quality parts for real
+    // (~85% flagged on the degraded parts vs ~11% baseline at sf0.001).
+    // Means use decimal-sum division so both engines agree bit-for-bit.
+    "q_i_quality_gates" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val f = ensureFacts(s, dir).filter(col("decode_ok"))
+      f.groupBy("part").agg(
+        count(lit(1L)).as("n"),
+        sum(when(col("sharpness") < QgSharpMin, 1L).otherwise(0L))
+          .as("n_blur"),
+        sum(when(col("brightness") < QgDarkMax, 1L).otherwise(0L))
+          .as("n_dark"),
+        sum(when(col("brightness") > QgBrightMin, 1L).otherwise(0L))
+          .as("n_bright"),
+        sum(when(col("contrast") < QgContrastMin, 1L).otherwise(0L))
+          .as("n_flat"),
+        sum(when(col("clip_lo") > QgClipMax || col("clip_hi") > QgClipMax,
+          1L).otherwise(0L)).as("n_clipped"),
+        round(expr("CAST(sum(CAST(sharpness AS DECIMAL(38,10))) AS DOUBLE)")
+          / count(lit(1L)).cast("double"), 6).as("sharpness_mean"),
+        round(min(col("sharpness")), 6).as("sharpness_min"))
+        .withColumn("blur_rate",
+          round(col("n_blur").cast("double") / col("n").cast("double"), 6))
+        .withColumn("pass", col("blur_rate") <= QgBlurRateMax &&
+          col("n_dark") === 0L && col("n_bright") === 0L &&
+          col("n_flat") === 0L)
+        .orderBy("part")
     }),
     "q_i_quality_scores" -> ((s, dir) => {
       val f = ensureFacts(s, dir)
@@ -742,6 +784,25 @@ object ImageSuiteQueries {
            CAST(0.02 AS DOUBLE) AS threshold, n_rows, n_violations,
            'verify' AS run_id
          FROM u""",
+    "q_i_quality_gates" ->
+      s"""$factsCte,
+         g AS (
+           SELECT part, count(*) AS n,
+             CAST(sum(CASE WHEN sharpness < $QgSharpMin THEN 1 ELSE 0 END) AS BIGINT) AS n_blur,
+             CAST(sum(CASE WHEN brightness < $QgDarkMax THEN 1 ELSE 0 END) AS BIGINT) AS n_dark,
+             CAST(sum(CASE WHEN brightness > $QgBrightMin THEN 1 ELSE 0 END) AS BIGINT) AS n_bright,
+             CAST(sum(CASE WHEN contrast < $QgContrastMin THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
+             CAST(sum(CASE WHEN clip_lo > $QgClipMax OR clip_hi > $QgClipMax
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+             round(CAST(sum(CAST(sharpness AS DECIMAL(38,10))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE), 6) AS sharpness_mean,
+             round(min(sharpness), 6) AS sharpness_min
+           FROM f WHERE decode_ok GROUP BY part)
+         SELECT *,
+           round(CAST(n_blur AS DOUBLE) / CAST(n AS DOUBLE), 6) AS blur_rate,
+           (round(CAST(n_blur AS DOUBLE) / CAST(n AS DOUBLE), 6) <= $QgBlurRateMax
+             AND n_dark = 0 AND n_bright = 0 AND n_flat = 0) AS pass
+         FROM g ORDER BY part""",
     "q_i_quality_scores" -> qualityScoresSql,
     "q_i_overall" ->
       s"""$factsCte,
