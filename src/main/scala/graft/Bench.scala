@@ -77,7 +77,11 @@ object Bench {
     "q_link_em_fit", "q_curate_weighted_sample", "q_v_intervals",
     "q_v_drift_ecf", "q_v_embeddings",
     "q_j11_interval_join", "q_j11_interval_stats", "q_link_jw_pairs",
-    "q_link_snm_pairs", "q_link_snm_audit", "q_graph_pagerank")
+    "q_link_snm_pairs", "q_link_snm_audit", "q_graph_pagerank",
+    // perceptual gates, JSD drift leg, partial-crop tile dedup
+    "q_i_quality_gates", "q_i_drift_jsd_baseline", "q_dedup_phash_tiles",
+    "q_v_outliers_mahalanobis", "q_i_container", "q_i_cfd",
+    "q_i_drift_sharpness")
 
   private val headline = suiteV4 ++ headlineNew
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -41,22 +42,27 @@ case class ImageFactsExpr(left: Expression, right: Expression)
     val hasBytes = bytes != null && bytes.nonEmpty
     val nBytes = if (bytes == null) 0L else bytes.length.toLong
     val sniffed = ImageCodec.sniffFormat(bytes).getOrElse("none")
+    val (containerKind, containerOk) = ImageCodec.containerFacts(bytes)
     val ord = try id.stripPrefix("img-").toLong catch { case _: Throwable => -1L }
     val capExp = ImageGen.caption(ord)
     ImageCodec.decode(bytes) match {
       case Some((px, dw, dh)) =>
-        val truth = ImageCodec.synthPixels(ord, dw, dh)
+        val truth = ImageGen.truthPixels(ord, dw, dh)
         val psnr = ImageCodec.psnr(px, truth).getOrElse(Double.NaN)
         val ph = Phash.phash64(px, dw, dh)
         val (sharp, bright, contr, clipLo, clipHi) =
           ImageCodec.lumaQuality(px, dw, dh)
         InternalRow(hasBytes, nBytes, true, dw, dh, psnr, ph,
           UTF8String.fromString(sniffed), UTF8String.fromString(capExp),
-          sharp, bright, contr, clipLo, clipHi)
+          sharp, bright, contr, clipLo, clipHi,
+          new GenericArrayData(Phash.tilePhashes(px, dw, dh)),
+          UTF8String.fromString(containerKind), containerOk)
       case None =>
         InternalRow(hasBytes, nBytes, false, 0, 0, Double.NaN, 0L,
           UTF8String.fromString(sniffed), UTF8String.fromString(capExp),
-          0.0, 0.0, 0.0, 0.0, 0.0)
+          0.0, 0.0, 0.0, 0.0, 0.0,
+          new GenericArrayData(Array.fill(4)(0L)),
+          UTF8String.fromString(containerKind), containerOk)
     }
   }
 
@@ -81,7 +87,15 @@ object ImageFactsExpr {
     StructField("brightness", DoubleType, nullable = false),
     StructField("contrast", DoubleType, nullable = false),
     StructField("clip_lo", DoubleType, nullable = false),
-    StructField("clip_hi", DoubleType, nullable = false)))
+    StructField("clip_hi", DoubleType, nullable = false),
+    // per-quadrant pHashes (TL, TR, BL, BR) — partial-crop dup signal;
+    // zeros when decode fails (like dims)
+    StructField("phash_tiles",
+      ArrayType(LongType, containsNull = false), nullable = false),
+    // structural container walk (ImageCodec.containerFacts): the
+    // decode-free pre-gate; kind from magic, ok = frame sequence intact
+    StructField("container_kind", StringType, nullable = false),
+    StructField("container_ok", BooleanType, nullable = false)))
 
   /** Column API: `image_facts(bytes, image_id)` → struct of facts.
     * (Spark 4 classic bridge: Column ↔ catalyst Expression via

@@ -164,6 +164,92 @@ object ImageCodec {
     else None
   }
 
+  /** Structural container walk WITHOUT decoding — the cheap pre-gate a
+    * 100 TB validation scan runs before spending a full decode on bytes
+    * that are obviously truncated or scrambled: JPEG marker-segment walk
+    * to EOI (ITU-T T.81 §B: SOI, FF-marker segments with big-endian
+    * lengths, standalone RSTn/TEM, entropy-coded scan after SOS), PNG
+    * signature + chunk walk to IEND (RFC 2083 §3: length/type/data/CRC
+    * frames), BMP 'BM' magic + declared file size ≤ actual. Returns
+    * (kind, structurally-ok). Purely positional — never reads pixel
+    * data, so cost is O(#segments), not O(#pixels); CRCs are NOT
+    * verified (that is the decoder's job; this gate only proves the
+    * frame sequence is intact end-to-end).
+    */
+  def containerFacts(bytes: Array[Byte]): (String, Boolean) = {
+    if (bytes == null || bytes.length < 4) return ("none", false)
+    val b = bytes
+    val n = b.length
+    def u8(i: Int): Int = b(i) & 0xff
+    if (u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk marker segments from after SOI to EOI
+      var i = 2
+      var sawEoi = false
+      var bad = false
+      while (!sawEoi && !bad) {
+        if (i + 1 >= n) { bad = true }
+        else if (u8(i) != 0xff) { bad = true }
+        else {
+          // skip fill bytes
+          var j = i
+          while (j + 1 < n && u8(j + 1) == 0xff) j += 1
+          if (j + 1 >= n) { bad = true }
+          else {
+            val marker = u8(j + 1)
+            if (marker == 0xd9) sawEoi = true
+            else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) i = j + 2
+            else if (marker == 0xda) {
+              // entropy-coded scan: skip to the next non-RST marker
+              var k = j + 2
+              if (k + 1 < n) { // skip the SOS header itself
+                val len = (u8(k) << 8) | u8(k + 1)
+                k += len
+              } else bad = true
+              var found = false
+              while (!found && !bad) {
+                if (k + 1 >= n) bad = true
+                else if (u8(k) == 0xff && u8(k + 1) != 0x00 &&
+                  !(u8(k + 1) >= 0xd0 && u8(k + 1) <= 0xd7)) found = true
+                else k += 1
+              }
+              i = k
+            } else {
+              if (j + 3 >= n) bad = true
+              else {
+                val len = (u8(j + 2) << 8) | u8(j + 3)
+                if (len < 2 || j + 2 + len > n) bad = true
+                else i = j + 2 + len
+              }
+            }
+          }
+        }
+      }
+      ("jpeg", sawEoi)
+    } else if (u8(0) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') {
+      if (n < 8) return ("png", false)
+      var i = 8
+      var sawEnd = false
+      var bad = false
+      while (!sawEnd && !bad) {
+        if (i + 8 > n) bad = true
+        else {
+          val len = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+          val tpe = new String(b, i + 4, 4, "US-ASCII")
+          if (len < 0 || i + 12 + len > n) bad = true
+          else {
+            if (tpe == "IEND") sawEnd = true
+            i += 12 + len
+          }
+        }
+      }
+      ("png", sawEnd)
+    } else if (b(0) == 'B' && b(1) == 'M') {
+      if (n < 14) return ("bmp", false)
+      val declared = (u8(2)) | (u8(3) << 8) | (u8(4) << 16) | (u8(5) << 24)
+      ("bmp", declared > 14 && declared <= n)
+    } else ("unknown", false)
+  }
+
   /** PSNR in dB between two same-size packed-RGB images; +Inf if identical.
     * None if sizes differ.
     */

@@ -32,6 +32,45 @@ object ImageGen {
 
   val DriftedParts: Seq[Int] = Seq(1, 5)
 
+  /** Tile-composite planting (partial-crop duplicates): ~2% of CLEAN-band
+    * rows lift their top-left quadrant from an anchor ordinal's pattern.
+    * Carved from the clean band by an INDEPENDENT draw, so every defect
+    * rate above is untouched; the composite is the row's ground TRUTH
+    * (both the generator and the facts expression use [[truthPixels]]),
+    * so PSNR/caption/dims semantics are unchanged too. What changes is
+    * geometry: composites share quadrant-0 content with their anchor
+    * (and with sibling composites of the same anchor) while the full
+    * image stays distinct — the signal q_dedup_phash_tiles detects.
+    */
+  val TileDupRate = 0.02
+
+  def tileAnchor(i: Long): Long = (i / 101) * 101
+
+  def isTileDup(i: Long): Boolean =
+    u01(i ^ Seed) >= CaptionMismatch && tileAnchor(i) != i &&
+      u01(i ^ 0x711eL) < TileDupRate
+
+  /** Ground-truth pixels for ordinal `i` at dims (w, h): the id's synth
+    * pattern, with the top-left quadrant replaced by the anchor's pattern
+    * for planted tile composites. Resolution-free: both patterns are
+    * sampled at (x/w, y/h), so the shared region is the same continuous
+    * image content at any dims — which is why the anchor's and the
+    * composite's quadrant-0 pHashes agree even when their dims differ.
+    */
+  def truthPixels(i: Long, w: Int, h: Int): Array[Int] = {
+    val base = ImageCodec.synthPixels(i, w, h)
+    if (!isTileDup(i)) return base
+    val donor = ImageCodec.synthPixels(tileAnchor(i), w, h)
+    val wl = (w + 1) / 2
+    val hl = (h + 1) / 2
+    var y = 0
+    while (y < hl) {
+      System.arraycopy(donor, y * w, base, y * w, wl)
+      y += 1
+    }
+    base
+  }
+
   /** Defect class of ordinal `i` (documentation + test-oracle use). */
   def defectOf(i: Long): String = {
     val u = u01(i ^ Seed)
@@ -84,10 +123,17 @@ object ImageGen {
     // dims: 24..55; drifted parts shifted up by 16 (the W/H drift signal)
     val baseW = 24 + ((m >>> 3) & 31).toInt + (if (drifted) 16 else 0)
     val baseH = 24 + ((m >>> 9) & 31).toInt + (if (drifted) 16 else 0)
-    // fmt skew: 90% jpeg / 7% png / 3% bmp (hot-key salting exercise)
+    // fmt skew: 90% jpeg / 7% png / 3% bmp (hot-key salting exercise).
+    // Tile composites are forced lossless: the quadrant seam is a step
+    // discontinuity that rings under JPEG quantization and would push
+    // CLEAN rows below the 40 dB PSNR gate (measured 34.6–39.7 dB at
+    // q=0.97) — and a real crop-composite pipeline stores masters
+    // losslessly anyway. PNG keeps decode == truth, PSNR = +Inf.
     val uf = u01(i ^ 0x5eedL)
-    val fmt = if (uf < 0.90) "jpeg" else if (uf < 0.97) "png" else "bmp"
-    val px = ImageCodec.synthPixels(i, baseW, baseH)
+    val fmt =
+      if (isTileDup(i)) "png"
+      else if (uf < 0.90) "jpeg" else if (uf < 0.97) "png" else "bmp"
+    val px = truthPixels(i, baseW, baseH)
     val truePhash = Phash.phash64(px, baseW, baseH)
     val cap = caption(i)
 
@@ -188,7 +234,7 @@ object ImageGen {
   }
 
   /** Bump when generation logic changes — invalidates cached datasets. */
-  val GenVersion = 5
+  val GenVersion = 8 // r5: tile-composite planting (truthPixels, lossless)
 
   /** Deterministic dataset dir for a row count (also used to EMBED paths in
     * oracle SQL without forcing generation first). */

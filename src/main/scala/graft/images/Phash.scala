@@ -113,4 +113,36 @@ object Phash {
   }
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Per-quadrant 64-bit pHashes (TL, TR, BL, BR) — the tile signatures
+    * behind partial-crop/region duplicate detection: a composite image
+    * that lifted one region from another image shares that quadrant's
+    * hash while the full-image hash diverges. Each quadrant is resampled
+    * to the same 32×32 grid, so tiles of images at different resolutions
+    * remain comparable (the pattern, not the pixel count, is hashed).
+    * Quadrant split is ceil-floor: left/top halves get the extra pixel
+    * on odd dims; any quadrant degenerating below 1×1 yields 0L.
+    */
+  def tilePhashes(px: Array[Int], w: Int, h: Int): Array[Long] = {
+    val out = new Array[Long](4)
+    if (w < 2 || h < 2 || px.length != w * h) return out
+    val wl = (w + 1) / 2; val hl = (h + 1) / 2
+    val qs = Array((0, 0, wl, hl), (wl, 0, w - wl, hl),
+      (0, hl, wl, h - hl), (wl, hl, w - wl, h - hl))
+    var q = 0
+    while (q < 4) {
+      val (x0, y0, qw, qh) = qs(q)
+      if (qw >= 1 && qh >= 1) {
+        val sub = new Array[Int](qw * qh)
+        var y = 0
+        while (y < qh) {
+          System.arraycopy(px, (y0 + y) * w + x0, sub, y * qw, qw)
+          y += 1
+        }
+        out(q) = phash64(sub, qw, qh)
+      }
+      q += 1
+    }
+    out
+  }
 }

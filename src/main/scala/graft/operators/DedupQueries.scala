@@ -169,6 +169,50 @@ object DedupQueries {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Partial-crop (region) duplicate pairs from per-quadrant pHash tiles:
+    * two images that share ONE quadrant's content (tile hamming ≤
+    * `maxTileHamming`) while the full images diverge (full-hash hamming ≥
+    * `minFullHamming`) — the composite/crop-reuse signal whole-image
+    * near-dup banding is structurally blind to, since a shared quadrant
+    * perturbs at most a fraction of the full 64 DCT sign bits. Same
+    * banding + hot-bucket run discipline as [[bandedSimhashPairsL2]], with
+    * the quadrant index salted into the bucket key so tiles only ever
+    * pair within their own quadrant position. `sig` must have (doc_id,
+    * phash, q, tile) — one row per (image, quadrant), zero tiles already
+    * filtered. One shuffle on (q, band, key); candidates O(bucket · run).
+    */
+  def bandedTilePairs(sig: DataFrame, maxTileHamming: Int,
+                      minFullHamming: Int, maxBucket: Int,
+                      runWidth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mask = lit(65535L)
+    val bands = sig.select(col("doc_id"), col("phash"), col("q"), col("tile"),
+        explode(array((0 until 4).map { j =>
+          struct(lit(j).as("band"),
+            shiftright(col("tile"), j * 16).bitwiseAND(mask).as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("phash"), col("q"), col("tile"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val bucket = Window.partitionBy("q", "band", "key")
+    val run = bucket.orderBy("tile", "doc_id")
+    val ranked = bands
+      .withColumn("bn", count(lit(1)).over(bucket))
+      .withColumn("rn", row_number().over(run))
+    ranked.as("x").join(ranked.as("y"),
+        col("x.q") === col("y.q") && col("x.band") === col("y.band") &&
+          col("x.key") === col("y.key") && col("x.rn") < col("y.rn") &&
+          (col("x.bn") <= maxBucket || col("y.bn") <= maxBucket ||
+            col("y.rn") - col("x.rn") <= runWidth))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"),
+        col("x.q").as("q"),
+        bit_count(col("x.tile").bitwiseXOR(col("y.tile"))).as("tile_hamming"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("full_hamming"))
+      .distinct()
+      .filter(col("tile_hamming") <= maxTileHamming &&
+        col("full_hamming") >= minFullHamming)
+  }
+
   /** Connected components of an undirected near-dup pair graph by min-id
     * label propagation to a fixpoint: every node's label converges to the
     * smallest doc_id reachable from it. Deterministic (pure min over the
@@ -632,6 +676,32 @@ object DedupQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Partial-crop duplicate pairs: quadrant tile hashes band-joined
+    // within their quadrant position; a pair is reported when one
+    // quadrant's content matches (tile hamming ≤ 6) but the full images
+    // diverge (full hamming ≥ 8). Exercised for real: the generator
+    // plants ~2% clean-band composites whose top-left quadrant is lifted
+    // from an anchor ordinal's pattern (ImageGen.truthPixels), so
+    // composites pair with their anchor and with sibling composites —
+    // whole-image banding misses them by construction. One signature row
+    // per image_id (min-(phash, n_bytes) content wins — dup-id rows carry
+    // two contents) keeps both engines on the same deterministic input.
+    "q_dedup_phash_tiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = graft.validation.ImageSuiteQueries.ensureFacts(s, dir)
+      val first = f.filter(col("decode_ok"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("image_id").orderBy("phash_rec", "n_bytes")))
+        .filter(col("rn") === 1)
+      val sig = first.select(col("image_id").as("doc_id"),
+          col("phash_rec").as("phash"),
+          posexplode(col("phash_tiles")).as(Seq("q", "tile")))
+        .filter(col("tile") =!= 0L)
+      bandedTilePairs(sig, maxTileHamming = 6, minFullHamming = 8,
+          maxBucket = 4, runWidth = 4)
+        .orderBy("a_id", "b_id", "q")
+    }),
+
     // Image near-dup CLUSTERS end-to-end: star-contraction connected
     // components over the banded phash pair graph — the image twin of
     // q_dedup_cc's text clustering, labeling every image with the min
@@ -892,6 +962,42 @@ object DedupQueries {
              ON x.b = y.b AND x.key = y.key AND x.rn < y.rn
             AND (x.bn <= 4 OR y.rn - x.rn <= 4))
          SELECT a_id, b_id, hamming FROM cand WHERE hamming <= 4""",
+    "q_dedup_phash_tiles" ->
+      s"""WITH f AS (
+           SELECT image_id, phash_rec, n_bytes, phash_tiles
+           FROM read_parquet('${graft.validation.ImageSuiteQueries.FactsPath}/*.parquet')
+           WHERE decode_ok),
+         first AS (
+           SELECT image_id AS doc_id, phash_rec AS phash, phash_tiles
+           FROM (SELECT *, row_number() OVER (PARTITION BY image_id
+                   ORDER BY phash_rec, n_bytes) AS rn FROM f)
+           WHERE rn = 1),
+         sig AS (
+           SELECT doc_id, phash,
+             generate_subscripts(phash_tiles, 1) - 1 AS q,
+             unnest(phash_tiles) AS tile
+           FROM first),
+         sig2 AS (SELECT * FROM sig WHERE tile <> 0),
+         bands AS (
+           SELECT doc_id, phash, q, tile, b.b AS b,
+             (tile >> (b.b * 16)) & 65535 AS key
+           FROM sig2 CROSS JOIN (VALUES (0), (1), (2), (3)) b(b)),
+         ranked AS (
+           SELECT doc_id, phash, q, tile, b, key,
+             count(*) OVER (PARTITION BY q, b, key) AS bn,
+             row_number() OVER (PARTITION BY q, b, key
+               ORDER BY tile, doc_id) AS rn
+           FROM bands),
+         cand AS (
+           SELECT DISTINCT least(x.doc_id, y.doc_id) AS a_id,
+             greatest(x.doc_id, y.doc_id) AS b_id, x.q AS q,
+             bit_count(xor(x.tile, y.tile)) AS tile_hamming,
+             bit_count(xor(x.phash, y.phash)) AS full_hamming
+           FROM ranked x JOIN ranked y
+             ON x.q = y.q AND x.b = y.b AND x.key = y.key AND x.rn < y.rn
+            AND (x.bn <= 4 OR y.rn - x.rn <= 4))
+         SELECT a_id, b_id, q, tile_hamming, full_hamming FROM cand
+         WHERE tile_hamming <= 6 AND full_hamming >= 8""",
     "q_dedup_phash_cc" ->
       s"""WITH RECURSIVE f AS (
            SELECT image_id AS doc_id, min(phash) AS phash

@@ -214,6 +214,50 @@ object Drift {
       .withColumn("drifted", col("emd") > DriftEmdMax)
   }
 
+  /** JSD flag threshold in nats. JSD is bounded by ln 2 ≈ 0.693; the
+    * generator's planted two-bucket dim shift moves essentially all mass
+    * off the shared support (JSD → ln 2), while clean partitions sit at
+    * smoothing/sampling noise ≪ 0.05 — an order of magnitude of margin
+    * on both sides of 0.1. */
+  val DriftJsdMax = 0.1
+
+  /** Jensen–Shannon divergence per (part, colname) against a persisted
+    * baseline histogram, in nats: JSD(p‖q) = ½·Σ p·ln(p/m) + ½·Σ q·ln(q/m)
+    * with m = (p+q)/2, over the same union bucket grid and half-count
+    * smoothing as [[baselinePsi]] (Lin, "Divergence measures based on the
+    * Shannon entropy", IEEE Trans. IT 1991). Completes the drift family
+    * with a SYMMETRIC, BOUNDED score: PSI is unbounded and explodes on
+    * support loss, chi² scales with count, KS sees only the worst bucket —
+    * JSD ∈ [0, ln 2] is comparable across columns and run sizes, which is
+    * what a fleet-wide drift dashboard thresholds on. Same exact-integer
+    * inputs → identical doubles on both engines; one groupBy over the
+    * scan + broadcast of the bucket-count-sized baseline.
+    */
+  def baselineJsd(images: DataFrame, baselineHist: DataFrame): DataFrame = {
+    val ph = histogram(images).withColumnRenamed("cnt", "obs")
+    val ptot = ph.groupBy("part", "colname").agg(sum("obs").as("p_tot"))
+    val g = baselineHist.select(col("colname"), col("bucket"), col("cnt").as("g_cnt"))
+    val gtot = g.groupBy("colname").agg(sum("g_cnt").as("g_tot"))
+    val bgrid = ptot.select("part", "colname").join(broadcast(g), Seq("colname"))
+    val u = bgrid.join(ph, Seq("part", "colname", "bucket"), "full_outer")
+      .na.fill(0L, Seq("obs", "g_cnt"))
+    val withNb = u.join(ptot, Seq("part", "colname"))
+      .join(broadcast(gtot), Seq("colname"))
+      .withColumn("nb", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("part", "colname")))
+    withNb
+      .withColumn("pp", (col("obs").cast("double") + lit(0.5)) /
+        (col("p_tot").cast("double") + lit(0.5) * col("nb").cast("double")))
+      .withColumn("pg", (col("g_cnt").cast("double") + lit(0.5)) /
+        (col("g_tot").cast("double") + lit(0.5) * col("nb").cast("double")))
+      .withColumn("m", (col("pp") + col("pg")) / lit(2.0))
+      .withColumn("term", (col("pp") * log(col("pp") / col("m")) +
+        col("pg") * log(col("pg") / col("m"))) / lit(2.0))
+      .groupBy("part", "colname")
+      .agg(count(lit(1)).as("n_buckets"), round(sum(col("term")), 6).as("jsd"))
+      .withColumn("drifted", col("jsd") > DriftJsdMax)
+  }
+
   /** Baseline snapshot: global histogram + per-column global t-digest. */
   def snapshot(spark: SparkSession, images: DataFrame, dir: String): Unit = {
     histogram(images).groupBy("colname", "bucket").agg(sum("cnt").as("cnt"))

@@ -59,6 +59,64 @@ object FunctionalDeps {
     arms.reduce(_.unionAll(_)).orderBy("det", "dep")
   }
 
+  /** Conditional-FD pattern tableau for det → dep (Fan et al.,
+    * "Conditional Functional Dependencies for Data Cleaning", ICDE 2007,
+    * re-derived as one aggregation shape): a plain FD that fails globally
+    * often HOLDS on identifiable det-value patterns — the tableau rows.
+    * For each det value with support ≥ `minSupport`: its dep-NDV, the
+    * dominant dep value (ties broken by value, deterministically), and
+    * the confidence = dominant share; `exact` ⇔ single dep value,
+    * `holds` ⇔ confidence ≥ `minConf`.
+    *
+    * Scale shape: one groupBy on (det, dep) — joint-NDV-sized output —
+    * then a groupBy on det over that; rows never cross a second shuffle.
+    * Nulls are values (profiler semantics), same sentinel as [[fds]].
+    */
+  def cfd(df: DataFrame, det: String, dep: String,
+          minSupport: Long, minConf: Double): DataFrame = {
+    val proj = df.select(
+      coalesce(col(det).cast("string"), lit(NullMark)).as("det_value"),
+      coalesce(col(dep).cast("string"), lit(NullMark)).as("dep_value"))
+    val joint = proj.groupBy("det_value", "dep_value")
+      .agg(count(lit(1L)).as("cnt"))
+    joint.groupBy("det_value")
+      .agg(sum("cnt").as("support"),
+        count(lit(1L)).as("ndv_dep"),
+        max(struct(col("cnt"), col("dep_value"))).as("top"))
+      .filter(col("support") >= minSupport)
+      .select(col("det_value"), col("support"), col("ndv_dep"),
+        col("top.dep_value").as("top_dep"),
+        round(col("top.cnt").cast("double") /
+          col("support").cast("double"), 6).as("confidence"))
+      .withColumn("exact", col("ndv_dep") === 1L)
+      .withColumn("holds", col("confidence") >= minConf)
+      .orderBy("det_value")
+  }
+
+  /** DuckDB twin of [[cfd]]: the struct-max dominant pick is restated as
+    * rn=1 over (cnt DESC, dep_value DESC) — the identical total order. */
+  def duckCfdSql(table: String, det: String, dep: String,
+                 minSupport: Long, minConf: Double): String =
+    s"""WITH p AS (
+         SELECT coalesce(CAST($det AS VARCHAR), '$NullMark') AS det_value,
+           coalesce(CAST($dep AS VARCHAR), '$NullMark') AS dep_value
+         FROM $table),
+       joint AS (SELECT det_value, dep_value, count(*) AS cnt
+                 FROM p GROUP BY 1, 2),
+       ranked AS (SELECT det_value, dep_value, cnt,
+           sum(cnt) OVER (PARTITION BY det_value) AS support,
+           count(*) OVER (PARTITION BY det_value) AS ndv_dep,
+           row_number() OVER (PARTITION BY det_value
+             ORDER BY cnt DESC, dep_value DESC) AS rn
+         FROM joint)
+       SELECT det_value, CAST(support AS BIGINT) AS support,
+         CAST(ndv_dep AS BIGINT) AS ndv_dep, dep_value AS top_dep,
+         round(CAST(cnt AS DOUBLE) / CAST(support AS DOUBLE), 6) AS confidence,
+         ndv_dep = 1 AS exact,
+         round(CAST(cnt AS DOUBLE) / CAST(support AS DOUBLE), 6) >= $minConf AS holds
+       FROM ranked WHERE rn = 1 AND support >= $minSupport
+       ORDER BY det_value"""
+
   /** DuckDB twin over the same static column list — generated from one
     * definition so the formula cannot drift. */
   def duckSql(table: String, cols: Seq[String]): String = {

@@ -51,7 +51,7 @@ object ImageSuite {
           val ord = idOrdinal(id)
           val facts = dec match {
             case Some((px, dw, dh)) =>
-              val truth = ImageCodec.synthPixels(ord, dw, dh)
+              val truth = ImageGen.truthPixels(ord, dw, dh)
               val p = ImageCodec.psnr(px, truth).getOrElse(Double.NaN)
               val ph = Phash.phash64(px, dw, dh)
               DecodedFacts(id, part, fmt, caption, w, h, phash,
@@ -101,7 +101,10 @@ object ImageSuite {
         col("f.brightness").as("brightness"),
         col("f.contrast").as("contrast"),
         col("f.clip_lo").as("clip_lo"),
-        col("f.clip_hi").as("clip_hi"))
+        col("f.clip_hi").as("clip_hi"),
+        col("f.phash_tiles").as("phash_tiles"),
+        col("f.container_kind").as("container_kind"),
+        col("f.container_ok").as("container_ok"))
   }
 
   /** Row-invariant violation fan-out: one array<struct> per row, exploded —

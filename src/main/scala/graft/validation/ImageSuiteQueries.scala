@@ -55,7 +55,7 @@ object ImageSuiteQueries {
     * generated datasets. Without it a code change would silently serve
     * stale published facts to BOTH engines (the oracle reads the same
     * parquet, so Verify could not catch the staleness). */
-  val FactsVersion = 2 // r5: + sharpness/brightness/contrast/clip facts
+  val FactsVersion = 4 // r5: + luma facts, + phash tiles, + container walk
 
   /** Perceptual-gate thresholds (q_i_quality_gates): Laplacian-variance
     * blur floor, luma exposure envelope, contrast floor, rail-clip cap,
@@ -306,9 +306,61 @@ object ImageSuiteQueries {
           col("n_flat") === 0L)
         .orderBy("part")
     }),
+    // Structural pre-gate audit: per part, how many bytes the container
+    // walk (no decode) proves broken, vs the decoder's verdict. The
+    // production value is n_pregate_saved (full decodes skipped at 100 TB
+    // scan cost); the correctness bar is n_false_reject = 0 — the gate
+    // must NEVER reject bytes the decoder accepts (it may pass bytes the
+    // decoder then rejects; it is a necessary, not sufficient, check).
+    "q_i_container" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val f = ensureFacts(s, dir)
+      f.groupBy("part").agg(
+        count(lit(1L)).as("n"),
+        sum(when(col("container_ok"), 1L).otherwise(0L)).as("n_container_ok"),
+        sum(when(col("decode_ok"), 1L).otherwise(0L)).as("n_decode_ok"),
+        sum(when(!col("container_ok") && !col("decode_ok"), 1L).otherwise(0L))
+          .as("n_pregate_saved"),
+        sum(when(!col("container_ok") && col("decode_ok"), 1L).otherwise(0L))
+          .as("n_false_reject"),
+        sum(when(col("container_kind") =!= col("fmt_sniffed") &&
+          col("fmt_sniffed") =!= "none", 1L).otherwise(0L)).as("n_kind_mismatch"))
+        .withColumn("pass", col("n_false_reject") === 0L)
+        .orderBy("part")
+    }),
     "q_i_quality_scores" -> ((s, dir) => {
       val f = ensureFacts(s, dir)
       Scoring.qualityVerdicts(f, "verify").orderBy("part", "check")
+    }),
+    // Conditional-FD tableau fmt → container_kind over the decoded facts:
+    // the plain FD fails globally (null/corrupt/bad-fmt rows break every
+    // tag), but each fmt value holds at a confidence pinned by the
+    // generator's defect rates — the mined tableau is what a validation
+    // engine would promote into per-pattern constraints.
+    "q_i_cfd" -> ((s, dir) => {
+      val f = ensureFacts(s, dir)
+      FunctionalDeps.cfd(f, "fmt", "container_kind",
+        minSupport = 50L, minConf = 0.95)
+    }),
+    // Segmented chi² drift on the DERIVED sharpness fact (per part vs the
+    // corpus): the planted big-dim partitions have systematically lower
+    // Laplacian variance, so the drift machinery flags them from a
+    // quality fact no stored column carries — closing the loop between
+    // the decode stage and the drift family.
+    "q_i_drift_sharpness" -> ((s, dir) => {
+      // clamp the long checkerboard-like tail: past the gate region the
+      // exact variance is irrelevant, and unclamped 1-count tail buckets
+      // make the per-segment chi² all noise (expected counts ≪ 1)
+      // threshold 10, not the 0.5 of the CLEAN-corpus segmented check:
+      // here the pooled corpus CONTAINS the drifted segments (worst case
+      // 2 of 8 parts), so clean parts read a contamination floor of
+      // chi²/n ≈ 3.3–3.9 while truly shifted parts read 23–26 — 10 is
+      // the geometric midpoint with >2.5× margin on each side, and the
+      // margin only widens as the part count grows at scale.
+      val f = ensureFacts(s, dir).filter(col("decode_ok"))
+        .withColumn("sharpness_c", least(col("sharpness"), lit(500.0)))
+      Drift.segmentedChiSq(f, "part", "sharpness_c",
+        bucketWidth = 25.0, threshold = 10.0)
     }),
     // V8 composition over the oracle-able families (row + coverage +
     // quality): mean/min/failing-count of graded scores per partition.
@@ -427,6 +479,13 @@ object ImageSuiteQueries {
           Drift.readBaseline(s, base))
         .orderBy("part", "colname")
     }),
+    "q_i_drift_jsd_baseline" -> ((s, dir) => {
+      val d = ImageGen.ensure(s, rowsFor(dir))
+      val base = ensureBaseline(s, dir)
+      Drift.baselineJsd(ImageGen.images(s, d).select("part", "w", "h"),
+          Drift.readBaseline(s, base))
+        .orderBy("part", "colname")
+    }),
     "q_i_drift_emd_baseline" -> ((s, dir) => {
       val d = ImageGen.ensure(s, rowsFor(dir))
       val base = ensureBaseline(s, dir)
@@ -450,6 +509,7 @@ object ImageSuiteQueries {
     */
   def ensureBaseline(s: SparkSession, sfDir: String): String = {
     val d = ImageGen.ensure(s, rowsFor(sfDir))
+    lastTier = sfDir // keep single-query oracle globs on this tier
     val base = baselinePath(sfDir)
     publishOnce(base) { tmp =>
       val images = ImageGen.images(s, d).select("image_id", "part", "w", "h", "caption")
@@ -627,6 +687,33 @@ object ImageSuiteQueries {
            round(sum((pp - pg) * ln(pp / pg)), 6) AS psi,
            round(sum((pp - pg) * ln(pp / pg)), 6) > 0.2 AS drifted
          FROM t GROUP BY 1, 2""",
+    "q_i_drift_jsd_baseline" ->
+      s"""WITH $imageHistCte,
+         ptot AS (SELECT part, colname, sum(obs) AS p_tot FROM ph GROUP BY 1, 2),
+         gtot AS (SELECT colname, sum(g_cnt) AS g_tot FROM g GROUP BY 1),
+         bgrid AS (SELECT p.part, p.colname, g.bucket, g.g_cnt
+                   FROM (SELECT DISTINCT part, colname FROM ptot) p
+                   JOIN g ON g.colname = p.colname),
+         u AS (SELECT COALESCE(b.part, ph.part) AS part,
+                 COALESCE(b.colname, ph.colname) AS colname,
+                 COALESCE(b.g_cnt, 0) AS g_cnt, COALESCE(ph.obs, 0) AS obs
+               FROM bgrid b FULL OUTER JOIN ph
+                 ON ph.part = b.part AND ph.colname = b.colname
+                AND ph.bucket = b.bucket),
+         nbt AS (SELECT part, colname, count(*) AS nb FROM u GROUP BY 1, 2),
+         t AS (SELECT u.part, u.colname,
+                 (CAST(obs AS DOUBLE) + 0.5)
+                   / (CAST(p_tot AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)) AS pp,
+                 (CAST(g_cnt AS DOUBLE) + 0.5)
+                   / (CAST(g_tot AS DOUBLE) + 0.5 * CAST(nb AS DOUBLE)) AS pg
+               FROM u JOIN ptot USING (part, colname)
+                 JOIN gtot USING (colname) JOIN nbt USING (part, colname))
+         SELECT part, colname, count(*) AS n_buckets,
+           round(sum((pp * ln(pp / ((pp + pg) / 2.0))
+                    + pg * ln(pg / ((pp + pg) / 2.0))) / 2.0), 6) AS jsd,
+           round(sum((pp * ln(pp / ((pp + pg) / 2.0))
+                    + pg * ln(pg / ((pp + pg) / 2.0))) / 2.0), 6) > 0.1 AS drifted
+         FROM t GROUP BY 1, 2""",
     "q_i_drift_emd_baseline" ->
       s"""WITH $imageHistCte,
          ptot AS (SELECT part, colname, sum(obs) AS p_tot FROM ph GROUP BY 1, 2),
@@ -803,7 +890,60 @@ object ImageSuiteQueries {
            (round(CAST(n_blur AS DOUBLE) / CAST(n AS DOUBLE), 6) <= $QgBlurRateMax
              AND n_dark = 0 AND n_bright = 0 AND n_flat = 0) AS pass
          FROM g ORDER BY part""",
+    "q_i_container" ->
+      s"""$factsCte
+         SELECT part, count(*) AS n,
+           CAST(sum(CASE WHEN container_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_container_ok,
+           CAST(sum(CASE WHEN decode_ok THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_decode_ok,
+           CAST(sum(CASE WHEN NOT container_ok AND NOT decode_ok
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_pregate_saved,
+           CAST(sum(CASE WHEN NOT container_ok AND decode_ok
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_false_reject,
+           CAST(sum(CASE WHEN container_kind <> fmt_sniffed
+             AND fmt_sniffed <> 'none' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kind_mismatch,
+           (sum(CASE WHEN NOT container_ok AND decode_ok
+             THEN 1 ELSE 0 END) = 0) AS pass
+         FROM f GROUP BY part ORDER BY part""",
     "q_i_quality_scores" -> qualityScoresSql,
+    "q_i_cfd" -> (factsCte + FunctionalDeps.duckCfdSql("f",
+      "fmt", "container_kind", minSupport = 50L, minConf = 0.95)
+      .replaceFirst("WITH ", ", ")),
+    "q_i_drift_sharpness" ->
+      s"""$factsCte,
+          seg AS (
+            SELECT part AS segment,
+              floor(least(sharpness, 500.0) / 25.0) AS bucket,
+              count(*) AS obs
+            FROM f WHERE decode_ok GROUP BY 1, 2),
+          corpus AS (
+            SELECT bucket, CAST(sum(obs) AS BIGINT) AS corpus_cnt
+            FROM seg GROUP BY 1),
+          corpus_tot AS (
+            SELECT CAST(sum(corpus_cnt) AS BIGINT) AS corpus_tot FROM corpus),
+          seg_tot AS (
+            SELECT segment, CAST(sum(obs) AS BIGINT) AS seg_tot
+            FROM seg GROUP BY 1),
+          grid AS (
+            SELECT st.segment, c.bucket, st.seg_tot, c.corpus_cnt,
+              coalesce(s.obs, 0) AS obs
+            FROM seg_tot st CROSS JOIN corpus c
+            LEFT JOIN seg s ON s.segment = st.segment AND s.bucket = c.bucket),
+          terms AS (
+            SELECT segment,
+              (CAST(obs AS DOUBLE)
+                 - CAST(seg_tot AS DOUBLE) * CAST(corpus_cnt AS DOUBLE) / CAST(corpus_tot AS DOUBLE))
+              * (CAST(obs AS DOUBLE)
+                 - CAST(seg_tot AS DOUBLE) * CAST(corpus_cnt AS DOUBLE) / CAST(corpus_tot AS DOUBLE))
+              / (CAST(seg_tot AS DOUBLE) * CAST(corpus_cnt AS DOUBLE) / CAST(corpus_tot AS DOUBLE))
+                AS term
+            FROM grid CROSS JOIN corpus_tot)
+          SELECT segment, count(*) AS n_buckets,
+            round(sum(term), 6) AS chi2,
+            round(sum(term), 6) / count(*) > 10.0 AS drifted
+          FROM terms GROUP BY segment ORDER BY segment""",
     "q_i_overall" ->
       s"""$factsCte,
          $verdictUnionSql

@@ -497,6 +497,94 @@ object StatChecks {
          round(max(score), 6) AS max_score
        FROM s"""
   }
+
+  /** χ²(2 df) critical value at p = 0.001 — the conventional Mahalanobis
+    * outlier gate for a 2-column check (squared Mahalanobis distance of a
+    * bivariate normal is χ²₂-distributed). */
+  val MahalanobisChi2Df2P999 = 13.8155
+
+  /** Bivariate Mahalanobis outlier rows over (xCol, yCol): d²(x, y) =
+    * (dx²·σyy − 2·dx·dy·σxy + dy²·σxx) / det(Σ) against the column pair's
+    * own mean/covariance — the MULTIVARIATE outlier screen univariate
+    * z/MAD gates miss: a row can be unremarkable in every single column
+    * yet far off the joint correlation structure (e.g. a huge price on a
+    * tiny quantity). Mahalanobis, Proc. Nat. Inst. Sci. India 1936.
+    *
+    * Shape: one exact-decimal moment pass (order-free sums → identical
+    * doubles both engines), broadcast of the 6-scalar stats row, one
+    * codegen'd per-row distance projection — no second shuffle; the
+    * violation emission is top-`limit` by (d², keys), deterministic under
+    * round-6 + total key tiebreak. Degenerate det ≤ 0 (collinear columns)
+    * yields zero rows by contract — the gate needs 2 real dimensions.
+    */
+  def mahalanobisOutliers(df: DataFrame, xCol: String, yCol: String,
+                          keyCols: Seq[String],
+                          threshold: Double = MahalanobisChi2Df2P999,
+                          limit: Int = 100): DataFrame = {
+    val a = df.agg(
+      count(lit(1L)).as("n"),
+      sum(col(xCol).cast("decimal(28,6)")).as("s_x"),
+      sum(col(yCol).cast("decimal(28,6)")).as("s_y"),
+      sum((col(xCol) * col(xCol)).cast("decimal(38,10)")).as("s_xx"),
+      sum((col(yCol) * col(yCol)).cast("decimal(38,10)")).as("s_yy"),
+      sum((col(xCol) * col(yCol)).cast("decimal(38,10)")).as("s_xy"))
+    def d(c: String) = col(c).cast("double")
+    val n = d("n")
+    val scored = df.crossJoin(broadcast(a))
+      .withColumn("_mx", d("s_x") / n)
+      .withColumn("_my", d("s_y") / n)
+      .withColumn("_sxx", (n * d("s_xx") - d("s_x") * d("s_x")) / (n * n))
+      .withColumn("_syy", (n * d("s_yy") - d("s_y") * d("s_y")) / (n * n))
+      .withColumn("_sxy", (n * d("s_xy") - d("s_x") * d("s_y")) / (n * n))
+      .withColumn("_det", col("_sxx") * col("_syy") - col("_sxy") * col("_sxy"))
+      .withColumn("_dx", col(xCol).cast("double") - col("_mx"))
+      .withColumn("_dy", col(yCol).cast("double") - col("_my"))
+      .withColumn("d2", round(
+        (col("_dx") * col("_dx") * col("_syy") -
+          lit(2.0) * col("_dx") * col("_dy") * col("_sxy") +
+          col("_dy") * col("_dy") * col("_sxx")) / col("_det"), 6))
+    scored.filter(col("_det") > 0.0 && col("d2") > threshold)
+      .select(keyCols.map(col) :+ col(xCol) :+ col(yCol) :+ col("d2"): _*)
+      .orderBy(col("d2").desc +: keyCols.map(col): _*)
+      .limit(limit)
+  }
+
+  /** DuckDB twin of [[mahalanobisOutliers]] — same moments, same scalar
+    * distance expression, same round-6 + tiebreak + limit. */
+  def duckMahalanobisSql(table: String, xCol: String, yCol: String,
+                         keyCols: Seq[String],
+                         threshold: Double = MahalanobisChi2Df2P999,
+                         limit: Int = 100): String = {
+    val keys = keyCols.mkString(", ")
+    s"""WITH a AS (
+         SELECT count(*) AS n,
+           sum(CAST($xCol AS DECIMAL(28,6))) AS s_x,
+           sum(CAST($yCol AS DECIMAL(28,6))) AS s_y,
+           sum(CAST($xCol * $xCol AS DECIMAL(38,10))) AS s_xx,
+           sum(CAST($yCol * $yCol AS DECIMAL(38,10))) AS s_yy,
+           sum(CAST($xCol * $yCol AS DECIMAL(38,10))) AS s_xy
+         FROM $table),
+       s AS (
+         SELECT $keys, $xCol, $yCol,
+           (CAST(n AS DOUBLE) * CAST(s_xx AS DOUBLE) - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS sxx,
+           (CAST(n AS DOUBLE) * CAST(s_yy AS DOUBLE) - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS syy,
+           (CAST(n AS DOUBLE) * CAST(s_xy AS DOUBLE) - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS sxy,
+           CAST($xCol AS DOUBLE) - CAST(s_x AS DOUBLE) / CAST(n AS DOUBLE) AS dx,
+           CAST($yCol AS DOUBLE) - CAST(s_y AS DOUBLE) / CAST(n AS DOUBLE) AS dy
+         FROM $table, a),
+       t AS (
+         SELECT $keys, $xCol, $yCol,
+           sxx * syy - sxy * sxy AS det,
+           round((dx * dx * syy - 2.0 * dx * dy * sxy + dy * dy * sxx)
+             / (sxx * syy - sxy * sxy), 6) AS d2
+         FROM s)
+       SELECT $keys, $xCol, $yCol, d2 FROM t
+       WHERE det > 0.0 AND d2 > $threshold
+       ORDER BY d2 DESC, $keys LIMIT $limit"""
+  }
 }
 
 /** Timeliness — the sixth classic data-quality dimension (completeness,

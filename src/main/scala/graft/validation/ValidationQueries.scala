@@ -260,6 +260,24 @@ object ValidationQueries {
     "q_v_outliers_mad" -> ((s, dir) =>
       StatChecks.robustOutliers(t(s, dir, "events"), "value")),
 
+    // Bivariate Mahalanobis outliers on (per-order item count, order
+    // total price): orders whose JOINT position is extreme even where
+    // neither marginal is — the multivariate complement of
+    // q_v_outliers_mad (28 flagged at sf0.01 under the χ²₂ 0.999 gate).
+    // One count aggregation + one exact-decimal moment pass + a
+    // broadcast-stats scoring projection.
+    "q_v_outliers_mahalanobis" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1L)).as("cnt"))
+      val base = t(s, dir, "orders")
+        .join(li, col("o_orderkey") === col("k"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("cnt"), lit(0L)).cast("double").as("n_items"),
+          col("o_totalprice").cast("double").as("total_price"))
+      StatChecks.mahalanobisOutliers(base, "n_items", "total_price",
+        Seq("o_orderkey"))
+    }),
+
     // Timeliness — per-event-type freshness vs a pinned `now` (never
     // wall-clock: verdicts must replay bit-identically) + largest
     // intra-segment arrival gap; one segment-keyed sort window + one
@@ -650,6 +668,13 @@ object ValidationQueries {
     "q_v_ks_exact" -> StatChecks.duckKsTwoSampleSql("orders",
       "o_totalprice", AnomalyBaselineWhere),
     "q_v_outliers_mad" -> StatChecks.duckRobustOutliersSql("events", "value"),
+    "q_v_outliers_mahalanobis" -> StatChecks.duckMahalanobisSql(
+      """(SELECT o_orderkey,
+           CAST(coalesce(cnt, 0) AS DOUBLE) AS n_items,
+           CAST(o_totalprice AS DOUBLE) AS total_price
+         FROM orders LEFT JOIN (SELECT l_orderkey AS k, count(*) AS cnt
+             FROM lineitem GROUP BY 1) li ON o_orderkey = k)""",
+      "n_items", "total_price", Seq("o_orderkey")),
     "q_v_freshness" -> Timeliness.duckFreshnessSql("events", "ts",
       "event_type", "2024-02-01 00:00:00", maxLagHours = 36.0,
       maxGapHours = 4.0),

@@ -70,6 +70,23 @@ class DriftBaselineSpec extends SparkTestBase {
     }
   }
 
+  test("JSD leg flags exactly the planted drifted partitions, bounded by ln 2") {
+    val jsd = Drift.baselineJsd(images.select("part", "w", "h"),
+      Drift.readBaseline(spark, base)).collect()
+    assert(jsd.nonEmpty)
+    jsd.foreach { r =>
+      val part = r.getAs[String]("part")
+      val v = r.getAs[Double]("jsd")
+      assert(v >= 0.0 && v <= math.log(2.0) + 1e-9, s"$part: jsd=$v out of [0, ln 2]")
+      assert(r.getAs[Boolean]("drifted") == driftedParts(part),
+        s"jsd $part/${r.getAs[String]("colname")}: jsd=$v")
+      // a full support shift drives JSD toward its ln 2 ceiling; clean
+      // partitions sit at smoothing noise
+      if (driftedParts(part)) assert(v > 0.3, s"$part: $v")
+      else assert(v < 0.05, s"$part: $v")
+    }
+  }
+
   test("PSI leg flags exactly the planted drifted partitions (support shift)") {
     val psi = Drift.baselinePsi(images.select("part", "w", "h"),
       Drift.readBaseline(spark, base)).collect()

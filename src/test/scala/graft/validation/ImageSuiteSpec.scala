@@ -50,7 +50,7 @@ class ImageSuiteSpec extends SparkTestBase {
       if (sniffed != "none" && r.fmt != sniffed) addV("fmt_matches_magic", r.image_id)
       dec.foreach { case (px, dw, dh) =>
         if (r.w != dw || r.h != dh) addV("dims_match_decoded", r.image_id)
-        val truth = ImageCodec.synthPixels(ord, dw, dh)
+        val truth = ImageGen.truthPixels(ord, dw, dh)
         val p = ImageCodec.psnr(px, truth).get
         if (!p.isNaN && p < ImageSuite.PsnrThresholdDb) addV("psnr_allclose", r.image_id)
         if (Phash.hamming(Phash.phash64(px, dw, dh), r.phash) > ImageSuite.PhashHammingMax)

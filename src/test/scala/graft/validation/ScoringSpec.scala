@@ -34,7 +34,7 @@ class ScoringSpec extends SparkTestBase {
       val scores = rs.flatMap { r =>
         val dec = if (r.bytes != null && r.bytes.nonEmpty) ImageCodec.decode(r.bytes) else None
         dec.map { case (px, dw, dh) =>
-          val truth = ImageCodec.synthPixels(r.image_id.stripPrefix("img-").toLong, dw, dh)
+          val truth = ImageGen.truthPixels(r.image_id.stripPrefix("img-").toLong, dw, dh)
           psnrLadder(ImageCodec.psnr(px, truth).get)
         }
       }
