@@ -81,7 +81,7 @@ object Bench {
     // perceptual gates, JSD drift leg, partial-crop tile dedup
     "q_i_quality_gates", "q_i_drift_jsd_baseline", "q_dedup_phash_tiles",
     "q_v_outliers_mahalanobis", "q_i_container", "q_i_cfd",
-    "q_i_drift_sharpness")
+    "q_i_drift_sharpness", "q_dedup_phash_tiles_cc")
 
   private val headline = suiteV4 ++ headlineNew
 

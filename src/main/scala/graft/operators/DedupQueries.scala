@@ -702,6 +702,30 @@ object DedupQueries {
         .orderBy("a_id", "b_id", "q")
     }),
 
+    // Crop-duplicate CLUSTERS: star-contraction connected components over
+    // the tile pair graph — groups every image that shares ANY quadrant's
+    // content transitively (an anchor and all its composites land in one
+    // component labeled by the min image_id). Node set bounded to the
+    // first 1000 ordinals so the DuckDB recursive closure stays
+    // tractable; the production rung is unbounded — same O(log n)
+    // contraction as the text/phash cluster rungs.
+    "q_dedup_phash_tiles_cc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = graft.validation.ImageSuiteQueries.ensureFacts(s, dir)
+        .filter(col("image_id") < "img-000000001000")
+      val first = f.filter(col("decode_ok"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("image_id").orderBy("phash_rec", "n_bytes")))
+        .filter(col("rn") === 1)
+      val sig = first.select(col("image_id").as("doc_id"),
+          col("phash_rec").as("phash"),
+          posexplode(col("phash_tiles")).as(Seq("q", "tile")))
+        .filter(col("tile") =!= 0L)
+      val pairs = bandedTilePairs(sig, maxTileHamming = 6, minFullHamming = 8,
+        maxBucket = 4, runWidth = 4)
+      connectedComponentsStar(pairs).orderBy("doc_id")
+    }),
+
     // Image near-dup CLUSTERS end-to-end: star-contraction connected
     // components over the banded phash pair graph — the image twin of
     // q_dedup_cc's text clustering, labeling every image with the min
@@ -998,6 +1022,49 @@ object DedupQueries {
             AND (x.bn <= 4 OR y.rn - x.rn <= 4))
          SELECT a_id, b_id, q, tile_hamming, full_hamming FROM cand
          WHERE tile_hamming <= 6 AND full_hamming >= 8""",
+    "q_dedup_phash_tiles_cc" ->
+      s"""WITH RECURSIVE f AS (
+           SELECT image_id, phash_rec, n_bytes, phash_tiles
+           FROM read_parquet('${graft.validation.ImageSuiteQueries.FactsPath}/*.parquet')
+           WHERE decode_ok AND image_id < 'img-000000001000'),
+         first AS (
+           SELECT image_id AS doc_id, phash_rec AS phash, phash_tiles
+           FROM (SELECT *, row_number() OVER (PARTITION BY image_id
+                   ORDER BY phash_rec, n_bytes) AS rn FROM f)
+           WHERE rn = 1),
+         sig AS (
+           SELECT doc_id, phash,
+             generate_subscripts(phash_tiles, 1) - 1 AS q,
+             unnest(phash_tiles) AS tile
+           FROM first),
+         sig2 AS (SELECT * FROM sig WHERE tile <> 0),
+         bands AS (
+           SELECT doc_id, phash, q, tile, b.b AS b,
+             (tile >> (b.b * 16)) & 65535 AS key
+           FROM sig2 CROSS JOIN (VALUES (0), (1), (2), (3)) b(b)),
+         ranked AS (
+           SELECT doc_id, phash, q, tile, b, key,
+             count(*) OVER (PARTITION BY q, b, key) AS bn,
+             row_number() OVER (PARTITION BY q, b, key
+               ORDER BY tile, doc_id) AS rn
+           FROM bands),
+         pairs AS (
+           SELECT DISTINCT least(x.doc_id, y.doc_id) AS a_id,
+             greatest(x.doc_id, y.doc_id) AS b_id
+           FROM ranked x JOIN ranked y
+             ON x.q = y.q AND x.b = y.b AND x.key = y.key AND x.rn < y.rn
+            AND (x.bn <= 4 OR y.rn - x.rn <= 4)
+           WHERE bit_count(xor(x.tile, y.tile)) <= 6
+             AND bit_count(xor(x.phash, y.phash)) >= 8),
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
+         SELECT src AS doc_id, least(src, min(dst)) AS comp_id
+         FROM reach GROUP BY src""",
     "q_dedup_phash_cc" ->
       s"""WITH RECURSIVE f AS (
            SELECT image_id AS doc_id, min(phash) AS phash

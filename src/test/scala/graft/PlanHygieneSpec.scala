@@ -72,6 +72,26 @@ class PlanHygieneSpec extends SparkTestBase {
       s"band shuffle not reused — signature scan runs twice:\n$fin")
   }
 
+  test("tile pairing joins on (q, band, key), reuses ONE shuffle, no cartesian") {
+    val df = SparkEntry.queries("q_dedup_phash_tiles")(spark, dir)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in tile plan:\n$p")
+    // same symmetric-bn discipline as the L2 banding: the self-join's two
+    // branches must collapse to one banding computation at runtime
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("ReusedExchange"),
+      s"tile band shuffle not reused — facts scan runs twice:\n$fin")
+  }
+
+  test("Mahalanobis scoring broadcasts the one-row stats, never a shuffle join") {
+    val p = planOf(SparkEntry.queries("q_v_outliers_mahalanobis")(spark, dir))
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      s"non-broadcast cartesian in mahalanobis plan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"stats row not broadcast:\n$p")
+  }
+
   test("trained IVF retrieval plans equi-joins on the cell id, never a cartesian") {
     val p = planOf(SparkEntry.queries("q_ann_topk_ivf_trained")(spark, dir))
     assert(!p.contains("CartesianProduct"), s"cartesian in trained-IVF plan:\n$p")

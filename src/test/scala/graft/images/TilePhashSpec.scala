@@ -87,4 +87,21 @@ class TilePhashSpec extends SparkTestBase {
       assert(r.getAs[Int]("full_hamming") >= 8)
     }
   }
+
+  test("crop-duplicate clusters: composites land in their anchor's component") {
+    val labels = graft.DedupQueries.queries("q_dedup_phash_tiles_cc")(
+      spark, tier).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.getAs[String]("comp_id")).toMap
+    assert(labels.nonEmpty, "no clusters at all")
+    // every label is the min reachable id: label ≤ member
+    labels.foreach { case (d, c) => assert(c <= d, s"$d labeled $c") }
+    // at least one planted anchor co-clusters with a composite of its
+    // bucket (both must be < 1000, decodable, and actually paired)
+    def ord(id: String): Long = id.stripPrefix("img-").toLong
+    val sameAnchor = labels.groupBy(_._2).values.exists { comp =>
+      comp.size >= 2 &&
+        comp.keys.map(k => ImageGen.tileAnchor(ord(k))).toSet.size == 1
+    }
+    assert(sameAnchor, s"no anchor-consistent component: $labels")
+  }
 }
