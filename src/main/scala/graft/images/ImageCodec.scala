@@ -271,11 +271,19 @@ object ImageCodec {
     * (BT.601 fixed-point: (299r + 587g + 114b) / 1000), divided once at
     * the end — bit-deterministic regardless of traversal or thread.
     * Returns (sharpness, brightness, contrast, clip_lo, clip_hi). */
+  // thread-local luma scratch (same rationale as Phash's buffers: the
+  // decode stage's per-image allocation rate was sagging multi-core
+  // throughput); every cell < n is overwritten before any read
+  private val lumaBuf = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](0)
+  }
+
   def lumaQuality(px: Array[Int], w: Int, h: Int)
       : (Double, Double, Double, Double, Double) = {
     val n = w * h
     if (n == 0 || px.length != n) return (0.0, 0.0, 0.0, 0.0, 0.0)
-    val luma = new Array[Int](n)
+    var luma = lumaBuf.get()
+    if (luma.length < n) { luma = new Array[Int](n); lumaBuf.set(luma) }
     var i = 0
     var sy = 0L; var sy2 = 0L; var nLo = 0L; var nHi = 0L
     while (i < n) {

@@ -13,9 +13,29 @@ package graft.images
 object Phash {
   private val N = 32
 
+  // Thread-local scratch for the three N×N double planes and the tile
+  // sub-image: the hash kernels run once per image (5× with quadrant
+  // tiles) on executor task threads, and per-call allocation of ~40 KB
+  // of arrays dominated the decode stage's allocation rate (~120 KB per
+  // image → GC pressure that measurably sagged per-core throughput at
+  // local[4] in the spark-submit scaling twin). Every cell of every
+  // plane is overwritten before it is read, so reuse cannot leak state
+  // between calls; values are bit-identical to the allocating version.
+  private val bufGray = ThreadLocal.withInitial[Array[Double]](() => new Array[Double](N * N))
+  private val bufTmp = ThreadLocal.withInitial[Array[Double]](() => new Array[Double](N * N))
+  private val bufOut = ThreadLocal.withInitial[Array[Double]](() => new Array[Double](N * N))
+  private val bufSub = new ThreadLocal[Array[Int]] {
+    override def initialValue(): Array[Int] = new Array[Int](0)
+  }
+  private def subBuf(n: Int): Array[Int] = {
+    var b = bufSub.get()
+    if (b.length < n) { b = new Array[Int](n); bufSub.set(b) }
+    b
+  }
+
   /** Mean-pool (area-average) resample of packed-RGB to N×N grayscale. */
   private def toGray32(px: Array[Int], w: Int, h: Int): Array[Double] = {
-    val g = new Array[Double](N * N)
+    val g = bufGray.get()
     var gy = 0
     while (gy < N) {
       val y0 = gy * h / N; val y1 = math.max(y0 + 1, (gy + 1) * h / N)
@@ -57,7 +77,7 @@ object Phash {
 
   /** 2-D DCT-II of an N×N block (row-column decomposition, O(N^3)). */
   private def dct2d(g: Array[Double]): Array[Double] = {
-    val tmp = new Array[Double](N * N)
+    val tmp = bufTmp.get()
     var y = 0
     while (y < N) { // DCT along rows
       var u = 0
@@ -69,7 +89,7 @@ object Phash {
       }
       y += 1
     }
-    val out = new Array[Double](N * N)
+    val out = bufOut.get()
     var u = 0
     while (u < N) { // DCT along columns
       var v = 0
@@ -133,7 +153,7 @@ object Phash {
     while (q < 4) {
       val (x0, y0, qw, qh) = qs(q)
       if (qw >= 1 && qh >= 1) {
-        val sub = new Array[Int](qw * qh)
+        val sub = subBuf(qw * qh)
         var y = 0
         while (y < qh) {
           System.arraycopy(px, (y0 + y) * w + x0, sub, y * qw, qw)
