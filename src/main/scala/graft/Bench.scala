@@ -81,7 +81,10 @@ object Bench {
     // perceptual gates, JSD drift leg, partial-crop tile dedup
     "q_i_quality_gates", "q_i_drift_jsd_baseline", "q_dedup_phash_tiles",
     "q_v_outliers_mahalanobis", "q_i_container", "q_i_cfd",
-    "q_i_drift_sharpness", "q_dedup_phash_tiles_cc")
+    "q_i_drift_sharpness", "q_dedup_phash_tiles_cc",
+    // structure/trend/ECDF-outlier additions
+    "q_v_masks", "q_v_theilsen", "q_v_outliers_ecod",
+    "q_v_outliers_ecod_grid")
 
   private val headline = suiteV4 ++ headlineNew
 

@@ -909,6 +909,76 @@ object MetricTrend {
        FROM u
        ORDER BY "check", run_id"""
   }
+
+  /** Theil–Sen robust trend ESTIMATE per check (Theil 1950; Sen, JASA
+    * 1968): slope = median of all pairwise slopes over the run history,
+    * intercept = median of (metric − slope·seq). The ESTIMATOR sibling
+    * of the [[ewma]]/[[cusum]] DETECTORS: charts answer "did this metric
+    * shift?", Theil–Sen answers "how fast is it moving?" with a 29.3%
+    * breakdown point — a single corrupted run (the exact thing a
+    * validation history accumulates: one run against a half-written
+    * snapshot) tilts an OLS slope arbitrarily but cannot move the
+    * pairwise-slope median. `trending` flags |slope| > slopeTol per run
+    * step, in metric units.
+    *
+    * Scale shape: the pairwise self-join is over RUN-LEVEL metadata
+    * (runs² rows per check, KB at any table scale — same frame the EWMA
+    * weight join uses), never data rows; both medians are exact
+    * percentiles on that bounded frame.
+    *
+    * Output: (check, n_runs, n_pairs, slope, intercept, trending),
+    * ordered by check. Checks with a single run emit nothing (no pair —
+    * a slope needs two points by definition). */
+  def theilSen(history: DataFrame, slopeTol: Double): DataFrame = {
+    require(slopeTol >= 0.0, s"slopeTol >= 0, got $slopeTol")
+    val w = Window.partitionBy("check").orderBy("run_id")
+    val ranked = history
+      .select(col("check"), col("run_id"), col("metric").cast("double").as("metric"))
+      .withColumn("seq", row_number().over(w))
+    val b = ranked.select(col("check").as("b_check"),
+      col("metric").as("b_metric"), col("seq").as("b_seq"))
+    val slopes = ranked.join(b, col("check") === col("b_check") &&
+        col("b_seq") < col("seq"))
+      .select(col("check"), ((col("metric") - col("b_metric")) /
+        (col("seq") - col("b_seq")).cast("double")).as("slope"))
+    val perCheck = slopes.groupBy(col("check").as("s_check")).agg(
+      count(lit(1L)).as("n_pairs"),
+      expr("percentile(slope, 0.5)").as("slope"))
+    ranked.join(perCheck, col("check") === col("s_check")).drop("s_check")
+      .withColumn("_icpt", col("metric") - col("slope") * col("seq").cast("double"))
+      .groupBy("check").agg(
+        count(lit(1L)).as("n_runs"),
+        max(col("n_pairs")).as("n_pairs"),
+        round(max(col("slope")), 6).as("slope"),
+        round(expr("percentile(_icpt, 0.5)"), 6).as("intercept"))
+      .withColumn("trending", abs(col("slope")) > lit(slopeTol))
+      .select("check", "n_runs", "n_pairs", "slope", "intercept", "trending")
+      .orderBy("check")
+  }
+
+  /** DuckDB twin of [[theilSen]] — same pairwise construction,
+    * quantile_cont is the same linearly-interpolated exact median as
+    * Spark's `percentile`, same round-6 exports. */
+  def duckTheilSenSql(historySql: String, slopeTol: Double): String =
+    s"""WITH h AS ($historySql),
+       r AS (SELECT "check", run_id, CAST(metric AS DOUBLE) AS metric,
+               CAST(row_number() OVER (PARTITION BY "check" ORDER BY run_id) AS INT) AS seq
+             FROM h),
+       p AS (SELECT a."check" AS s_check,
+               (a.metric - b.metric) / CAST(a.seq - b.seq AS DOUBLE) AS slope
+             FROM r a JOIN r b ON a."check" = b."check" AND b.seq < a.seq),
+       sl AS (SELECT s_check, count(*) AS n_pairs,
+                quantile_cont(slope, 0.5) AS slope
+              FROM p GROUP BY 1),
+       ic AS (SELECT r."check", count(*) AS n_runs,
+                max(sl.n_pairs) AS n_pairs,
+                round(max(sl.slope), 6) AS slope,
+                round(quantile_cont(r.metric - sl.slope * CAST(r.seq AS DOUBLE), 0.5), 6) AS intercept
+              FROM r JOIN sl ON r."check" = sl.s_check GROUP BY 1)
+       SELECT "check", n_runs, n_pairs, slope, intercept,
+         abs(slope) > $slopeTol AS trending
+       FROM ic
+       ORDER BY "check""""
 }
 
 object CheckSuite {

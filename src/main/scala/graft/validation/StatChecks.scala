@@ -585,6 +585,173 @@ object StatChecks {
        WHERE det > 0.0 AND d2 > $threshold
        ORDER BY d2 DESC, $keys LIMIT $limit"""
   }
+
+  /** ECOD outlier scoring (Li, Zhao, Botta, Ionescu & Hu, "ECOD:
+    * Unsupervised Outlier Detection Using Empirical Cumulative
+    * Distribution Functions", IEEE TKDE 2022): per dimension j, the tail
+    * probability of the value under the column's own ECDF; per row, the
+    * aggregated negative log tail mass
+    * O(x) = Σ_j max(−ln F̂_j(x_j), −ln F̄̂_j(x_j)) — here the
+    * deterministic side-agnostic variant (the paper's O_auto picks a
+    * side by sample skewness; taking the max of both sides needs no
+    * data-derived branch, so the score replays bit-identically). The
+    * ECDF completes the outlier family: [[robustOutliers]] assumes a
+    * unimodal center (median/MAD), [[mahalanobisOutliers]] an elliptical
+    * joint (moments) — ECOD is shape-free per margin, parameter-free,
+    * and needs no matrix inversion; a value is anomalous exactly in
+    * proportion to how little probability mass lies beyond it.
+    *
+    * Scale shape: unpivot to (key, dim, value) long form (one narrow
+    * explode, |cols|× rows), ONE shuffle on (dim, value) to NDV-sized
+    * per-dim count frames, the cumulative tail windows run per dim over
+    * those NDV-sized frames (the declared fenced global-sort rung, same
+    * shape as [[ksTwoSample]]; the production swap at 10^12 distinct
+    * values is the t-digest CDF), one (dim, value) equi-join back, and a
+    * distributed TakeOrdered top-K. Rows with any null/non-finite
+    * dimension are excluded — the completeness checks own those.
+    *
+    * Output: top-`topK` rows (keyCols..., ecod_score) by score
+    * descending, key-ascending tiebreak, round-6 discipline. */
+  def ecodOutliers(df: DataFrame, cols: Seq[String], keyCols: Seq[String],
+                   topK: Int = 100): DataFrame = {
+    require(cols.nonEmpty, "ecodOutliers needs at least one column")
+    require(topK >= 1, s"topK >= 1, got $topK")
+    val finite = cols.map { c =>
+      val v = col(c).cast("double")
+      v.isNotNull && !isnan(v) && abs(v) =!= lit(Double.PositiveInfinity)
+    }.reduce(_ && _)
+    val dims = array(cols.map(c =>
+      struct(lit(c).as("dim"), col(c).cast("double").as("value"))): _*)
+    val long = df.filter(finite)
+      .select(keyCols.map(col) :+ explode(dims).as("dv"): _*)
+      .select(keyCols.map(col) :+ col("dv.dim").as("dim") :+
+        col("dv.value").as("value"): _*)
+    val counts = long.groupBy("dim", "value").agg(count(lit(1L)).as("cnt"))
+    val asc = Window.partitionBy("dim").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = sum(col("cnt")).over(Window.partitionBy("dim")).cast("double")
+    val cumLe = sum(col("cnt")).over(asc).cast("double")
+    val tails = counts
+      .withColumn("_f_le", cumLe / n)
+      .withColumn("_f_ge", (n - cumLe + col("cnt").cast("double")) / n)
+      .withColumn("dim_score", -log(least(col("_f_le"), col("_f_ge"))))
+      .select("dim", "value", "dim_score")
+    long.join(tails, Seq("dim", "value"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(round(sum(col("dim_score")), 6).as("ecod_score"))
+      .orderBy(col("ecod_score").desc +: keyCols.map(col): _*)
+      .limit(topK)
+  }
+
+  /** PRODUCTION rung of [[ecodOutliers]]: grid-ECDF scoring. The exact
+    * rung's per-dim cumulative window sorts NDV-sized frames — fine for
+    * bounded-cardinality margins, a global sort per dim at 10^12
+    * distinct values. This variant replaces the ECDF with a fixed
+    * `gridN`-point quantile grid per dimension: ONE aggregation pass
+    * computes all grids (percentile-array, single row out), the
+    * round-6'd grid broadcasts to a second scan where each row's tail
+    * mass is a codegen'd HOF count over the 255-element literal array —
+    * no join, no window, no UDF; two scans total, state = gridN doubles
+    * per dim. At 10^12 rows the percentile pass swaps to the mergeable
+    * t-digest quantiles ([[graft.sketch.TDigest.quantile]]) — same grid
+    * shape, one streaming pass — which is exactly the swap the exact
+    * rung's Scaladoc promises; this operator is that promise, kept (and
+    * still oracle-able, because the grid is exact percentiles here).
+    *
+    * F̂_le(x) ≈ max(#{q_i ≤ x}, 1)/(gridN+1) (floor avoids ln 0; the
+    * resolution limit of a grid ECDF is 1/(gridN+1) by construction),
+    * F̂_ge symmetric; grid values round-6 so both engines compare
+    * against bit-identical breakpoints.
+    *
+    * Output: top-`topK` (keyCols..., ecod_score) as [[ecodOutliers]]. */
+  def ecodOutliersGrid(df: DataFrame, cols: Seq[String],
+                       keyCols: Seq[String], gridN: Int = 255,
+                       topK: Int = 100): DataFrame = {
+    require(cols.nonEmpty, "ecodOutliersGrid needs at least one column")
+    require(gridN >= 3, s"gridN >= 3, got $gridN")
+    val finite = cols.map { c =>
+      val v = col(c).cast("double")
+      v.isNotNull && !isnan(v) && abs(v) =!= lit(Double.PositiveInfinity)
+    }.reduce(_ && _)
+    val base = df.filter(finite)
+    val levelsSql = (1 to gridN).map(i => (i.toDouble / (gridN + 1)).toString)
+      .mkString("array(", ", ", ")")
+    val grids = base.agg(
+      expr(s"transform(percentile(${cols.head}, $levelsSql), e -> round(e, 6))")
+        .as(s"_b_${cols.head}"),
+      cols.tail.map(c =>
+        expr(s"transform(percentile($c, $levelsSql), e -> round(e, 6))")
+          .as(s"_b_$c")): _*)
+    val g1 = lit((gridN + 1).toDouble)
+    val score = cols.map { c =>
+      val le = size(expr(s"filter(_b_$c, e -> e <= $c)")).cast("double")
+      val ge = size(expr(s"filter(_b_$c, e -> e >= $c)")).cast("double")
+      -log(least(greatest(le, lit(1.0)) / g1, greatest(ge, lit(1.0)) / g1))
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(grids))
+      .select(keyCols.map(col) :+ round(score, 6).as("ecod_score"): _*)
+      .orderBy(col("ecod_score").desc +: keyCols.map(col): _*)
+      .limit(topK)
+  }
+
+  /** DuckDB twin of [[ecodOutliersGrid]] — same exact-percentile grid
+    * (quantile_cont array form), same round-6 breakpoints, same floored
+    * tail estimate, same tiebreak + limit. */
+  def duckEcodGridSql(table: String, cols: Seq[String], keyCols: Seq[String],
+                      gridN: Int = 255, topK: Int = 100): String = {
+    val keys = keyCols.mkString(", ")
+    val finite = cols.map(c =>
+      s"$c IS NOT NULL AND isfinite(CAST($c AS DOUBLE))").mkString(" AND ")
+    val levels = (1 to gridN).map(i => (i.toDouble / (gridN + 1)).toString)
+      .mkString("[", ", ", "]")
+    val gridCols = cols.map(c =>
+      s"list_transform(quantile_cont(CAST($c AS DOUBLE), $levels), e -> round(e, 6)) AS b_$c")
+      .mkString(",\n               ")
+    val g1 = s"${(gridN + 1).toDouble}"
+    val score = cols.map { c =>
+      val le = s"greatest(CAST(len(list_filter(b_$c, e -> e <= $c)) AS DOUBLE), 1.0) / $g1"
+      val ge = s"greatest(CAST(len(list_filter(b_$c, e -> e >= $c)) AS DOUBLE), 1.0) / $g1"
+      s"-ln(least($le, $ge))"
+    }.mkString("(", "\n           + ", ")")
+    s"""WITH keyed AS (SELECT * FROM $table WHERE $finite),
+       bp AS (SELECT $gridCols
+              FROM keyed)
+       SELECT $keys, round($score, 6) AS ecod_score
+       FROM keyed CROSS JOIN bp
+       ORDER BY ecod_score DESC, $keys
+       LIMIT $topK"""
+  }
+
+  /** DuckDB twin of [[ecodOutliers]] — same unpivot (UNION ALL arms),
+    * same grouped-ECDF tails, same side-agnostic max, same round-6 +
+    * tiebreak + limit. */
+  def duckEcodSql(table: String, cols: Seq[String], keyCols: Seq[String],
+                  topK: Int = 100): String = {
+    val keys = keyCols.mkString(", ")
+    val finite = cols.map(c =>
+      s"$c IS NOT NULL AND isfinite(CAST($c AS DOUBLE))").mkString(" AND ")
+    val arms = cols.map(c =>
+      s"""SELECT $keys, '$c' AS dim, CAST($c AS DOUBLE) AS value
+          FROM keyed""").mkString("\n  UNION ALL\n  ")
+    s"""WITH keyed AS (SELECT * FROM $table WHERE $finite),
+       long AS (
+         $arms),
+       counts AS (SELECT dim, value, count(*) AS cnt FROM long GROUP BY 1, 2),
+       t AS (SELECT dim, value,
+               CAST(sum(cnt) OVER (PARTITION BY dim ORDER BY value
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_le,
+               CAST(cnt AS DOUBLE) AS cntd,
+               CAST(sum(cnt) OVER (PARTITION BY dim) AS DOUBLE) AS n
+             FROM counts),
+       s AS (SELECT dim, value,
+               -ln(least(cum_le / n, (n - cum_le + cntd) / n)) AS dim_score
+             FROM t)
+       SELECT $keys, round(sum(dim_score), 6) AS ecod_score
+       FROM long JOIN s USING (dim, value)
+       GROUP BY $keys
+       ORDER BY ecod_score DESC, $keys
+       LIMIT $topK"""
+  }
 }
 
 /** Timeliness — the sixth classic data-quality dimension (completeness,

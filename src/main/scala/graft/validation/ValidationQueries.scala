@@ -1,6 +1,6 @@
 package graft
 
-import graft.validation.{Intervals, Profiler, Scoring, StatChecks, Timeliness}
+import graft.validation.{Intervals, MaskProfile, Profiler, Scoring, StatChecks, Timeliness}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -252,6 +252,48 @@ object ValidationQueries {
     "q_v_ks_exact" -> ((s, dir) =>
       StatChecks.ksTwoSample(t(s, dir, "orders"), "o_totalprice",
         AnomalyBaselineWhere)),
+
+    // Theil–Sen robust trend per check over the same run history: the
+    // ESTIMATOR beside the EWMA/CUSUM detectors — median of pairwise
+    // slopes (29.3% breakdown: one corrupt run cannot tilt it the way it
+    // tilts OLS). runs² self-join over run-level metadata, never rows.
+    "q_v_theilsen" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("run_id", year(col("o_orderdate")).cast("string"))
+      validation.MetricTrend.theilSen(
+        ordersSuiteGrouped.run(o, Seq("run_id")), slopeTol = 0.01)
+    }),
+
+    // Potter's-Wheel mask profiling: character-class masks (A/a/9 runs)
+    // discover a field's dominant syntactic structures + the rare
+    // variant masks that ARE the malformed rows. Profiled over the
+    // document-text prefix (shared substr syntax) because that column
+    // has genuine structural variety — 6 masks with a real rank/coverage
+    // ladder; the star-schema strings are single-mask uniform, which the
+    // operator would report in one row. One codegen'd projection + one
+    // shuffle on the mask; every window downstream is
+    // mask-cardinality-sized.
+    "q_v_masks" -> ((s, dir) =>
+      MaskProfile.masks(t(s, dir, "documents"), "substr(text, 1, 16)",
+        topK = 20)),
+
+    // ECOD outliers over lineitem's numeric margins: ECDF tail mass per
+    // dimension, summed −ln tail per row — the shape-free sibling of
+    // MAD (unimodal) and Mahalanobis (elliptical). One (dim,value)
+    // shuffle to NDV-sized tails + one equi-join back + top-K.
+    "q_v_outliers_ecod" -> ((s, dir) =>
+      StatChecks.ecodOutliers(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        Seq("l_orderkey", "l_linenumber"), topK = 100)),
+
+    // Grid-ECDF production rung of the same scorer: one percentile-array
+    // pass → broadcast round-6 grid → codegen'd HOF tail counts; two
+    // scans, no window/join. The 10^12 swap (exact percentiles →
+    // t-digest quantiles) keeps this exact plan shape.
+    "q_v_outliers_ecod_grid" -> ((s, dir) =>
+      StatChecks.ecodOutliersGrid(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        Seq("l_orderkey", "l_linenumber"), gridN = 255, topK = 100)),
 
     // Robust outlier accounting on the skewed events.value: median/MAD
     // Hampel rule at k=3.5 — mean/σ gates are masked by the very
@@ -667,6 +709,19 @@ object ValidationQueries {
       "o_orderstatus", "o_orderpriority"),
     "q_v_ks_exact" -> StatChecks.duckKsTwoSampleSql("orders",
       "o_totalprice", AnomalyBaselineWhere),
+    "q_v_theilsen" -> validation.MetricTrend.duckTheilSenSql(
+      ordersSuiteGrouped.duckSql(
+        "(SELECT *, CAST(year(o_orderdate) AS VARCHAR) AS run_id FROM orders)",
+        Seq("run_id")),
+      slopeTol = 0.01),
+    "q_v_masks" -> MaskProfile.duckMasksSql("documents",
+      "substr(text, 1, 16)", topK = 20),
+    "q_v_outliers_ecod" -> StatChecks.duckEcodSql("lineitem",
+      Seq("l_quantity", "l_extendedprice", "l_discount"),
+      Seq("l_orderkey", "l_linenumber"), topK = 100),
+    "q_v_outliers_ecod_grid" -> StatChecks.duckEcodGridSql("lineitem",
+      Seq("l_quantity", "l_extendedprice", "l_discount"),
+      Seq("l_orderkey", "l_linenumber"), gridN = 255, topK = 100),
     "q_v_outliers_mad" -> StatChecks.duckRobustOutliersSql("events", "value"),
     "q_v_outliers_mahalanobis" -> StatChecks.duckMahalanobisSql(
       """(SELECT o_orderkey,
