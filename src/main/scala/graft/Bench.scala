@@ -84,7 +84,9 @@ object Bench {
     "q_i_drift_sharpness", "q_dedup_phash_tiles_cc",
     // structure/trend/ECDF-outlier additions
     "q_v_masks", "q_v_theilsen", "q_v_outliers_ecod",
-    "q_v_outliers_ecod_grid")
+    "q_v_outliers_ecod_grid",
+    // dihedral multi-probe mirror dedup
+    "q_dedup_phash_mirror")
 
   private val headline = suiteV4 ++ headlineNew
 

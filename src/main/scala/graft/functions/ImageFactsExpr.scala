@@ -56,13 +56,15 @@ case class ImageFactsExpr(left: Expression, right: Expression)
           UTF8String.fromString(sniffed), UTF8String.fromString(capExp),
           sharp, bright, contr, clipLo, clipHi,
           new GenericArrayData(Phash.tilePhashes(px, dw, dh)),
-          UTF8String.fromString(containerKind), containerOk)
+          UTF8String.fromString(containerKind), containerOk,
+          new GenericArrayData(Phash.dihedralPhashes(px, dw, dh)))
       case None =>
         InternalRow(hasBytes, nBytes, false, 0, 0, Double.NaN, 0L,
           UTF8String.fromString(sniffed), UTF8String.fromString(capExp),
           0.0, 0.0, 0.0, 0.0, 0.0,
           new GenericArrayData(Array.fill(4)(0L)),
-          UTF8String.fromString(containerKind), containerOk)
+          UTF8String.fromString(containerKind), containerOk,
+          new GenericArrayData(Array.fill(8)(0L)))
     }
   }
 
@@ -95,7 +97,13 @@ object ImageFactsExpr {
     // structural container walk (ImageCodec.containerFacts): the
     // decode-free pre-gate; kind from magic, ok = frame sequence intact
     StructField("container_kind", StringType, nullable = false),
-    StructField("container_ok", BooleanType, nullable = false)))
+    StructField("container_ok", BooleanType, nullable = false),
+    // all 8 dihedral-group (D4) pHashes from one DCT (identity first,
+    // Phash.dihedralPhashes) — the mirror/rotation near-dup probe set;
+    // banded variant-vs-plain (never reduced to a fragile canonical min,
+    // see the Phash note); zeros when decode fails (like phash_rec)
+    StructField("phash_d4",
+      ArrayType(LongType, containsNull = false), nullable = false)))
 
   /** Column API: `image_facts(bytes, image_id)` → struct of facts.
     * (Spark 4 classic bridge: Column ↔ catalyst Expression via

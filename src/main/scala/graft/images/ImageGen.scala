@@ -50,6 +50,25 @@ object ImageGen {
     u01(i ^ Seed) >= CaptionMismatch && tileAnchor(i) != i &&
       u01(i ^ 0x711eL) < TileDupRate
 
+  /** Mirror-duplicate planting: ~1.5% of CLEAN-band rows (disjoint from
+    * tile composites by construction) carry the horizontal MIRROR of an
+    * anchor ordinal's continuous pattern, sampled at the row's OWN dims.
+    * Plain-pHash banding is structurally blind to these (flip-x negates
+    * every odd-u DCT coefficient → ~half the sign bits flip), while a
+    * dihedral variant probe ([[Phash.dihedralPhashes]]) matches the
+    * anchor's plain hash — the signal q_dedup_phash_mirror detects by
+    * multi-probe banding. Stored lossless like tile
+    * composites (a real mirror-master pipeline stores masters lossless;
+    * keeps PSNR vs [[truthPixels]] exactly +Inf).
+    */
+  val MirrorDupRate = 0.015
+
+  def mirrorAnchor(i: Long): Long = (i / 89) * 89
+
+  def isMirrorDup(i: Long): Boolean =
+    u01(i ^ Seed) >= CaptionMismatch && mirrorAnchor(i) != i &&
+      !isTileDup(i) && u01(i ^ 0x312fL) < MirrorDupRate
+
   /** Ground-truth pixels for ordinal `i` at dims (w, h): the id's synth
     * pattern, with the top-left quadrant replaced by the anchor's pattern
     * for planted tile composites. Resolution-free: both patterns are
@@ -58,6 +77,20 @@ object ImageGen {
     * composite's quadrant-0 pHashes agree even when their dims differ.
     */
   def truthPixels(i: Long, w: Int, h: Int): Array[Int] = {
+    if (isMirrorDup(i)) {
+      // horizontal mirror of the anchor's pattern at this row's dims:
+      // the same continuous image content reflected, so the dihedral-
+      // canonical pHash matches the anchor's at any resolution
+      val donor = ImageCodec.synthPixels(mirrorAnchor(i), w, h)
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { out(y * w + x) = donor(y * w + (w - 1 - x)); x += 1 }
+        y += 1
+      }
+      return out
+    }
     val base = ImageCodec.synthPixels(i, w, h)
     if (!isTileDup(i)) return base
     val donor = ImageCodec.synthPixels(tileAnchor(i), w, h)
@@ -131,7 +164,7 @@ object ImageGen {
     // losslessly anyway. PNG keeps decode == truth, PSNR = +Inf.
     val uf = u01(i ^ 0x5eedL)
     val fmt =
-      if (isTileDup(i)) "png"
+      if (isTileDup(i) || isMirrorDup(i)) "png"
       else if (uf < 0.90) "jpeg" else if (uf < 0.97) "png" else "bmp"
     val px = truthPixels(i, baseW, baseH)
     val truePhash = Phash.phash64(px, baseW, baseH)
@@ -234,7 +267,7 @@ object ImageGen {
   }
 
   /** Bump when generation logic changes — invalidates cached datasets. */
-  val GenVersion = 8 // r5: tile-composite planting (truthPixels, lossless)
+  val GenVersion = 9 // r5: + mirror-duplicate planting (dihedral signal)
 
   /** Deterministic dataset dir for a row count (also used to EMBED paths in
     * oracle SQL without forcing generation first). */

@@ -134,6 +134,124 @@ object Phash {
 
   def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** The 64 coefficient positions the hash reads: the 8×8 low-frequency
+    * block skipping DC, plus (u=0, v=8) to round out 64 bits. Shared by
+    * [[phash64]]'s layout and the dihedral variants so bit i always means
+    * the same (u, v) pair. */
+  private val hashPos: Array[(Int, Int)] = {
+    val b = Array.newBuilder[(Int, Int)]
+    var v = 0
+    while (v < 8) { var u = 0; while (u < 8) { if (!(u == 0 && v == 0)) b += ((u, v)); u += 1 }; v += 1 }
+    b += ((0, 8))
+    b.result()
+  }
+
+  private def hashFromVals(vals: Array[Double]): Long = {
+    val sorted = vals.clone().sorted
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var bits = 0L
+    var i = 0
+    while (i < 64) { if (vals(i) > median) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Fractional-weight (true box-filter) N×N grayscale resample for the
+    * dihedral hash family: each output cell integrates the real box
+    * [gx·w/N, (gx+1)·w/N) × [gy·h/N, (gy+1)·h/N) with fractional edge
+    * weights. Unlike [[toGray32]]'s floor-boundary boxes, this partition
+    * is EXACTLY flip/transpose-symmetric for ANY dims — every boundary
+    * is the dyadic rational g·w/32 (exact in binary fp), and a flip maps
+    * cell gx's box onto cell N−1−gx's box as the same real interval. So
+    * a mirrored image's resample IS the mirrored resample (up to fp
+    * summation order, ≤1 ulp), and the coefficient-space D4 transforms
+    * below hold to hash exactness instead of drowning in box-edge noise
+    * (floor boxes measured 8–14 flipped bits at 24–55 px dims, where
+    * boxes are 1–2 px wide and a 1-px misalignment replaces a cell's
+    * whole content).
+    */
+  private def toGraySym(px: Array[Int], w: Int, h: Int): Array[Double] = {
+    val g = bufGray.get()
+    val sx = w / 32.0; val sy = h / 32.0 // exact: small int / power of 2
+    var gy = 0
+    while (gy < N) {
+      val y0 = gy * sy; val y1 = y0 + sy
+      val iy0 = y0.toInt; val iy1 = math.min(h - 1, math.ceil(y1).toInt - 1)
+      var gx = 0
+      while (gx < N) {
+        val x0 = gx * sx; val x1 = x0 + sx
+        val ix0 = x0.toInt; val ix1 = math.min(w - 1, math.ceil(x1).toInt - 1)
+        var sum = 0.0
+        var y = iy0
+        while (y <= iy1) {
+          val wy = math.min(y + 1.0, y1) - math.max(y.toDouble, y0)
+          var x = ix0
+          while (x <= ix1) {
+            val wx = math.min(x + 1.0, x1) - math.max(x.toDouble, x0)
+            val p = px(y * w + x)
+            sum += wy * wx * (0.299 * ((p >> 16) & 0xff) +
+              0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff))
+            x += 1
+          }
+          y += 1
+        }
+        g(gy * N + gx) = sum / (sx * sy)
+        gx += 1
+      }
+      gy += 1
+    }
+    g
+  }
+
+  /** All eight dihedral-group (D4) pHashes from ONE resample + ONE DCT.
+    *
+    * DCT-II symmetry does the transforms in coefficient space: flipping
+    * the image along x negates every odd-u coefficient
+    * (cos((2(N-1-x)+1)uπ/2N) = (−1)^u cos((2x+1)uπ/2N)), flipping along y
+    * negates odd-v, and transposing swaps (u, v). The eight group elements
+    * are exactly {transpose? × sign(−1)^(su·u+sv·v)}, so each variant hash
+    * is a sign/permutation re-read of the same 32×32 DCT — no second
+    * pixel pass, no second O(N³) transform. Index k = tr·4 + sv·2 + su:
+    * k=0 identity, k=1 flip-x, k=2 flip-y, k=3 rot180, k=4 transpose,
+    * k=5 rot90(T∘flip-x side), k=6 rot270, k=7 anti-transpose.
+    *
+    * Built on [[toGraySym]] (NOT [[toGray32]]): the symmetric resample
+    * makes variant k of an image match variant k∘m of its m-transform to
+    * fp noise for ANY dims, so hash(k, I) ≈ hash(identity, mirror(I))
+    * within ~1 bit — the multi-probe banding's whole budget then goes to
+    * genuine cross-resolution differences. Consequence: variant 0 is the
+    * symmetric-resample sibling of [[phash64]], near it but NOT bit-equal;
+    * the mirror rung compares within this family only.
+    */
+  def dihedralPhashes(px: Array[Int], w: Int, h: Int): Array[Long] = {
+    val coef = dct2d(toGraySym(px, w, h))
+    val out = new Array[Long](8)
+    val vals = new Array[Double](64)
+    var k = 0
+    while (k < 8) {
+      val su = k & 1; val sv = (k >> 1) & 1; val tr = (k >> 2) == 1
+      var i = 0
+      while (i < 64) {
+        val (u, v) = hashPos(i)
+        val c = if (tr) coef(u * N + v) else coef(v * N + u)
+        vals(i) = if (((su * u + sv * v) & 1) == 1) -c else c
+        i += 1
+      }
+      out(k) = hashFromVals(vals)
+      k += 1
+    }
+    out
+  }
+
+  // NOTE deliberately NO "canonical = min of the 8" reduction: the orbit
+  // hashes are 8 widely-separated 64-bit values, so min-selection is
+  // noise-FRAGILE — one resample-rounding bit flipped high in the current
+  // minimum swaps WHICH variant wins and two mirrors land on different
+  // orbit elements (measured: 57% of planted cross-resolution mirror
+  // pairs beyond hamming 24). Mirror detection instead multi-probes: band
+  // every variant hash against every plain hash (DedupQueries
+  // .bandedDihedralPairs), which only ever compares corresponding orbit
+  // elements and degrades by rounding noise alone.
+
   /** Per-quadrant 64-bit pHashes (TL, TR, BL, BR) — the tile signatures
     * behind partial-crop/region duplicate detection: a composite image
     * that lifted one region from another image shares that quadrant's

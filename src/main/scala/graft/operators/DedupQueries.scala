@@ -213,6 +213,64 @@ object DedupQueries {
         col("full_hamming") >= minFullHamming)
   }
 
+  /** Mirror/rotation duplicate pairs by dihedral MULTI-PROBE banding: a
+    * pair is reported when some D4-variant hash of one image is near the
+    * PLAIN pHash of the other (`dih_hamming` ≤ `maxDihHamming`) while the
+    * two plain pHashes diverge (`full_hamming` ≥ `minFullHamming`) — the
+    * flipped/rotated-repost signal plain-hash banding is structurally
+    * blind to (a horizontal flip negates every odd-u DCT coefficient,
+    * flipping ~half the sign bits). Probing variant-vs-plain only ever
+    * compares corresponding orbit elements, so it degrades by resample
+    * rounding alone — unlike a canonical-min reduction, where noise can
+    * swap WHICH orbit element wins and mirrors land 24+ bits apart (the
+    * fragility note in [[graft.images.Phash]]).
+    *
+    * `sig` must have (doc_id, phash, kind, hash) — kind 0 = the plain
+    * hash itself, kind 1..7 = the variant probes, zero hashes already
+    * filtered (8 rows per image). One symmetric self-join with the same
+    * banding + hot-bucket run discipline as [[bandedSimhashPairsL2]] on
+    * the hash's four 16-bit blocks; only mixed plain↔variant candidates
+    * survive (plain↔plain IS the plain rung; variant↔variant is its
+    * redundant double-transformed echo). One shuffle on (band, key);
+    * candidates O(bucket · run); min over a pair's matched probes makes
+    * the output orientation-free.
+    */
+  def bandedDihedralPairs(sig: DataFrame, maxDihHamming: Int,
+                          minFullHamming: Int, maxBucket: Int,
+                          runWidth: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mask = lit(65535L)
+    val bands = sig.select(col("doc_id"), col("phash"), col("kind"), col("hash"),
+        explode(array((0 until 4).map { j =>
+          struct(lit(j).as("band"),
+            shiftright(col("hash"), j * 16).bitwiseAND(mask).as("key"))
+        }: _*)).as("bk"))
+      .select(col("doc_id"), col("phash"), col("kind"), col("hash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val bucket = Window.partitionBy("band", "key")
+    // total order: (hash, doc_id, kind) is unique within a bucket
+    val run = bucket.orderBy("hash", "doc_id", "kind")
+    val ranked = bands
+      .withColumn("bn", count(lit(1)).over(bucket))
+      .withColumn("rn", row_number().over(run))
+    ranked.as("x").join(ranked.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.key") === col("y.key") && col("x.rn") < col("y.rn") &&
+          (col("x.bn") <= maxBucket || col("y.bn") <= maxBucket ||
+            col("y.rn") - col("x.rn") <= runWidth))
+      .filter(col("x.doc_id") =!= col("y.doc_id") &&
+        ((col("x.kind") === 0) =!= (col("y.kind") === 0)))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"),
+        bit_count(col("x.hash").bitwiseXOR(col("y.hash"))).as("dih_hamming"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("full_hamming"))
+      .groupBy("a_id", "b_id", "full_hamming")
+      .agg(min("dih_hamming").as("dih_hamming"))
+      .select("a_id", "b_id", "dih_hamming", "full_hamming")
+      .filter(col("dih_hamming") <= maxDihHamming &&
+        col("full_hamming") >= minFullHamming)
+  }
+
   /** Connected components of an undirected near-dup pair graph by min-id
     * label propagation to a fixpoint: every node's label converges to the
     * smallest doc_id reachable from it. Deterministic (pure min over the
@@ -747,6 +805,32 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Mirror-duplicate pairs: multi-probe banding of the 8 dihedral
+    // (D4) pHash variants against plain pHashes finds the flipped/
+    // rotated-repost duplicates the plain-phash rungs are structurally
+    // blind to. Exercised for real: the generator plants ~1.5%
+    // clean-band mirror composites (ImageGen.isMirrorDup) carrying the
+    // horizontal mirror of an anchor ordinal's pattern at the row's own
+    // dims, so mirrors pair with their anchor cross-resolution while
+    // their plain-phash hamming stays far (~half the sign bits flip).
+    // Deterministic signature row per image_id (same first-decode-ok
+    // discipline as the tiles rung).
+    "q_dedup_phash_mirror" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = graft.validation.ImageSuiteQueries.ensureFacts(s, dir)
+      val first = f.filter(col("decode_ok"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("image_id").orderBy("phash_rec", "n_bytes")))
+        .filter(col("rn") === 1)
+      val sig = first.select(col("image_id").as("doc_id"),
+          col("phash_rec").as("phash"),
+          posexplode(col("phash_d4")).as(Seq("kind", "hash")))
+        .filter(col("hash") =!= 0L)
+      bandedDihedralPairs(sig, maxDihHamming = 6, minFullHamming = 12,
+          maxBucket = 4, runWidth = 4)
+        .orderBy("a_id", "b_id")
+    }),
+
     // 64-bit SimHash near-dup pairs: hamming over both halves.
     // Bounded all-pairs BY DESIGN — this is the small-range recall oracle
     // for q_dedup_simhash64_banded, not a production path.
@@ -1097,6 +1181,45 @@ object DedupQueries {
            SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
          SELECT src AS doc_id, least(src, min(dst)) AS comp_id
          FROM reach GROUP BY src""",
+    "q_dedup_phash_mirror" ->
+      s"""WITH f AS (
+           SELECT image_id, phash_rec, phash_d4, n_bytes
+           FROM read_parquet('${graft.validation.ImageSuiteQueries.FactsPath}/*.parquet')
+           WHERE decode_ok),
+         first AS (
+           SELECT image_id AS doc_id, phash_rec AS phash, phash_d4
+           FROM (SELECT *, row_number() OVER (PARTITION BY image_id
+                   ORDER BY phash_rec, n_bytes) AS rn FROM f)
+           WHERE rn = 1),
+         sig AS (
+           SELECT doc_id, phash,
+             generate_subscripts(phash_d4, 1) - 1 AS kind,
+             unnest(phash_d4) AS hash
+           FROM first),
+         sig2 AS (SELECT * FROM sig WHERE hash <> 0),
+         bands AS (
+           SELECT doc_id, phash, kind, hash, b.b AS b,
+             (hash >> (b.b * 16)) & 65535 AS key
+           FROM sig2 CROSS JOIN (VALUES (0), (1), (2), (3)) b(b)),
+         ranked AS (
+           SELECT doc_id, phash, kind, hash, b, key,
+             count(*) OVER (PARTITION BY b, key) AS bn,
+             row_number() OVER (PARTITION BY b, key
+               ORDER BY hash, doc_id, kind) AS rn
+           FROM bands),
+         cand AS (
+           SELECT least(x.doc_id, y.doc_id) AS a_id,
+             greatest(x.doc_id, y.doc_id) AS b_id,
+             bit_count(xor(x.hash, y.hash)) AS dh,
+             bit_count(xor(x.phash, y.phash)) AS full_hamming
+           FROM ranked x JOIN ranked y
+             ON x.b = y.b AND x.key = y.key AND x.rn < y.rn
+            AND (x.bn <= 4 OR y.rn - x.rn <= 4)
+           WHERE x.doc_id <> y.doc_id
+             AND ((x.kind = 0) <> (y.kind = 0)))
+         SELECT a_id, b_id, min(dh) AS dih_hamming, full_hamming
+         FROM cand GROUP BY a_id, b_id, full_hamming
+         HAVING min(dh) <= 6 AND full_hamming >= 12""",
     // the production (HOF single-pass) and native-expression variants
     // compute the IDENTICAL signature, so both are held to the same oracle
     "q_dedup_simhash64_prod" -> simhash64OracleSql,

@@ -104,7 +104,8 @@ object ImageSuite {
         col("f.clip_hi").as("clip_hi"),
         col("f.phash_tiles").as("phash_tiles"),
         col("f.container_kind").as("container_kind"),
-        col("f.container_ok").as("container_ok"))
+        col("f.container_ok").as("container_ok"),
+        col("f.phash_d4").as("phash_d4"))
   }
 
   /** Row-invariant violation fan-out: one array<struct> per row, exploded —

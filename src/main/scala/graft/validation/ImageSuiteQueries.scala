@@ -55,7 +55,7 @@ object ImageSuiteQueries {
     * generated datasets. Without it a code change would silently serve
     * stale published facts to BOTH engines (the oracle reads the same
     * parquet, so Verify could not catch the staleness). */
-  val FactsVersion = 4 // r5: + luma facts, + phash tiles, + container walk
+  val FactsVersion = 6 // r5: + phash_d4 (all 8 dihedral hashes, mirror probes)
 
   /** Perceptual-gate thresholds (q_i_quality_gates): Laplacian-variance
     * blur floor, luma exposure envelope, contrast floor, rail-clip cap,

@@ -84,6 +84,18 @@ class PlanHygieneSpec extends SparkTestBase {
       s"tile band shuffle not reused — facts scan runs twice:\n$fin")
   }
 
+  test("mirror multi-probe pairing joins on (band, key), reuses ONE shuffle, no cartesian") {
+    val df = SparkEntry.queries("q_dedup_phash_mirror")(spark, dir)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in mirror plan:\n$p")
+    // same symmetric-bn discipline as the L2/tile banding: the self-join's
+    // two branches must collapse to one probe-banding computation at runtime
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("ReusedExchange"),
+      s"mirror band shuffle not reused — probe scan runs twice:\n$fin")
+  }
+
   test("Mahalanobis scoring broadcasts the one-row stats, never a shuffle join") {
     val p = planOf(SparkEntry.queries("q_v_outliers_mahalanobis")(spark, dir))
     assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),

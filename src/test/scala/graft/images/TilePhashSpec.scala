@@ -61,10 +61,18 @@ class TilePhashSpec extends SparkTestBase {
   }
 
   test("banded tile query recovers planted anchor pairs, enriched at q=0") {
-    val rows = graft.DedupQueries.queries("q_dedup_phash_tiles")(
+    val allRows = graft.DedupQueries.queries("q_dedup_phash_tiles")(
       spark, tier).collect()
-    assert(rows.nonEmpty, "no tile pairs at all")
+    assert(allRows.nonEmpty, "no tile pairs at all")
     def ord(id: String): Long = id.stripPrefix("img-").toLong
+    // Exclude the mirror-planted class from the rate math: two mirrors of
+    // one anchor are FULL duplicates at different dims, so they match on
+    // every quadrant and occasionally clear the full-hamming ≥ 8 gate on
+    // cross-resolution noise alone — legitimate output, but it dilutes
+    // the q=0 enrichment this test measures on the tile-composite class.
+    val rows = allRows.filterNot(r =>
+      ImageGen.isMirrorDup(ord(r.getAs[String]("a_id"))) ||
+        ImageGen.isMirrorDup(ord(r.getAs[String]("b_id"))))
     val byQ = rows.groupBy(_.getAs[Int]("q"))
     def sameAnchor(r: org.apache.spark.sql.Row): Boolean =
       ImageGen.tileAnchor(ord(r.getAs[String]("a_id"))) ==
@@ -82,7 +90,7 @@ class TilePhashSpec extends SparkTestBase {
     assert(q0Rate > 10 * restRate + 0.05,
       s"q0 anchor rate $q0Rate not enriched over background $restRate")
     // the contract: every reported pair is regionally near, globally far
-    rows.foreach { r =>
+    allRows.foreach { r =>
       assert(r.getAs[Int]("tile_hamming") <= 6)
       assert(r.getAs[Int]("full_hamming") >= 8)
     }
