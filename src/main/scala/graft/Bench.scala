@@ -85,8 +85,8 @@ object Bench {
     // structure/trend/ECDF-outlier additions
     "q_v_masks", "q_v_theilsen", "q_v_outliers_ecod",
     "q_v_outliers_ecod_grid",
-    // dihedral multi-probe mirror dedup
-    "q_dedup_phash_mirror")
+    // dihedral multi-probe mirror dedup + orientation-free clusters
+    "q_dedup_phash_mirror", "q_dedup_phash_mirror_cc")
 
   private val headline = suiteV4 ++ headlineNew
 

@@ -784,6 +784,42 @@ object DedupQueries {
       connectedComponentsStar(pairs).orderBy("doc_id")
     }),
 
+    // Orientation-FREE duplicate clusters: star-contraction connected
+    // components over the UNION of the plain banded pair graph and the
+    // dihedral mirror pair graph — an image, its re-encodes, and its
+    // flipped/rotated reposts all land in ONE component (the
+    // keep-one-per-component survivor rule a real image-dedup pipeline
+    // applies; plain components would keep a mirror AND its anchor).
+    // Both edge families read the SAME deterministic first-decode-ok
+    // signature per image. Node set bounded to the first 2000 ordinals
+    // so the DuckDB recursive closure stays tractable; the production
+    // rung is unbounded — same O(log n) contraction, and the edge
+    // union is just one more distinct over two banded outputs.
+    "q_dedup_phash_mirror_cc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val f = graft.validation.ImageSuiteQueries.ensureFacts(s, dir)
+        .filter(col("image_id") < "img-000000002000")
+      val first = f.filter(col("decode_ok"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("image_id").orderBy("phash_rec", "n_bytes")))
+        .filter(col("rn") === 1)
+      val plainSig = first.select(col("image_id").as("doc_id"),
+        col("phash_rec").bitwiseAND(lit(4294967295L)).as("simhash_lo"),
+        shiftright(col("phash_rec"), 32).bitwiseAND(lit(4294967295L)).as("simhash_hi"))
+      val plainPairs = bandedSimhashPairsL2(plainSig, blocks = 4,
+          maxHamming = 4, maxBucket = 4, runWidth = 4)
+        .select("a_id", "b_id")
+      val dihSig = first.select(col("image_id").as("doc_id"),
+          col("phash_rec").as("phash"),
+          posexplode(col("phash_d4")).as(Seq("kind", "hash")))
+        .filter(col("hash") =!= 0L)
+      val mirrorPairs = bandedDihedralPairs(dihSig, maxDihHamming = 6,
+          minFullHamming = 12, maxBucket = 4, runWidth = 4)
+        .select("a_id", "b_id")
+      connectedComponentsStar(plainPairs.union(mirrorPairs).distinct())
+        .orderBy("doc_id")
+    }),
+
     // Image near-dup CLUSTERS end-to-end: star-contraction connected
     // components over the banded phash pair graph — the image twin of
     // q_dedup_cc's text clustering, labeling every image with the min
@@ -1220,6 +1256,75 @@ object DedupQueries {
          SELECT a_id, b_id, min(dh) AS dih_hamming, full_hamming
          FROM cand GROUP BY a_id, b_id, full_hamming
          HAVING min(dh) <= 6 AND full_hamming >= 12""",
+    "q_dedup_phash_mirror_cc" ->
+      s"""WITH RECURSIVE f AS (
+           SELECT image_id, phash_rec, phash_d4, n_bytes
+           FROM read_parquet('${graft.validation.ImageSuiteQueries.FactsPath}/*.parquet')
+           WHERE decode_ok AND image_id < 'img-000000002000'),
+         first AS (
+           SELECT image_id AS doc_id, phash_rec AS phash, phash_d4
+           FROM (SELECT *, row_number() OVER (PARTITION BY image_id
+                   ORDER BY phash_rec, n_bytes) AS rn FROM f)
+           WHERE rn = 1),
+         sh AS (
+           SELECT doc_id, phash & 4294967295 AS lo,
+             (phash >> 32) & 4294967295 AS hi
+           FROM first),
+         $bands4Cte,
+         ranked AS (
+           SELECT doc_id, lo, hi, b, key,
+             count(*) OVER (PARTITION BY b, key) AS bn,
+             row_number() OVER (PARTITION BY b, key ORDER BY hi, lo, doc_id) AS rn
+           FROM bands),
+         plain_pairs AS (
+           SELECT DISTINCT least(x.doc_id, y.doc_id) AS a_id,
+             greatest(x.doc_id, y.doc_id) AS b_id
+           FROM ranked x JOIN ranked y
+             ON x.b = y.b AND x.key = y.key AND x.rn < y.rn
+            AND (x.bn <= 4 OR y.rn - x.rn <= 4)
+           WHERE bit_count(xor(x.lo, y.lo)) + bit_count(xor(x.hi, y.hi)) <= 4),
+         dsig AS (
+           SELECT doc_id, phash,
+             generate_subscripts(phash_d4, 1) - 1 AS kind,
+             unnest(phash_d4) AS hash
+           FROM first),
+         dsig2 AS (SELECT * FROM dsig WHERE hash <> 0),
+         dbands AS (
+           SELECT doc_id, phash, kind, hash, b.b AS b,
+             (hash >> (b.b * 16)) & 65535 AS key
+           FROM dsig2 CROSS JOIN (VALUES (0), (1), (2), (3)) b(b)),
+         dranked AS (
+           SELECT doc_id, phash, kind, hash, b, key,
+             count(*) OVER (PARTITION BY b, key) AS bn,
+             row_number() OVER (PARTITION BY b, key
+               ORDER BY hash, doc_id, kind) AS rn
+           FROM dbands),
+         dcand AS (
+           SELECT least(x.doc_id, y.doc_id) AS a_id,
+             greatest(x.doc_id, y.doc_id) AS b_id,
+             bit_count(xor(x.hash, y.hash)) AS dh,
+             bit_count(xor(x.phash, y.phash)) AS full_hamming
+           FROM dranked x JOIN dranked y
+             ON x.b = y.b AND x.key = y.key AND x.rn < y.rn
+            AND (x.bn <= 4 OR y.rn - x.rn <= 4)
+           WHERE x.doc_id <> y.doc_id
+             AND ((x.kind = 0) <> (y.kind = 0))),
+         mirror_pairs AS (
+           SELECT a_id, b_id
+           FROM dcand GROUP BY a_id, b_id, full_hamming
+           HAVING min(dh) <= 6 AND full_hamming >= 12),
+         pairs AS (
+           SELECT a_id, b_id FROM plain_pairs
+           UNION SELECT a_id, b_id FROM mirror_pairs),
+         edges AS (
+           SELECT a_id AS src, b_id AS dst FROM pairs
+           UNION SELECT b_id, a_id FROM pairs),
+         reach(src, dst) AS (
+           SELECT src, dst FROM edges
+           UNION
+           SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst)
+         SELECT src AS doc_id, least(src, min(dst)) AS comp_id
+         FROM reach GROUP BY src""",
     // the production (HOF single-pass) and native-expression variants
     // compute the IDENTICAL signature, so both are held to the same oracle
     "q_dedup_simhash64_prod" -> simhash64OracleSql,

@@ -111,4 +111,22 @@ class MirrorPhashSpec extends SparkTestBase {
     assert(mirrorPairs.intersect(plain).isEmpty,
       "plain banding unexpectedly found mirror pairs")
   }
+
+  test("orientation-free clusters: mirrors land in their anchor's component") {
+    val labels = graft.DedupQueries.queries("q_dedup_phash_mirror_cc")(
+      spark, tier).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.getAs[String]("comp_id")).toMap
+    assert(labels.nonEmpty, "no clusters at all")
+    // every label is the min reachable id: label ≤ member
+    labels.foreach { case (d, c) => assert(c <= d, s"$d labeled $c") }
+    def ord(id: String): Long = id.stripPrefix("img-").toLong
+    // at least one planted mirror co-clusters with a node of its anchor
+    // bucket — the orientation-free survivor rule plain components miss
+    val mirrorJoined = labels.count { case (d, c) =>
+      ImageGen.isMirrorDup(ord(d)) &&
+        ImageGen.mirrorAnchor(ord(d)) == ImageGen.mirrorAnchor(ord(c)) && d != c
+    }
+    assert(mirrorJoined >= 3,
+      s"expected ≥3 mirrors clustered into their anchor bucket, got $mirrorJoined")
+  }
 }
