@@ -50,16 +50,18 @@ object ImageGen {
     u01(i ^ Seed) >= CaptionMismatch && tileAnchor(i) != i &&
       u01(i ^ 0x711eL) < TileDupRate
 
-  /** Mirror-duplicate planting: ~1.5% of CLEAN-band rows (disjoint from
-    * tile composites by construction) carry the horizontal MIRROR of an
-    * anchor ordinal's continuous pattern, sampled at the row's OWN dims.
-    * Plain-pHash banding is structurally blind to these (flip-x negates
-    * every odd-u DCT coefficient → ~half the sign bits flip), while a
-    * dihedral variant probe ([[Phash.dihedralPhashes]]) matches the
-    * anchor's plain hash — the signal q_dedup_phash_mirror detects by
-    * multi-probe banding. Stored lossless like tile
-    * composites (a real mirror-master pipeline stores masters lossless;
-    * keeps PSNR vs [[truthPixels]] exactly +Inf).
+  /** D4-transform duplicate planting: ~1.5% of CLEAN-band rows (disjoint
+    * from tile composites by construction) carry a FLIPPED/ROTATED copy
+    * of an anchor ordinal's continuous pattern, sampled at the row's OWN
+    * dims — transform drawn per ordinal from {flip-x, flip-y, rot180,
+    * transpose} ([[mirrorKind]]) so every dihedral orbit branch is
+    * exercised end-to-end, not just horizontal mirrors. Plain-pHash
+    * banding is structurally blind to all four (each negates/permutes
+    * ~half the DCT sign bits), while a dihedral variant probe
+    * ([[Phash.dihedralPhashes]]) matches the anchor's plain hash — the
+    * signal q_dedup_phash_mirror detects by multi-probe banding. Stored
+    * lossless like tile composites (a real repost-dedup pipeline stores
+    * masters lossless; keeps PSNR vs [[truthPixels]] exactly +Inf).
     */
   val MirrorDupRate = 0.015
 
@@ -68,6 +70,10 @@ object ImageGen {
   def isMirrorDup(i: Long): Boolean =
     u01(i ^ Seed) >= CaptionMismatch && mirrorAnchor(i) != i &&
       !isTileDup(i) && u01(i ^ 0x312fL) < MirrorDupRate
+
+  /** Which D4 transform a planted dup carries: 0 flip-x, 1 flip-y,
+    * 2 rot180, 3 transpose. */
+  def mirrorKind(i: Long): Int = (ImageCodec.mix64(i ^ 0x0d1eL) & 3).toInt
 
   /** Ground-truth pixels for ordinal `i` at dims (w, h): the id's synth
     * pattern, with the top-left quadrant replaced by the anchor's pattern
@@ -78,16 +84,39 @@ object ImageGen {
     */
   def truthPixels(i: Long, w: Int, h: Int): Array[Int] = {
     if (isMirrorDup(i)) {
-      // horizontal mirror of the anchor's pattern at this row's dims:
-      // the same continuous image content reflected, so the dihedral-
-      // canonical pHash matches the anchor's at any resolution
-      val donor = ImageCodec.synthPixels(mirrorAnchor(i), w, h)
+      // the anchor's continuous pattern under this ordinal's D4 transform,
+      // sampled at the row's own dims: the same image content reflected/
+      // rotated, so a dihedral probe matches the anchor at any resolution
+      val a = mirrorAnchor(i)
       val out = new Array[Int](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) { out(y * w + x) = donor(y * w + (w - 1 - x)); x += 1 }
-        y += 1
+      mirrorKind(i) match {
+        case 0 => // flip-x
+          val donor = ImageCodec.synthPixels(a, w, h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { out(y * w + x) = donor(y * w + (w - 1 - x)); x += 1 }
+            y += 1
+          }
+        case 1 => // flip-y
+          val donor = ImageCodec.synthPixels(a, w, h)
+          var y = 0
+          while (y < h) {
+            System.arraycopy(donor, (h - 1 - y) * w, out, y * w, w)
+            y += 1
+          }
+        case 2 => // rot180
+          val donor = ImageCodec.synthPixels(a, w, h)
+          var k = 0
+          while (k < out.length) { out(k) = donor(out.length - 1 - k); k += 1 }
+        case _ => // transpose: donor sampled at swapped dims (h × w grid)
+          val donor = ImageCodec.synthPixels(a, h, w)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { out(y * w + x) = donor(x * h + y); x += 1 }
+            y += 1
+          }
       }
       return out
     }
@@ -267,7 +296,7 @@ object ImageGen {
   }
 
   /** Bump when generation logic changes — invalidates cached datasets. */
-  val GenVersion = 9 // r5: + mirror-duplicate planting (dihedral signal)
+  val GenVersion = 10 // r5: D4 dup planting over all four transform kinds
 
   /** Deterministic dataset dir for a row count (also used to EMBED paths in
     * oracle SQL without forcing generation first). */

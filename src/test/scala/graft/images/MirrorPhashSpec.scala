@@ -73,17 +73,27 @@ class MirrorPhashSpec extends SparkTestBase {
     }
   }
 
-  test("planted mirror rows carry the anchor's mirrored pattern") {
-    val i = (0L until 2500L).find(ImageGen.isMirrorDup)
-      .getOrElse(fail("no planted mirror dup in 2500 ordinals"))
-    val a = ImageGen.mirrorAnchor(i)
-    assert(a != i && !ImageGen.isMirrorDup(a), "anchors are never mirrors themselves")
+  test("planted D4 rows carry the anchor's transformed pattern, all four kinds") {
+    val planted = (0L until 20000L).filter(ImageGen.isMirrorDup)
+    val byKind = planted.groupBy(ImageGen.mirrorKind)
+    assert(byKind.keySet == Set(0, 1, 2, 3),
+      s"all four transform kinds must be planted, got ${byKind.keySet}")
     val w = 48; val h = 36
-    val t = ImageGen.truthPixels(i, w, h)
-    val donor = ImageCodec.synthPixels(a, w, h)
-    assert(t.sameElements(mirrorX(donor, w, h)), "mirror row ≠ flipped anchor pattern")
-    // mirrors are disjoint from tile composites by construction
-    assert(!ImageGen.isTileDup(i))
+    for ((kind, is) <- byKind) {
+      val i = is.head
+      val a = ImageGen.mirrorAnchor(i)
+      assert(a != i && !ImageGen.isMirrorDup(a), "anchors are never mirrors themselves")
+      assert(!ImageGen.isTileDup(i), "mirrors are disjoint from tile composites")
+      val t = ImageGen.truthPixels(i, w, h)
+      val expected = kind match {
+        case 0 => mirrorX(ImageCodec.synthPixels(a, w, h), w, h)
+        case 1 => // flip-y = rot180 ∘ flip-x
+          rot180(mirrorX(ImageCodec.synthPixels(a, w, h), w, h))
+        case 2 => rot180(ImageCodec.synthPixels(a, w, h))
+        case _ => transposePx(ImageCodec.synthPixels(a, h, w), h, w)
+      }
+      assert(t.sameElements(expected), s"kind-$kind row ≠ transformed anchor pattern")
+    }
   }
 
   test("banded mirror query recovers planted anchor pairs; plain banding is blind") {
@@ -93,9 +103,16 @@ class MirrorPhashSpec extends SparkTestBase {
     def ord(id: String): Long = id.stripPrefix("img-").toLong
     def sameAnchor(a: String, b: String): Boolean =
       ImageGen.mirrorAnchor(ord(a)) == ImageGen.mirrorAnchor(ord(b))
-    val planted = rows.count(r =>
+    val planted = rows.filter(r =>
       sameAnchor(r.getAs[String]("a_id"), r.getAs[String]("b_id")))
-    assert(planted >= 10, s"expected ≥10 planted mirror-anchor pairs, got $planted")
+    assert(planted.size >= 10, s"expected ≥10 planted mirror-anchor pairs, got ${planted.size}")
+    // the recovered pairs must span several TRANSFORM kinds — flips,
+    // rotations, and transposes all ride the same probe banding
+    val kinds = planted.flatMap { r =>
+      Seq(ord(r.getAs[String]("a_id")), ord(r.getAs[String]("b_id")))
+        .filter(ImageGen.isMirrorDup).map(ImageGen.mirrorKind)
+    }.toSet
+    assert(kinds.size >= 3, s"expected ≥3 distinct D4 kinds recovered, got $kinds")
     // the contract: some dihedral probe near, plain hashes far
     rows.foreach { r =>
       assert(r.getAs[Int]("dih_hamming") <= 6)
