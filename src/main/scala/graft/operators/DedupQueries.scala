@@ -125,8 +125,12 @@ object DedupQueries {
     * own trade (WWW 2007 §3: "probe a small number of adjacent
     * fingerprints"), and HotBucketSpec pins both halves of it.
     *
-    * One shuffle on (band, key) — the window sort and the self-join reuse
-    * the same partitioning; everything else is identical to level-1.
+    * One shuffle on (band, key), total. In the production regime
+    * (maxBucket ≤ runWidth) the run condition subsumes the small-bucket
+    * branch and candidates are generated by window lead() off the run
+    * sort — no self-join, no per-bucket cross-product enumeration; the
+    * general regime keeps the symmetric self-join (ReuseExchange
+    * collapses its branches to one banding computation).
     */
   def bandedSimhashPairsL2(sh: DataFrame, blocks: Int, maxHamming: Int,
                            maxBucket: Int, runWidth: Int): DataFrame = {
@@ -146,27 +150,51 @@ object DedupQueries {
     val bucket = Window.partitionBy("band", "key")
     // total order (doc_id is unique) → deterministic ranks in any engine
     val run = bucket.orderBy("simhash_hi", "simhash_lo", "doc_id")
-    val ranked = bands
-      .withColumn("bn", count(lit(1)).over(bucket))
-      .withColumn("rn", row_number().over(run))
-    // bn is identical on both sides of a bucket; referencing BOTH sides'
-    // bn keeps the two join branches column-identical, so the planner's
-    // ReuseExchange collapses them into ONE signature+banding computation
-    // and one shuffle (asymmetric pruning — x keeping bn, y dropping it —
-    // made the subtrees canonically different and the whole scan ran
-    // twice; PlanHygieneSpec pins the exchange count)
-    ranked.as("x").join(ranked.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.rn") < col("y.rn") &&
-          (col("x.bn") <= maxBucket || col("y.bn") <= maxBucket ||
-            col("y.rn") - col("x.rn") <= runWidth))
-      // rank order ≠ id order, so canonicalize the pair before distinct
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"),
-        (bit_count(col("x.simhash_lo").bitwiseXOR(col("y.simhash_lo"))) +
-         bit_count(col("x.simhash_hi").bitwiseXOR(col("y.simhash_hi")))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    val cand =
+      if (maxBucket <= runWidth) {
+        // "bn ≤ maxBucket OR gap ≤ runWidth" collapses to "gap ≤ runWidth"
+        // (a ≤ maxBucket-row bucket only contains gaps < maxBucket), so
+        // candidates are exactly {(row, lead(row, d)) : d ≤ runWidth} —
+        // generated linearly off the run sort with ZERO joins. The join
+        // formulation below enumerates every bucket's full cross product
+        // internally before filtering: Σ bucket² probes, measured 23 G
+        // (80 s) on the dihedral rung's 16 M hot-keyed band rows vs 17 s
+        // lead-form. Production callers all sit in this regime.
+        val withLeads = (1 to runWidth).foldLeft(bands) { (df, d) =>
+          df.withColumn(s"y$d", struct(
+            lead(col("doc_id"), d).over(run).as("doc_id"),
+            lead(col("simhash_lo"), d).over(run).as("lo"),
+            lead(col("simhash_hi"), d).over(run).as("hi")))
+        }
+        // leads past the bucket end are null structs (lead never crosses
+        // the window partition), so cross-bucket pairs cannot be emitted
+        withLeads.select(col("doc_id"), col("simhash_lo"), col("simhash_hi"),
+            explode(array((1 to runWidth).map(d => col(s"y$d")): _*)).as("y"))
+          .filter(col("y.doc_id").isNotNull)
+          .select(least(col("doc_id"), col("y.doc_id")).as("a_id"),
+            greatest(col("doc_id"), col("y.doc_id")).as("b_id"),
+            (bit_count(col("simhash_lo").bitwiseXOR(col("y.lo"))) +
+             bit_count(col("simhash_hi").bitwiseXOR(col("y.hi")))).as("hamming"))
+      } else {
+        // general Manku form (small buckets pair fully beyond the run):
+        // self-join with symmetric bn references — bn identical on both
+        // sides keeps the two branches column-identical so ReuseExchange
+        // collapses them into ONE signature+banding computation
+        val ranked = bands
+          .withColumn("bn", count(lit(1)).over(bucket))
+          .withColumn("rn", row_number().over(run))
+        ranked.as("x").join(ranked.as("y"),
+            col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+              col("x.rn") < col("y.rn") &&
+              (col("x.bn") <= maxBucket || col("y.bn") <= maxBucket ||
+                col("y.rn") - col("x.rn") <= runWidth))
+          // rank order ≠ id order, so canonicalize the pair before distinct
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"),
+            (bit_count(col("x.simhash_lo").bitwiseXOR(col("y.simhash_lo"))) +
+             bit_count(col("x.simhash_hi").bitwiseXOR(col("y.simhash_hi")))).as("hamming"))
+      }
+    cand.distinct().filter(col("hamming") <= maxHamming)
   }
 
   /** Partial-crop (region) duplicate pairs from per-quadrant pHash tiles:
@@ -195,20 +223,40 @@ object DedupQueries {
         col("bk.band").as("band"), col("bk.key").as("key"))
     val bucket = Window.partitionBy("q", "band", "key")
     val run = bucket.orderBy("tile", "doc_id")
-    val ranked = bands
-      .withColumn("bn", count(lit(1)).over(bucket))
-      .withColumn("rn", row_number().over(run))
-    ranked.as("x").join(ranked.as("y"),
-        col("x.q") === col("y.q") && col("x.band") === col("y.band") &&
-          col("x.key") === col("y.key") && col("x.rn") < col("y.rn") &&
-          (col("x.bn") <= maxBucket || col("y.bn") <= maxBucket ||
-            col("y.rn") - col("x.rn") <= runWidth))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"),
-        col("x.q").as("q"),
-        bit_count(col("x.tile").bitwiseXOR(col("y.tile"))).as("tile_hamming"),
-        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("full_hamming"))
-      .distinct()
+    val cand =
+      if (maxBucket <= runWidth) {
+        // gap-only regime: lead-pairing off the run sort, zero joins
+        // (the Σ bucket² argument at [[bandedSimhashPairsL2]])
+        val withLeads = (1 to runWidth).foldLeft(bands) { (df, d) =>
+          df.withColumn(s"y$d", struct(
+            lead(col("doc_id"), d).over(run).as("doc_id"),
+            lead(col("phash"), d).over(run).as("phash"),
+            lead(col("tile"), d).over(run).as("tile")))
+        }
+        withLeads.select(col("doc_id"), col("phash"), col("q"), col("tile"),
+            explode(array((1 to runWidth).map(d => col(s"y$d")): _*)).as("y"))
+          .filter(col("y.doc_id").isNotNull)
+          .select(least(col("doc_id"), col("y.doc_id")).as("a_id"),
+            greatest(col("doc_id"), col("y.doc_id")).as("b_id"),
+            col("q"),
+            bit_count(col("tile").bitwiseXOR(col("y.tile"))).as("tile_hamming"),
+            bit_count(col("phash").bitwiseXOR(col("y.phash"))).as("full_hamming"))
+      } else {
+        val ranked = bands
+          .withColumn("bn", count(lit(1)).over(bucket))
+          .withColumn("rn", row_number().over(run))
+        ranked.as("x").join(ranked.as("y"),
+            col("x.q") === col("y.q") && col("x.band") === col("y.band") &&
+              col("x.key") === col("y.key") && col("x.rn") < col("y.rn") &&
+              (col("x.bn") <= maxBucket || col("y.bn") <= maxBucket ||
+                col("y.rn") - col("x.rn") <= runWidth))
+          .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+            greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"),
+            col("x.q").as("q"),
+            bit_count(col("x.tile").bitwiseXOR(col("y.tile"))).as("tile_hamming"),
+            bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("full_hamming"))
+      }
+    cand.distinct()
       .filter(col("tile_hamming") <= maxTileHamming &&
         col("full_hamming") >= minFullHamming)
   }
@@ -227,18 +275,31 @@ object DedupQueries {
     *
     * `sig` must have (doc_id, phash, kind, hash) — kind 0 = the plain
     * hash itself, kind 1..7 = the variant probes, zero hashes already
-    * filtered (8 rows per image). One symmetric self-join with the same
-    * banding + hot-bucket run discipline as [[bandedSimhashPairsL2]] on
-    * the hash's four 16-bit blocks; only mixed plain↔variant candidates
+    * filtered (8 rows per image); only mixed plain↔variant candidates
     * survive (plain↔plain IS the plain rung; variant↔variant is its
-    * redundant double-transformed echo). One shuffle on (band, key);
-    * candidates O(bucket · run); min over a pair's matched probes makes
-    * the output orientation-free.
+    * redundant double-transformed echo). Min over a pair's matched
+    * probes makes the output orientation-free.
+    *
+    * Candidate generation is window-LEAD pairing, not a self-join: with
+    * `maxBucket ≤ runWidth` the L2 condition "bucket ≤ maxBucket OR rank
+    * gap ≤ runWidth" collapses to exactly "rank gap ≤ runWidth" (a
+    * bucket of ≤ maxBucket rows only contains gaps < maxBucket), so the
+    * candidate set IS {(row, lead(row, d)) : d ≤ runWidth} within each
+    * (band, key) bucket — emitted linearly off the sort the rank window
+    * already pays, the [[q_link_snm_pairs]] sorted-neighborhood shape.
+    * The L2 self-join formulation enumerates every bucket's full cross
+    * product internally before filtering (Σ bucket² = 23 G bucket-pair
+    * probes at sf0.1 for this rung's 16 M hot-keyed band rows, measured
+    * 80 s); the lead form replaces that with 16 M · runWidth generated
+    * rows and zero joins. One shuffle on (band, key), total.
     */
   def bandedDihedralPairs(sig: DataFrame, maxDihHamming: Int,
                           minFullHamming: Int, maxBucket: Int,
                           runWidth: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(maxBucket <= runWidth,
+      s"maxBucket=$maxBucket > runWidth=$runWidth: lead pairing would drop " +
+        "small-bucket pairs beyond the run")
     val mask = lit(65535L)
     val bands = sig.select(col("doc_id"), col("phash"), col("kind"), col("hash"),
         explode(array((0 until 4).map { j =>
@@ -247,23 +308,26 @@ object DedupQueries {
         }: _*)).as("bk"))
       .select(col("doc_id"), col("phash"), col("kind"), col("hash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val bucket = Window.partitionBy("band", "key")
-    // total order: (hash, doc_id, kind) is unique within a bucket
-    val run = bucket.orderBy("hash", "doc_id", "kind")
-    val ranked = bands
-      .withColumn("bn", count(lit(1)).over(bucket))
-      .withColumn("rn", row_number().over(run))
-    ranked.as("x").join(ranked.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.key") === col("y.key") && col("x.rn") < col("y.rn") &&
-          (col("x.bn") <= maxBucket || col("y.bn") <= maxBucket ||
-            col("y.rn") - col("x.rn") <= runWidth))
-      .filter(col("x.doc_id") =!= col("y.doc_id") &&
-        ((col("x.kind") === 0) =!= (col("y.kind") === 0)))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"),
-        bit_count(col("x.hash").bitwiseXOR(col("y.hash"))).as("dih_hamming"),
-        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("full_hamming"))
+    // total order: (hash, doc_id, kind) is unique within a bucket; leads
+    // past the bucket end are null structs (lead never crosses the
+    // window partition), so no cross-bucket pair can ever be emitted
+    val run = Window.partitionBy("band", "key").orderBy("hash", "doc_id", "kind")
+    val withLeads = (1 to runWidth).foldLeft(bands) { (df, d) =>
+      df.withColumn(s"y$d", struct(
+        lead(col("doc_id"), d).over(run).as("doc_id"),
+        lead(col("phash"), d).over(run).as("phash"),
+        lead(col("kind"), d).over(run).as("kind"),
+        lead(col("hash"), d).over(run).as("hash")))
+    }
+    withLeads.select(col("doc_id"), col("phash"), col("kind"), col("hash"),
+        explode(array((1 to runWidth).map(d => col(s"y$d")): _*)).as("y"))
+      .filter(col("y.doc_id").isNotNull &&
+        col("doc_id") =!= col("y.doc_id") &&
+        ((col("kind") === 0) =!= (col("y.kind") === 0)))
+      .select(least(col("doc_id"), col("y.doc_id")).as("a_id"),
+        greatest(col("doc_id"), col("y.doc_id")).as("b_id"),
+        bit_count(col("hash").bitwiseXOR(col("y.hash"))).as("dih_hamming"),
+        bit_count(col("phash").bitwiseXOR(col("y.phash"))).as("full_hamming"))
       .groupBy("a_id", "b_id", "full_hamming")
       .agg(min("dih_hamming").as("dih_hamming"))
       .select("a_id", "b_id", "dih_hamming", "full_hamming")

@@ -54,46 +54,37 @@ class PlanHygieneSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"cartesian in banded SimHash plan:\n$p")
   }
 
-  test("level-2 banded pairing reuses ONE band shuffle at runtime, no cartesian") {
+  test("level-2 banded pairing is window-lead generation: ZERO pair joins") {
+    // production regime (maxBucket ≤ runWidth): candidates come from
+    // lead() columns riding the one (band, key) run sort — a self-join
+    // would pay the per-bucket cross-product enumeration (Σ bucket²)
     val df = SparkEntry.queries("q_dedup_simhash64_banded_l2")(spark, dir)
     val p = planOf(df)
     assert(!p.contains("CartesianProduct"), s"cartesian in L2 banded plan:\n$p")
-    // The self-join's two references to the ranked band rows must resolve
-    // to ONE shuffle: the join condition references bn/rn SYMMETRICALLY
-    // so both branches stay column-identical and AQE's stage reuse
-    // collapses them (asymmetric pruning made the subtrees canonically
-    // different and the whole signature scan ran twice). Static explain
-    // always shows both exchanges — reuse is a RUNTIME property of the
-    // adaptive plan, so execute and inspect the final plan (same lesson
-    // as SkewJoinSpec: the collected frame's own QueryExecution).
-    df.collect()
-    val fin = df.queryExecution.executedPlan.toString
-    assert(fin.contains("ReusedExchange"),
-      s"band shuffle not reused — signature scan runs twice:\n$fin")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"L2 banding regressed to a pair self-join:\n$p")
+    assert(p.contains("Window"), s"lead-pairing window missing:\n$p")
   }
 
-  test("tile pairing joins on (q, band, key), reuses ONE shuffle, no cartesian") {
+  test("tile pairing is window-lead generation within (q, band, key): ZERO pair joins") {
     val df = SparkEntry.queries("q_dedup_phash_tiles")(spark, dir)
     val p = planOf(df)
     assert(!p.contains("CartesianProduct"), s"cartesian in tile plan:\n$p")
-    // same symmetric-bn discipline as the L2 banding: the self-join's two
-    // branches must collapse to one banding computation at runtime
-    df.collect()
-    val fin = df.queryExecution.executedPlan.toString
-    assert(fin.contains("ReusedExchange"),
-      s"tile band shuffle not reused — facts scan runs twice:\n$fin")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"tile pairing regressed to a pair self-join:\n$p")
+    assert(p.contains("Window"), s"lead-pairing window missing:\n$p")
   }
 
-  test("mirror multi-probe pairing joins on (band, key), reuses ONE shuffle, no cartesian") {
+  test("mirror multi-probe pairing is window-lead generation: ZERO pair joins") {
+    // candidates come from lead() columns riding the one (band, key) rank
+    // sort — a self-join here would re-introduce the Σ bucket² inner
+    // enumeration (23 G bucket-pair probes at sf0.1, measured 80 s → 17 s)
     val df = SparkEntry.queries("q_dedup_phash_mirror")(spark, dir)
     val p = planOf(df)
     assert(!p.contains("CartesianProduct"), s"cartesian in mirror plan:\n$p")
-    // same symmetric-bn discipline as the L2/tile banding: the self-join's
-    // two branches must collapse to one probe-banding computation at runtime
-    df.collect()
-    val fin = df.queryExecution.executedPlan.toString
-    assert(fin.contains("ReusedExchange"),
-      s"mirror band shuffle not reused — probe scan runs twice:\n$fin")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"mirror pairing regressed to a pair self-join:\n$p")
+    assert(p.contains("Window"), s"lead-pairing window missing:\n$p")
   }
 
   test("Mahalanobis scoring broadcasts the one-row stats, never a shuffle join") {
