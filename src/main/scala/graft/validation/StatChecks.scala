@@ -683,9 +683,16 @@ object StatChecks {
         expr(s"transform(percentile($c, $levelsSql), e -> round(e, 6))")
           .as(s"_b_$c")): _*)
     val g1 = lit((gridN + 1).toDouble)
+    // tail lookup = two binary searches over the sorted grid per native
+    // expression eval (graft.functions.SortedTailCounts) — the builtin
+    // formulations (filter/aggregate HOFs) run an interpreted lambda per
+    // grid element per row and priced this scan at 57–66 s at sf0.1;
+    // the O(log gridN) leaf drops it to ~2 s with identical counts
     val score = cols.map { c =>
-      val le = size(expr(s"filter(_b_$c, e -> e <= $c)")).cast("double")
-      val ge = size(expr(s"filter(_b_$c, e -> e >= $c)")).cast("double")
+      val tc = graft.functions.SortedTailCounts.sortedTailCounts(
+        col(s"_b_$c"), col(c).cast("double"))
+      val le = tc.getField("le").cast("double")
+      val ge = tc.getField("ge").cast("double")
       -log(least(greatest(le, lit(1.0)) / g1, greatest(ge, lit(1.0)) / g1))
     }.reduce(_ + _)
     base.crossJoin(broadcast(grids))
