@@ -674,14 +674,17 @@ object StatChecks {
       v.isNotNull && !isnan(v) && abs(v) =!= lit(Double.PositiveInfinity)
     }.reduce(_ && _)
     val base = df.filter(finite)
-    val levelsSql = (1 to gridN).map(i => (i.toDouble / (gridN + 1)).toString)
-      .mkString("array(", ", ", ")")
-    val grids = base.agg(
-      expr(s"transform(percentile(${cols.head}, $levelsSql), e -> round(e, 6))")
-        .as(s"_b_${cols.head}"),
-      cols.tail.map(c =>
-        expr(s"transform(percentile($c, $levelsSql), e -> round(e, 6))")
-          .as(s"_b_$c")): _*)
+    // exact percentile levels via the native one-sort-per-column grid
+    // aggregate: value-identical to percentile(c, array(levels)) but the
+    // builtin's finalize re-walks its (value,count) list per level —
+    // O(L·NDV), 12 s on the near-unique price column alone at sf0.1 —
+    // where PercentileGridAgg sorts once and indexes each level O(1)
+    val levels = (1 to gridN).map(i => i.toDouble / (gridN + 1))
+    def grid(c: String) = transform(
+      graft.functions.PercentileGridAgg.percentileGrid(
+        col(c).cast("double"), levels),
+      e => round(e, 6)).as(s"_b_$c")
+    val grids = base.agg(grid(cols.head), cols.tail.map(grid): _*)
     val g1 = lit((gridN + 1).toDouble)
     // tail lookup = two binary searches over the sorted grid per native
     // expression eval (graft.functions.SortedTailCounts) — the builtin
