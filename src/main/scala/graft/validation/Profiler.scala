@@ -345,7 +345,9 @@ object Profiler {
     // Pre-project the guarded pair columns once (a narrow codegen'd map)
     // so each of the 6·pairs aggregate buffers reads a plain attribute
     // instead of re-evaluating the finite/both-present guard chain.
-    val guarded = df.select(pairs.flatMap { case (x, y, al) =>
+    // widen: the decimal-exact sums are the CPU of this operator and the
+    // single-row-group scan otherwise serializes them on one core.
+    val guarded = graft.Par.widen(df).select(pairs.flatMap { case (x, y, al) =>
       val dx0 = col(x).cast("double"); val dy0 = col(y).cast("double")
       val fx = when(!isnan(dx0) && abs(dx0) =!= lit(Double.PositiveInfinity), dx0)
       val fy = when(!isnan(dy0) && abs(dy0) =!= lit(Double.PositiveInfinity), dy0)
@@ -444,10 +446,21 @@ object Profiler {
       d.isNotNull && !isnan(d) && abs(d) =!= lit(Double.PositiveInfinity)
     }.reduce(_ && _)
     val complete = df.filter(finite)
+    // Both per-column windows share ONE sort: average rank
+    // (2·rank + ties − 1)/2 equals (rank + cntLe)/2 where cntLe is the
+    // running row count over a RANGE frame on the same ordering, so the
+    // tie count no longer needs its own value-hash exchange per column —
+    // the previous shape paid an extra Exchange hashpartitioning(value)
+    // per column on top of the rank sort (integer identity:
+    // rank = cntLt+1, ties = cntLe − cntLt ⇒ 2·rank+ties−1 = rank+cntLe).
+    // The chained windows leave the frame in one partition; correlations'
+    // own widen() re-spreads it before the decimal-exact sums.
     val ranked = complete.select(cols.map { c =>
       val d = col(c).cast("double")
-      ((lit(2) * rank().over(Window.orderBy(d)) +
-        count(lit(1L)).over(Window.partitionBy(d)) - lit(1)).cast("double") /
+      val w1 = Window.orderBy(d)
+      val w2 = Window.orderBy(d)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      ((rank().over(w1) + count(lit(1L)).over(w2)).cast("double") /
         lit(2.0)).as(c)
     }: _*)
     correlations(ranked, cols)
