@@ -693,8 +693,13 @@ object DedupQueries {
       // Per token: ONE md5 + two hex→int convs, then the 64 bit values are
       // pure integer shifts of the two 32-bit halves (bit b lives in hex
       // nibble b/4 at in-nibble position b%4 → shift 4·(7−b/4)+b%4 within
-      // its half) — no per-bit string ops in the fold.
-      docs(s, dir).filter(col("text").isNotNull)
+      // its half) — no per-bit string ops in the fold. The fold uses
+      // transform's (element, index) lambda so the inner step allocates
+      // ONE result array per token instead of the previous
+      // zip_with(acc, sequence(0,63), …) shape, which also materialized a
+      // fresh 64-element index array per token; widen() spreads the
+      // single-row-group scan so the interpreted fold runs on all cores.
+      graft.Par.widen(docs(s, dir).filter(col("text").isNotNull))
         .withColumn("toks", expr("filter(split(text, ' '), t -> length(t) > 0)"))
         .filter(size(col("toks")) > 0) // bits-join twin drops token-less docs
         .withColumn("hs", expr(
@@ -703,16 +708,16 @@ object DedupQueries {
                'h2', cast(conv(substring(hx, 9, 8), 16, 10) as bigint)))"""))
         .withColumn("ws", expr(
           """aggregate(hs, array_repeat(cast(0 as bigint), 64),
-               (acc, h) -> zip_with(acc, sequence(0, 63), (a, bit) ->
+               (acc, h) -> transform(acc, (a, bit) ->
                  a + ((CASE WHEN bit < 32
                        THEN shiftright(h.h1, cast(28 - 4*cast(bit/4 as int) + bit % 4 as int))
                        ELSE shiftright(h.h2, cast(60 - 4*cast(bit/4 as int) + bit % 4 as int)) END & 1) * 2 - 1)))"""))
         .select(col("doc_id"),
-          expr("""aggregate(zip_with(slice(ws, 1, 32), sequence(0, 31),
-                    (w, i) -> if(w > 0, shiftleft(cast(1 as bigint), cast(i as int)), cast(0 as bigint))),
+          expr("""aggregate(transform(slice(ws, 1, 32),
+                    (w, i) -> if(w > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
                   cast(0 as bigint), (a, x) -> a + x)""").as("simhash_lo"),
-          expr("""aggregate(zip_with(slice(ws, 33, 32), sequence(0, 31),
-                    (w, i) -> if(w > 0, shiftleft(cast(1 as bigint), cast(i as int)), cast(0 as bigint))),
+          expr("""aggregate(transform(slice(ws, 33, 32),
+                    (w, i) -> if(w > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))),
                   cast(0 as bigint), (a, x) -> a + x)""").as("simhash_hi"))
         .orderBy("doc_id")
     }),
