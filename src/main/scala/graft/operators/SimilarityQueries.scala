@@ -25,8 +25,13 @@ object SimilarityQueries {
     Tables(s, dir, "embeddings")
 
   /** Sequential-fold dot product of two array<double> columns. */
+  /** Dot product via the native tight-loop leaf — bit-identical to the
+    * previous `aggregate(zip_with(a, b, _*_), 0.0, _+_)` HOF (same
+    * products, same left-fold order, same null contract) but ~100× less
+    * per-pair work: the interpreted-lambda formulation was the CPU of
+    * every cosine in the ANN family (see [[graft.functions.DotProductExpr]]). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProductExpr.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
