@@ -33,16 +33,20 @@ object DedupQueries {
   /** Word tokens of `text`. */
   private def tokens(c: Column): Column = split(c, " ")
 
-  /** Distinct 3-token shingles per doc (doc_id, shingle). */
+  /** Distinct 3-token shingles per doc (doc_id, shingle). Dedup happens
+    * INSIDE the per-doc array (`array_distinct`) rather than as a global
+    * `.distinct()` after the explode: distinctness is per (doc, shingle)
+    * anyway, so deduping doc-locally is set-identical and turns the
+    * whole operator into one map stage — the previous shape shuffled
+    * every exploded shingle string just to drop within-doc repeats. */
   def shingles(d: DataFrame): DataFrame = {
     val ts = tokens(col("text"))
     d.filter(col("text").isNotNull && size(ts) >= 3)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(ts) - 2),
+        explode(array_distinct(transform(sequence(lit(1), size(ts) - 2),
           i => concat_ws(" ",
-            element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2))))
+            element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2)))))
           .as("shingle"))
-      .distinct()
   }
 
   /** Bit-block banded SimHash near-dup pairing, generalized (Manku/Jain/

@@ -59,13 +59,28 @@ object SetSimilarity {
     * truth by the argument above.
     */
   def prefixJaccardPairs(docs: DataFrame, t: Double): DataFrame = {
-    val sh = DedupQueries.shingles(docs)
+    // shingles feed FIVE plan branches (df counts, per-doc prefix build,
+    // sizes, both sides of the verification join): persist the widened
+    // frame so the explode+distinct runs once on all cores instead of
+    // five times on the single-row-group scan's one task (blocks are
+    // dropped by the bench between queries / the ContextCleaner after).
+    val sh = DedupQueries.shingles(graft.Par.widen(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // global token order = (document frequency asc, shingle asc): rare
     // tokens first minimizes candidates. Attached by ONE equi-join on
     // shingle; the order is realized per-doc by an array sort (doc-sized),
     // NOT a global rank — no single-reducer window anywhere.
     val freq = sh.groupBy("shingle").agg(count(lit(1L)).as("df"))
+    // The user-specified hash repartition on doc_id pins BOTH the
+    // collect_list aggregation stage AND everything downstream of it
+    // wide: AQE coalesces the tiny conf-driven shuffles of this query to
+    // a handful of partitions (the candidate equi-join below fans out to
+    // Σ cnt² ≈ 42 M intermediate rows at sf0.1 and was running on ~6 of
+    // 32 cores), but it leaves user-specified partitioning alone, and
+    // groupBy(doc_id) reuses the same clustering with no extra exchange.
     val ordered = sh.join(freq, Seq("shingle"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("shingle"))))
         .as("toks"))
@@ -77,6 +92,9 @@ object SetSimilarity {
       .select(col("doc_id"), col("n"),
         explode(expr("slice(toks, 1, plen)")).as("tk"))
       .select(col("doc_id"), col("n"), col("tk.shingle").as("shingle"))
+      // both sides of the self-join read pref: persist, or the
+      // collect_list/sort_array/explode chain above runs twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = pref.select(col("doc_id").as("a_id"), col("n").as("na"),
       col("shingle"))
     val b = pref.select(col("doc_id").as("b_id"), col("n").as("nb"),
@@ -87,6 +105,8 @@ object SetSimilarity {
       .filter(least(col("na"), col("nb")).cast("double") >=
         lit(t) * greatest(col("na"), col("nb")).cast("double"))
       .select("a_id", "b_id").distinct()
+      // keep the verification fan-out below wide too (same AQE note)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
     // exact verification on candidates only: intersection via equi-join
     // on shingle restricted to candidate pairs, sizes from one groupBy.
     val sizes = sh.groupBy("doc_id").agg(count(lit(1L)).as("sz"))
