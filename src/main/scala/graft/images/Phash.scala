@@ -146,6 +146,27 @@ object Phash {
     b.result()
   }
 
+  /** Per-variant coefficient index and negation flag, hoisted out of the
+    * per-image orbit loop: variant k's bit i reads coef(dihedralIdx(k)(i))
+    * negated iff dihedralNeg(k)(i). The previous shape destructured a
+    * boxed (Int, Int) tuple and re-derived transpose/sign arithmetic
+    * 8 × 64 times per decoded image — measurable pointer-chase in the
+    * kernel this file otherwise keeps allocation-free. */
+  private val dihedralIdx: Array[Array[Int]] = Array.tabulate(8) { k =>
+    val tr = (k >> 2) == 1
+    Array.tabulate(64) { i =>
+      val (u, v) = hashPos(i)
+      if (tr) u * N + v else v * N + u
+    }
+  }
+  private val dihedralNeg: Array[Array[Boolean]] = Array.tabulate(8) { k =>
+    val su = k & 1; val sv = (k >> 1) & 1
+    Array.tabulate(64) { i =>
+      val (u, v) = hashPos(i)
+      ((su * u + sv * v) & 1) == 1
+    }
+  }
+
   private def hashFromVals(vals: Array[Double]): Long = {
     val sorted = vals.clone().sorted
     val median = (sorted(31) + sorted(32)) / 2.0
@@ -228,12 +249,11 @@ object Phash {
     val vals = new Array[Double](64)
     var k = 0
     while (k < 8) {
-      val su = k & 1; val sv = (k >> 1) & 1; val tr = (k >> 2) == 1
+      val idx = dihedralIdx(k); val neg = dihedralNeg(k)
       var i = 0
       while (i < 64) {
-        val (u, v) = hashPos(i)
-        val c = if (tr) coef(u * N + v) else coef(v * N + u)
-        vals(i) = if (((su * u + sv * v) & 1) == 1) -c else c
+        val c = coef(idx(i))
+        vals(i) = if (neg(i)) -c else c
         i += 1
       }
       out(k) = hashFromVals(vals)

@@ -9,8 +9,10 @@ import javax.sound.sampled.{AudioFormat, AudioSystem}
   * RIFF/WAVE container, decode back through AudioSystem (a genuine
   * container + format parse, not a byte copy), and derive features
   * (sample count, RMS, a 64-bit band-energy fingerprint). This replaces
-  * the round-2 audio STUB in [[BinaryPipeline]]; video remains stubbed —
-  * the JDK ships no video codec.
+  * the round-2 audio STUB in [[BinaryPipeline]]; MJPEG video frames are
+  * decoded for real too (stsz-sliced JPEG samples through ImageIO — see
+  * [[Mp4Meta]]); only H.264/AV1 frame decode stays metadata-only, since
+  * the JDK ships no such codec.
   *
   * Decode failure returns None, never throws: a corrupt payload becomes
   * a zeroed feature row, not a task failure (the suite's decode

@@ -168,10 +168,31 @@ object BpeTokenizer {
     size(split(s, " "))
   }
 
-  /** Per-document BPE token count — a narrow codegen-friendly projection. */
+  /** Per-document BPE token count — a narrow codegen-friendly projection.
+    * Per-ROW form (spec oracle / ad-hoc use); the query paths use
+    * [[bpeTokensByDoc]], which runs the k-regex encode once per DISTINCT
+    * word instead of once per occurrence. */
   def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     aggregate(transform(wordsOf(text), w => tokensPerWord(w, merges)),
       lit(0), (acc, x) => acc + x).cast("long")
+
+  /** Per-doc (doc_id, tok) under the learned merges. The k-round regex
+    * encode is evaluated once per DISTINCT word (a Heaps-law-bounded
+    * frame; 31 words at sf0.1) and broadcast back onto the exploded
+    * occurrences — the previous per-row `aggregate(transform(...))` fold
+    * ran the whole interpreted k-regex chain per OCCURRENCE (270k evals
+    * at sf0.1 for those same 31 results). Zero-word docs are restored by
+    * the left join with tok = 0, exactly the fold's empty-array sum. */
+  private def bpeTokensByDoc(d: DataFrame,
+                             merges: Seq[(String, String)]): DataFrame = {
+    val occ = d.select(col("doc_id"), explode(wordsOf(col("text"))).as("w"))
+    val dw = occ.select("w").distinct()
+      .select(col("w"), tokensPerWord(col("w"), merges).cast("long").as("tpw"))
+    val sums = occ.join(broadcast(dw), Seq("w"))
+      .groupBy("doc_id").agg(sum("tpw").as("tok"))
+    d.select(col("doc_id")).join(sums, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("tok"), lit(0L)).as("tok"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -189,10 +210,11 @@ object BpeTokenizer {
     // count they replace.
     "q_text_bpe_tokens" -> ((s, dir) => {
       val m = mergesFor(s, dir)
-      docs(s, dir).filter(col("text").isNotNull)
-        .select(col("doc_id"),
-          size(wordsOf(col("text"))).cast("long").as("n_ws_tokens"),
-          bpeTokenCount(col("text"), m).as("n_bpe_tokens"))
+      val d = docs(s, dir).filter(col("text").isNotNull)
+      d.select(col("doc_id"),
+          size(wordsOf(col("text"))).cast("long").as("n_ws_tokens"))
+        .join(bpeTokensByDoc(d, m)
+          .withColumnRenamed("tok", "n_bpe_tokens"), Seq("doc_id"))
         .orderBy("doc_id")
     }),
 
@@ -204,10 +226,10 @@ object BpeTokenizer {
       val m = mergesFor(s, dir)
       val w = Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, dir).filter(col("text").isNotNull)
+      bpeTokensByDoc(docs(s, dir).filter(col("text").isNotNull), m)
         .select(col("doc_id"),
           pmod(col("doc_id"), lit(CurationQueries.PackShards)).as("shard"),
-          bpeTokenCount(col("text"), m).as("tok"))
+          col("tok"))
         .withColumn("cum", sum("tok").over(w))
         .select(col("doc_id"), col("shard"), col("tok"),
           floor((col("cum") - col("tok")) / lit(CurationQueries.PackBudget)).as("bin"))
@@ -223,9 +245,10 @@ object BpeTokenizer {
         lit(CurationQueries.BudgetEven)).otherwise(lit(CurationQueries.BudgetOdd))
       val w = Window.partitionBy("source").orderBy(col("hx"), col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, dir).filter(col("text").isNotNull)
-        .select(col("doc_id"), col("source"),
-          bpeTokenCount(col("text"), m).as("tok"),
+      val d = docs(s, dir).filter(col("text").isNotNull)
+      d.select(col("doc_id"), col("source"))
+        .join(bpeTokensByDoc(d, m), Seq("doc_id"))
+        .select(col("doc_id"), col("source"), col("tok"),
           md5(col("doc_id").cast("string")).as("hx"))
         .withColumn("budget", budget)
         .withColumn("cum", sum("tok").over(w))

@@ -277,9 +277,12 @@ object DedupQueries {
     * swap WHICH orbit element wins and mirrors land 24+ bits apart (the
     * fragility note in [[graft.images.Phash]]).
     *
-    * `sig` must have (doc_id, phash, kind, hash) — kind 0 = the plain
-    * hash itself, kind 1..7 = the variant probes, zero hashes already
-    * filtered (8 rows per image); only mixed plain↔variant candidates
+    * `sig` must have (doc_id, phash, kind, hash) — kind 0 = the dihedral
+    * identity hash (symmetric-resample family, deliberately NOT bit-equal
+    * to the floor-box plain `phash` column; the mirror rung compares
+    * within the dihedral family only), kind 1..7 = the variant probes,
+    * zero hashes already filtered (8 rows per image); only mixed
+    * identity↔variant candidates
     * survive (plain↔plain IS the plain rung; variant↔variant is its
     * redundant double-transformed echo). Min over a pair's matched
     * probes makes the output orientation-free.
@@ -918,8 +921,9 @@ object DedupQueries {
     // (D4) pHash variants against plain pHashes finds the flipped/
     // rotated-repost duplicates the plain-phash rungs are structurally
     // blind to. Exercised for real: the generator plants ~1.5%
-    // clean-band mirror composites (ImageGen.isMirrorDup) carrying the
-    // horizontal mirror of an anchor ordinal's pattern at the row's own
+    // clean-band mirror composites (ImageGen.isMirrorDup) carrying one
+    // of the four planted D4 transform kinds (flip-x, flip-y, rot180,
+    // transpose) of an anchor ordinal's pattern at the row's own
     // dims, so mirrors pair with their anchor cross-resolution while
     // their plain-phash hamming stays far (~half the sign bits flip).
     // Deterministic signature row per image_id (same first-decode-ok

@@ -57,10 +57,12 @@ object GraphRank {
   def pagerank(orders: DataFrame, customer: DataFrame): DataFrame = {
     val spark = orders.sparkSession
     val dec = "decimal(38,10)"
-    // node universe: all customers (bounded scalar; exact in both engines)
-    val maxKeyPlus1 = customer.agg(max(col("c_custkey")))
-      .head().getLong(0) + 1L
-    val n = customer.count()
+    // node universe: all customers — ONE action for both scalars instead
+    // of a max() job and a count() job
+    val head = customer
+      .agg(max(col("c_custkey")).as("mk"), count(lit(1L)).as("n")).head()
+    val maxKeyPlus1 = head.getLong(0) + 1L
+    val n = head.getLong(1)
     val nodes = customer.select(col("c_custkey").as("id"))
 
     val edgesRaw = orders.select(col("o_custkey").as("src"),
@@ -76,22 +78,35 @@ object GraphRank {
       .localCheckpoint() // fixed for all rounds; truncate the derivation
 
     val base = (1.0 - Damping) / n.toDouble
-    var ranks = nodes.withColumn("rank", lit(1.0 / n.toDouble))
+    // dangling membership is FIXED (nodes with no out-edges): resolve it
+    // ONCE into a boolean on the rank frame, so each round reads the
+    // per-round mass with a filter+sum scan of the checkpointed ranks
+    // instead of replaying a ranks⋈outDeg anti-join
+    var ranks = nodes
+      .join(broadcast(outDeg.select(col("src").as("id"),
+        lit(true).as("_has_out"))), Seq("id"), "left")
+      .select(col("id"), coalesce(col("_has_out"), lit(false)).as("has_out"),
+        lit(1.0 / n.toDouble).as("rank"))
+      .localCheckpoint()
     for (_ <- 1 to Rounds) {
-      // dangling mass: nodes with no out-edges (decimal-exact sum)
-      val dangling = ranks.join(outDeg,
-          ranks("id") === outDeg("src"), "left_anti")
+      // dangling mass: nodes with no out-edges (decimal-exact sum —
+      // same addend set as the previous anti-join shape, order-free)
+      val dangling = ranks.filter(!col("has_out"))
         .agg(coalesce(sum(expr(s"CAST(rank AS $dec)")),
           expr(s"CAST(0.0 AS $dec)")).as("dm"))
         .head().getDecimal(0).doubleValue()
+      // the rank frame is node-cardinality (tiny beside the edge list):
+      // broadcast it into the join and the contrib frame into the
+      // update, so no round shuffles the edge list (guide §3.1)
       val contrib = edges
-        .join(ranks, edges("src") === ranks("id"))
+        .join(broadcast(ranks.select(col("id"), col("rank"))),
+          edges("src") === col("id"))
         .select(col("dst"), (col("rank") * col("w")).as("c"))
         .groupBy("dst")
         .agg(sum(expr(s"CAST(c AS $dec)")).as("in_mass"))
-      ranks = nodes
-        .join(contrib, nodes("id") === contrib("dst"), "left")
-        .select(nodes("id"),
+      ranks = ranks.select(col("id"), col("has_out"))
+        .join(broadcast(contrib), col("id") === contrib("dst"), "left")
+        .select(col("id"), col("has_out"),
           (lit(base) + lit(Damping) *
             (coalesce(col("in_mass").cast("double"), lit(0.0)) +
               lit(dangling / n.toDouble))).as("rank"))
@@ -100,9 +115,9 @@ object GraphRank {
     val inDeg = edgesRaw.groupBy(col("dst").as("id"))
       .agg(count(lit(1L)).as("in_deg"))
     ranks
-      .join(outDeg.select(col("src").as("id"), col("deg").as("out_deg")),
-        Seq("id"), "left")
-      .join(inDeg, Seq("id"), "left")
+      .join(broadcast(outDeg.select(col("src").as("id"),
+        col("deg").as("out_deg"))), Seq("id"), "left")
+      .join(broadcast(inDeg), Seq("id"), "left")
       .select(col("id"), round(col("rank"), 6).as("rank"),
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))

@@ -65,14 +65,25 @@ object QualityClassifier {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curate_classifier" -> ((s, dir) => {
-      Tables(s, dir, "documents").filter(col("text").isNotNull)
-        .select(col("doc_id"),
-          nGrams(col("text")).as("n_grams"),
-          rawScore(col("text")).as("raw"),
+      // explode + map-side-partial aggregate instead of the per-row
+      // `aggregate(transform(...))` fold: higher-order-function lambdas
+      // are CodegenFallback, so the fold ran INTERPRETED per gram — and
+      // twice per row (raw + the score recompute). Exploded, each gram's
+      // seeded weight is one codegen'd md5 projection and the BIGINT sum
+      // is order-free (exact integers, identical totals). A null-filtered
+      // doc always tokenizes to ≥1 gram (the DuckDB twin's unnest drops
+      // empty docs and has always hash-matched), so explode ≡
+      // explode_outer on this corpus.
+      val g = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(grams(col("text"))).as("g"))
+      g.select(col("doc_id"), weight(col("g")).cast("long").as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1L)).as("n_grams"), sum(col("w")).as("raw"))
+        .select(col("doc_id"), col("n_grams"), col("raw"),
           round(lit(1.0) / (lit(1.0) +
-            exp(-rawScore(col("text")).cast("double") /
-              (nGrams(col("text")).cast("double") * Temp))), 6).as("score"),
-          keep(col("text")).as("keep"))
+            exp(-col("raw").cast("double") /
+              (col("n_grams").cast("double") * Temp))), 6).as("score"),
+          (col("raw") > lit(KeepMeanMin) * col("n_grams")).as("keep"))
         .orderBy("doc_id")
     })
   )

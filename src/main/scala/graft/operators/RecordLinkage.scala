@@ -96,25 +96,41 @@ object RecordLinkage {
       col("nation").as("a_nation"))
     val bb = b.select(col("rec_id").as("b_id"), col("name").as("b_name"),
       col("nation").as("b_nation"))
+    // Each pass is an equi-join on ONE key pair, so a given (a_id, b_id)
+    // appears at most once per pass; restricting pass 2 to nation-UNEQUAL
+    // pairs makes the two arms disjoint. The union of the arms is then
+    // already the distinct candidate set — identical rows to the previous
+    // `unionAll(...).distinct()` shape without shuffling the full pair
+    // stream through a dedup Exchange (guide §2.4: a `distinct` on data
+    // that is already unique is an accidental shuffle).
     val block1 = aa.join(bb, aa("a_nation") === bb("b_nation"))
       .select("a_id", "b_id")
     val block2 = aa.join(bb,
         substring(aa("a_name"), 11, 8) === substring(bb("b_name"), 11, 8))
+      .filter(aa("a_nation") =!= bb("b_nation"))
       .select("a_id", "b_id")
-    block1.unionAll(block2).distinct()
+    block1.unionAll(block2)
   }
 
-  /** Candidate pairs joined back to both sides' full field vectors. */
+  /** Candidate pairs WITH both sides' full field vectors, carried through
+    * the blocking joins directly (same disjoint-arm algebra as
+    * [[candidates]]) — the previous shape generated bare id pairs and
+    * joined them back to both sides, paying two more hash probes per
+    * candidate for columns the blocking joins already held. */
   private def joinedCandidates(customer: DataFrame): DataFrame = {
     val a = sideA(customer)
     val b = sideB(customer)
-    candidates(a, b)
-      .join(a.select(col("rec_id").as("a_id"), col("name").as("a_name"),
-        col("nation").as("a_nation"), col("bal").as("a_bal"),
-        col("seg").as("a_seg")), Seq("a_id"))
-      .join(b.select(col("rec_id").as("b_id"), col("name").as("b_name"),
-        col("nation").as("b_nation"), col("bal").as("b_bal"),
-        col("seg").as("b_seg")), Seq("b_id"))
+    val aa = a.select(col("rec_id").as("a_id"), col("name").as("a_name"),
+      col("nation").as("a_nation"), col("bal").as("a_bal"),
+      col("seg").as("a_seg"))
+    val bb = b.select(col("rec_id").as("b_id"), col("name").as("b_name"),
+      col("nation").as("b_nation"), col("bal").as("b_bal"),
+      col("seg").as("b_seg"))
+    val block1 = aa.join(bb, aa("a_nation") === bb("b_nation"))
+    val block2 = aa.join(bb,
+        substring(aa("a_name"), 11, 8) === substring(bb("b_name"), 11, 8))
+      .filter(aa("a_nation") =!= bb("b_nation"))
+    block1.unionByName(block2)
   }
 
   /** Score every candidate pair: field agreements, FS log-weight sum,
@@ -215,30 +231,42 @@ object RecordLinkage {
       col("nation").as("a_nation"))
     val bb = b.select(col("rec_id").as("b_id"), col("name").as("b_name"),
       col("nation").as("b_nation"))
-    val block1 = aa.join(bb, aa("a_nation") === bb("b_nation"))
-      .select("a_id", "b_id").distinct()
-    val block2 = aa.join(bb,
+    // Single-key equi-joins emit each pair at most once, so the per-pass
+    // `.distinct()` of the previous shape was a full-pair-stream dedup
+    // Exchange deduplicating nothing; and since the combined pass is
+    // pass1 ⊎ (pass2 where nations differ) — disjoint by construction —
+    // its counts are SUMS of per-pass aggregates. The whole audit is now
+    // one scan of each blocking join (map-side partial aggregation, one
+    // scalar row out each) instead of three join replays + three dedups.
+    val isTrue = col("b_id") - 1000000L === col("a_id")
+    val diff = col("a_nation") =!= col("b_nation")
+    val b1agg = aa.join(bb, aa("a_nation") === bb("b_nation"))
+      .agg(count(lit(1L)).as("n1"),
+        sum(when(isTrue, 1L).otherwise(0L)).as("t1"))
+    val b2agg = aa.join(bb,
         substring(aa("a_name"), 11, 8) === substring(bb("b_name"), 11, 8))
-      .select("a_id", "b_id").distinct()
-    val comb = block1.unionAll(block2).distinct()
-    def audit(name: String, pairs: DataFrame): DataFrame =
-      pairs.agg(
-        count(lit(1L)).as("n_candidates"),
-        sum(when(col("b_id") - 1000000L === col("a_id"), 1L).otherwise(0L))
-          .as("n_true_caught"))
-        .select(lit(name).as("pass"), col("n_candidates"),
-          col("n_true_caught"))
+      .agg(count(lit(1L)).as("n2"),
+        sum(when(isTrue, 1L).otherwise(0L)).as("t2"),
+        sum(when(diff, 1L).otherwise(0L)).as("n2f"),
+        sum(when(isTrue && diff, 1L).otherwise(0L)).as("t2f"))
     val tot = a.agg(count(lit(1L)).as("n_a"))
       .crossJoin(b.agg(count(lit(1L)).as("n_b")))
-    audit("combined", comb)
-      .unionAll(audit("name_suffix", block2))
-      .unionAll(audit("nation", block1))
-      .crossJoin(broadcast(tot))
-      .select(col("pass"), col("n_candidates"), col("n_true_caught"),
+    b1agg.crossJoin(broadcast(b2agg)).crossJoin(broadcast(tot))
+      .select(explode(array(
+        struct(lit("combined").as("pass"),
+          (col("n1") + col("n2f")).as("n_candidates"),
+          (col("t1") + col("t2f")).as("n_true_caught")),
+        struct(lit("name_suffix").as("pass"), col("n2").as("n_candidates"),
+          col("t2").as("n_true_caught")),
+        struct(lit("nation").as("pass"), col("n1").as("n_candidates"),
+          col("t1").as("n_true_caught")))).as("r"),
+        col("n_a"), col("n_b"))
+      .select(col("r.pass").as("pass"), col("r.n_candidates").as("n_candidates"),
+        col("r.n_true_caught").as("n_true_caught"),
         col("n_b").as("n_true_total"),
-        round(col("n_true_caught").cast("double") / col("n_b"), 6)
+        round(col("r.n_true_caught").cast("double") / col("n_b"), 6)
           .as("pairs_completeness"),
-        round(lit(1.0) - col("n_candidates").cast("double") /
+        round(lit(1.0) - col("r.n_candidates").cast("double") /
           (col("n_a") * col("n_b")).cast("double"), 6)
           .as("reduction_ratio"))
       .orderBy("pass")

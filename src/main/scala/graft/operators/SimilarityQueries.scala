@@ -111,8 +111,12 @@ object SimilarityQueries {
     import org.apache.spark.sql.expressions.Window
     // `e` feeds signatures, query selection, and both re-rank sides;
     // `sigs` is both the probe AND build side of the bucket join.
+    // per-vector norm persisted beside the embedding: the re-rank then
+    // pays ONE dot per candidate pair instead of three (norms are
+    // per-vector, bit-identical cos values)
     val e = embs(s, dir)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = e.select(col("vec_id"),
         explode(array((0 until AnnTables).map(t =>
@@ -126,11 +130,14 @@ object SimilarityQueries {
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("c_id"))
       .distinct()
-    val qEmb = e.select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-    val cEmb = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+    val qEmb = e.select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+      col("nrm").as("q_nrm"))
+    val cEmb = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+      col("nrm").as("c_nrm"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     cand.join(qEmb, Seq("q_id")).join(cEmb, Seq("c_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cos",
+        dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= AnnK)
       .select(col("q_id"), col("rk"), col("c_id"), round(col("cos"), 4).as("cos"))
@@ -153,12 +160,19 @@ object SimilarityQueries {
     */
   private[graft] def trainedScored(e: DataFrame, steps: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val seeds = e.filter(col("vec_id") < 16)
+    // per-vector norm below the 16-way cell cross join: each assignment
+    // pass pays one norm per VECTOR plus one dot per (vector, cell)
+    // instead of re-deriving both norms per pair (bit-identical csim)
+    val en =
+      if (e.columns.contains("nrm")) e
+      else e.withColumn("nrm", norm(col("emb")))
+    val seeds = en.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cell"), col("emb").as("c_emb"))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
     def assignTo(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
-        .withColumn("csim", cosine(col("emb"), col("c_emb")))
+      en.crossJoin(broadcast(cents.withColumn("c_nrm", norm(col("c_emb")))))
+        .withColumn("csim",
+          dot(col("emb"), col("c_emb")) / (col("nrm") * col("c_nrm")))
         .withColumn("rk", row_number().over(wAssign))
     // Lloyd's step: argmax-cosine assignment, then per-(cell, dim) BIGINT
     // sums of floor(x·1024) collected into the refined centroid (cosine is
@@ -182,6 +196,7 @@ object SimilarityQueries {
     // sides, and `scored` feeds assignment AND probe selection: persist
     // both (blocks reclaimed by the ContextCleaner once unreferenced).
     val e = raw.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = trainedScored(e, steps)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -193,11 +208,14 @@ object SimilarityQueries {
       .filter(col("q_id") =!= col("m_id"))
       .select(col("q_id"), col("m_id").as("c_id"))
       .distinct()
-    val qEmb = e.select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-    val cEmb = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb2"))
+    val qEmb = e.select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+      col("nrm").as("q_nrm"))
+    val cEmb = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb2"),
+      col("nrm").as("c_nrm"))
     val wTop = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
     cand.join(qEmb, Seq("q_id")).join(cEmb, Seq("c_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("c_emb2")))
+      .withColumn("cos",
+        dot(col("q_emb"), col("c_emb2")) / (col("q_nrm") * col("c_nrm")))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("c_id"), round(col("cos"), 4).as("cos"))
@@ -637,14 +655,22 @@ object SimilarityQueries {
     // The all-pairs baseline the IVF/LSH path is validated against.
     "q_ann_topk_bruteforce" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // norms are per-VECTOR, not per-pair: compute them below the pair
+      // join (once per row on each side) so each of the |q|·n pairs pays
+      // one dot product instead of three — same dot/sqrt/divide sequence,
+      // bit-identical cos values
       val e = embs(s, dir)
         .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("emb"))
+        .withColumn("nrm", norm(col("emb")))
       val q = e.filter(col("label") === 0)
-        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
-      val cand = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"))
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+          col("nrm").as("q_nrm"))
+      val cand = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+        col("nrm").as("c_nrm"))
       val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
       q.join(cand, col("q_id") =!= col("c_id"))
-        .withColumn("cos", cosine(col("q_emb"), col("c_emb")))
+        .withColumn("cos",
+          dot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("rk"), col("c_id"), round(col("cos"), 4).as("cos"))

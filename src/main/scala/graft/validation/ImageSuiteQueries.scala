@@ -448,8 +448,9 @@ object ImageSuiteQueries {
     }),
     // Multimodal binary pipeline surfaced to the driver: batched feature
     // extraction over the synthetic media table (image decode, WAV audio
-    // decode, and MP4 container-metadata parse are all REAL; only video
-    // frame decode is a deterministic stub) — per-kind feature roll-up.
+    // decode, MP4 container-metadata parse, and MJPEG frame decode are
+    // all REAL; only H.264/AV1 frame decode stays metadata-only — the
+    // JDK ships no such codec) — per-kind feature roll-up.
     "qi_media_features" -> ((s, dir) => {
       val media = graft.multimodal.BinaryPipeline.synthMedia(s, 3000)
       val feats = graft.multimodal.BinaryPipeline.extractFeatures(media)
