@@ -90,11 +90,15 @@ object GraphRank {
       .localCheckpoint()
     for (_ <- 1 to Rounds) {
       // dangling mass: nodes with no out-edges (decimal-exact sum —
-      // same addend set as the previous anti-join shape, order-free)
+      // same addend set as the previous anti-join shape, order-free).
+      // Attached as a broadcast 1-row frame instead of a per-round
+      // `.head()`: the round then costs ONE driver action (the
+      // checkpoint) instead of a blocking collect + a checkpoint —
+      // decimal→double cast and the /n division are the same IEEE ops
+      // the driver performed.
       val dangling = ranks.filter(!col("has_out"))
         .agg(coalesce(sum(expr(s"CAST(rank AS $dec)")),
           expr(s"CAST(0.0 AS $dec)")).as("dm"))
-        .head().getDecimal(0).doubleValue()
       // the rank frame is node-cardinality (tiny beside the edge list):
       // broadcast it into the join and the contrib frame into the
       // update, so no round shuffles the edge list (guide §3.1)
@@ -106,10 +110,11 @@ object GraphRank {
         .agg(sum(expr(s"CAST(c AS $dec)")).as("in_mass"))
       ranks = ranks.select(col("id"), col("has_out"))
         .join(broadcast(contrib), col("id") === contrib("dst"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("id"), col("has_out"),
           (lit(base) + lit(Damping) *
             (coalesce(col("in_mass").cast("double"), lit(0.0)) +
-              lit(dangling / n.toDouble))).as("rank"))
+              col("dm").cast("double") / lit(n.toDouble))).as("rank"))
         .localCheckpoint()
     }
     val inDeg = edgesRaw.groupBy(col("dst").as("id"))

@@ -92,8 +92,13 @@ object RecordLinkage {
     * empty suffix, which never equals a real a-suffix, so corruption
     * degrades recall (caught by pass 1), never explodes candidates. */
   def candidates(a: DataFrame, b: DataFrame): DataFrame = {
-    val aa = a.select(col("rec_id").as("a_id"), col("name").as("a_name"),
-      col("nation").as("a_nation"))
+    // widen the probe side: with the dedup Exchange gone (below), pair
+    // generation runs inside the broadcast-join map stage, whose
+    // parallelism is the single-row-group customer scan's — one task
+    // for the whole pair stream without this (guide §2.5 input skew)
+    val aa = graft.Par.widen(
+      a.select(col("rec_id").as("a_id"), col("name").as("a_name"),
+        col("nation").as("a_nation")))
     val bb = b.select(col("rec_id").as("b_id"), col("name").as("b_name"),
       col("nation").as("b_nation"))
     // Each pass is an equi-join on ONE key pair, so a given (a_id, b_id)
@@ -120,9 +125,14 @@ object RecordLinkage {
   private def joinedCandidates(customer: DataFrame): DataFrame = {
     val a = sideA(customer)
     val b = sideB(customer)
-    val aa = a.select(col("rec_id").as("a_id"), col("name").as("a_name"),
-      col("nation").as("a_nation"), col("bal").as("a_bal"),
-      col("seg").as("a_seg"))
+    // widen the probe side: the md5/score projections above run INSIDE
+    // this map stage now that no dedup Exchange re-spreads the stream —
+    // without the widen the whole candidate scoring serializes on the
+    // single-row-group scan's one task (measured 28 s on the JW rung)
+    val aa = graft.Par.widen(
+      a.select(col("rec_id").as("a_id"), col("name").as("a_name"),
+        col("nation").as("a_nation"), col("bal").as("a_bal"),
+        col("seg").as("a_seg")))
     val bb = b.select(col("rec_id").as("b_id"), col("name").as("b_name"),
       col("nation").as("b_nation"), col("bal").as("b_bal"),
       col("seg").as("b_seg"))
@@ -240,11 +250,12 @@ object RecordLinkage {
     // scalar row out each) instead of three join replays + three dedups.
     val isTrue = col("b_id") - 1000000L === col("a_id")
     val diff = col("a_nation") =!= col("b_nation")
-    val b1agg = aa.join(bb, aa("a_nation") === bb("b_nation"))
+    val aw = graft.Par.widen(aa) // spread the pair-stream map stage
+    val b1agg = aw.join(bb, aw("a_nation") === bb("b_nation"))
       .agg(count(lit(1L)).as("n1"),
         sum(when(isTrue, 1L).otherwise(0L)).as("t1"))
-    val b2agg = aa.join(bb,
-        substring(aa("a_name"), 11, 8) === substring(bb("b_name"), 11, 8))
+    val b2agg = aw.join(bb,
+        substring(aw("a_name"), 11, 8) === substring(bb("b_name"), 11, 8))
       .agg(count(lit(1L)).as("n2"),
         sum(when(isTrue, 1L).otherwise(0L)).as("t2"),
         sum(when(diff, 1L).otherwise(0L)).as("n2f"),
