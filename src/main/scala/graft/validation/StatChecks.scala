@@ -602,13 +602,19 @@ object StatChecks {
     * proportion to how little probability mass lies beyond it.
     *
     * Scale shape: unpivot to (key, dim, value) long form (one narrow
-    * explode, |cols|× rows), ONE shuffle on (dim, value) to NDV-sized
-    * per-dim count frames, the cumulative tail windows run per dim over
-    * those NDV-sized frames (the declared fenced global-sort rung, same
-    * shape as [[ksTwoSample]]; the production swap at 10^12 distinct
-    * values is the t-digest CDF), one (dim, value) equi-join back, and a
-    * distributed TakeOrdered top-K. Rows with any null/non-finite
-    * dimension are excluded — the completeness checks own those.
+    * explode, |cols|× rows), ONE shuffle on dim, then the per-dim tail
+    * masses read directly off two RANGE-frame windows over the long
+    * frame — count(*) over (partition dim order value RANGE unbounded
+    * preceding..current) is exactly #rows ≤ v ties included, its
+    * descending twin #rows ≥ v — so the previous groupBy(dim,value)
+    * count frame AND the (dim,value) equi-join back are gone (two
+    * Exchanges and a join deleted; the addends per key are the same
+    * doubles: integer row counts cast and divided identically). Still
+    * the declared fenced global-sort rung, same shape as
+    * [[ksTwoSample]]; the production swap at 10^12 distinct values is
+    * the t-digest CDF. Distributed TakeOrdered top-K. Rows with any
+    * null/non-finite dimension are excluded — the completeness checks
+    * own those.
     *
     * Output: top-`topK` rows (keyCols..., ecod_score) by score
     * descending, key-ascending tiebreak, round-6 discipline. */
@@ -622,21 +628,26 @@ object StatChecks {
     }.reduce(_ && _)
     val dims = array(cols.map(c =>
       struct(lit(c).as("dim"), col(c).cast("double").as("value"))): _*)
-    val long = df.filter(finite)
+    // widen: the explode + window sorts inherit the single-row-group
+    // scan's one-task parallelism otherwise (guide §2.5)
+    val long = graft.Par.widen(df.filter(finite))
       .select(keyCols.map(col) :+ explode(dims).as("dv"): _*)
       .select(keyCols.map(col) :+ col("dv.dim").as("dim") :+
         col("dv.value").as("value"): _*)
-    val counts = long.groupBy("dim", "value").agg(count(lit(1L)).as("cnt"))
-    val asc = Window.partitionBy("dim").orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val n = sum(col("cnt")).over(Window.partitionBy("dim")).cast("double")
-    val cumLe = sum(col("cnt")).over(asc).cast("double")
-    val tails = counts
-      .withColumn("_f_le", cumLe / n)
-      .withColumn("_f_ge", (n - cumLe + col("cnt").cast("double")) / n)
-      .withColumn("dim_score", -log(least(col("_f_le"), col("_f_ge"))))
-      .select("dim", "value", "dim_score")
-    long.join(tails, Seq("dim", "value"))
+    // RANGE frames bound by the CURRENT ROW's value include its ties on
+    // both sides: cumLe = #rows ≤ v (≡ the old Σ cnt over values ≤ v),
+    // cntGe = #rows ≥ v (≡ the old n − cumLe + cnt) — same integer
+    // counts, cast and divided identically, so every per-row dim_score
+    // is the bit-same double as the grouped-counts + join-back shape.
+    val asc = Window.partitionBy("dim").orderBy(col("value"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val desc = Window.partitionBy("dim").orderBy(col("value").desc)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = count(lit(1L)).over(Window.partitionBy("dim")).cast("double")
+    val fLe = count(lit(1L)).over(asc).cast("double") / n
+    val fGe = count(lit(1L)).over(desc).cast("double") / n
+    long
+      .withColumn("dim_score", -log(least(fLe, fGe)))
       .groupBy(keyCols.map(col): _*)
       .agg(round(sum(col("dim_score")), 6).as("ecod_score"))
       .orderBy(col("ecod_score").desc +: keyCols.map(col): _*)
