@@ -279,8 +279,8 @@ object ValidationQueries {
 
     // ECOD outliers over lineitem's numeric margins: ECDF tail mass per
     // dimension, summed −ln tail per row — the shape-free sibling of
-    // MAD (unimodal) and Mahalanobis (elliptical). One (dim,value)
-    // shuffle to NDV-sized tails + one equi-join back + top-K.
+    // MAD (unimodal) and Mahalanobis (elliptical). One shuffle on dim,
+    // RANGE-frame window tail counts per row, top-K (no join).
     "q_v_outliers_ecod" -> ((s, dir) =>
       StatChecks.ecodOutliers(t(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"),
